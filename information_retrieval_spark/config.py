@@ -1,0 +1,129 @@
+"""Engine configuration.
+
+Spark-native replacement for the reference's global key→value Configurator
+(/root/reference/utils/configurator.cc:15-26,101-191): a plain dataclass with
+the same precedence contract (explicit kwargs > environment > defaults) and
+the same typed-getter spirit (k/m/g suffixes on byte sizes,
+configurator.cc:209-265).
+
+All knobs that exist as config surface in the reference keep their meaning:
+
+- ``min_file_size`` / ``max_file_size`` — admission filter
+  (/root/reference/index/index.h:19-25, clamps index.cc:22-27).
+- ``spimi_budget_bytes`` — the in-memory update buffer before flush
+  (MAX_UPDATE_SPACE = 40 MB, floor 16 MB,
+  /root/reference/index/index.h:27-29, index.cc:28-30).
+- ``stemming_level`` — 0..2, default 0 = off
+  (/root/reference/index/index.h:35-37, index.cc:34).
+- ``bigram_indexing`` — default off (/root/reference/index/index.h:68-70).
+- ``doc_bucket_bits`` / ``n_doc_buckets`` — the MasterIndex disjoint
+  address-range trick (10^13-wide slices per sub-index,
+  /root/reference/masterindex/masterindex.h:25-29) re-expressed as
+  ``docID = bucket * 2**doc_bucket_bits + local_row``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, asdict
+
+
+_SUFFIX = {"k": 1024, "m": 1024**2, "g": 1024**3}
+
+
+def parse_size(value: str | int) -> int:
+    """Parse '40m' / '16k' / plain int byte sizes.
+
+    Mirrors the reference's getConfigurationInt k/m/g suffix handling
+    (/root/reference/utils/configurator.cc:209-265).
+    """
+    if isinstance(value, int):
+        return value
+    s = str(value).strip().lower()
+    if s and s[-1] in _SUFFIX:
+        return int(float(s[:-1]) * _SUFFIX[s[-1]])
+    return int(s)
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- analyzer -------------------------------------------------------
+    # Code-identifier tokenizer: lowercase, then runs of [a-z0-9_].
+    # The same regex MUST be used at index and query time (the reference
+    # persists STEMMING_LEVEL in index metadata and reads it back so the
+    # query-side analyzer matches: /root/reference/index/index.cc:189-190).
+    token_pattern: str = "[a-z0-9_]+"
+    stemming_level: int = 0
+    bigram_indexing: bool = False
+
+    # --- admission filter (S2) -----------------------------------------
+    min_file_size: int = 8
+    max_file_size: int = 20_000_000_000
+
+    # --- docID address space (B1) --------------------------------------
+    # docID = bucket * 2**doc_bucket_bits + local_row_number.
+    # Reference analog: per-sub-index disjoint 10^13 ranges
+    # (/root/reference/masterindex/masterindex.h:29); usable offset space
+    # 2^47-1 (/root/reference/index/index_type.h:12) generalised to int64.
+    doc_bucket_bits: int = 40
+    n_doc_buckets: int = 8
+
+    # --- SPIMI / postings (B3, C1-C4) -----------------------------------
+    spimi_budget_bytes: int = 40 * 1024 * 1024
+    block_size: int = 128  # postings per encoded block
+
+    # --- BM25 -----------------------------------------------------------
+    k1: float = 1.2
+    b: float = 0.75
+
+    # --- skew / shuffle (B5) --------------------------------------------
+    shuffle_partitions: int = 32
+
+    # --- paths ----------------------------------------------------------
+    index_root: str = ""
+
+    extras: dict = field(default_factory=dict, compare=False)
+
+    def __post_init__(self):
+        if not (0 <= self.stemming_level <= 2):
+            # validity check mirrors /root/reference/index/index.cc:210-215
+            raise ValueError(f"stemming_level must be 0..2, got {self.stemming_level}")
+        if self.spimi_budget_bytes < 16 * 1024 * 1024:
+            # floor mirrors /root/reference/index/index.cc:28-30
+            object.__setattr__(self, "spimi_budget_bytes", 16 * 1024 * 1024)
+        if self.max_file_size < 32:
+            # clamp mirrors /root/reference/index/index.cc:22-24
+            object.__setattr__(self, "max_file_size", 32)
+
+    @classmethod
+    def from_env(cls, **overrides) -> "EngineConfig":
+        """Precedence: overrides (CLI) > environment > defaults — the same
+        cascade as /root/reference/utils/configurator.cc:134-164."""
+        env_map = {
+            "min_file_size": ("IR_MIN_FILE_SIZE", parse_size),
+            "max_file_size": ("IR_MAX_FILE_SIZE", parse_size),
+            "spimi_budget_bytes": ("IR_SPIMI_BUDGET", parse_size),
+            "block_size": ("IR_BLOCK_SIZE", int),
+            "n_doc_buckets": ("IR_DOC_BUCKETS", int),
+            "k1": ("IR_BM25_K1", float),
+            "b": ("IR_BM25_B", float),
+            "stemming_level": ("IR_STEMMING_LEVEL", int),
+            "shuffle_partitions": ("IR_SHUFFLE_PARTITIONS", int),
+        }
+        kwargs = {}
+        for key, (env, conv) in env_map.items():
+            if env in os.environ:
+                kwargs[key] = conv(os.environ[env])
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+    def to_meta(self) -> dict:
+        """Serialisable analyzer/index metadata — the analog of the
+        reference's KEY = VALUE work-file lines (STEMMING_LEVEL,
+        BIGRAM_INDEXING, ... /root/reference/index/index.cc:185-202)."""
+        d = asdict(self)
+        d.pop("extras", None)
+        return d
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,145 @@
+"""Corpus input: the Iceberg-shaped source-code table.
+
+Authoritative input shape (BASELINE.json input_hint):
+    (repo:string, path:string, commit:string, lang:string, content:string)
+
+Three providers:
+
+1. ``load_corpus(spark, path)`` — read a parquet/Iceberg table already in
+   corpus shape (production path; dev fallback parquet, SURVEY.md S1).
+2. ``corpus_from_documents(...)`` — deterministic mapping of the driver's
+   ``documents(doc_id, text, lang, source, n_chars)`` test table into corpus
+   shape. The SAME mapping exists as SQL (``DOCUMENTS_AS_CORPUS_SQL``) so the
+   DuckDB oracle sees bit-identical rows.
+3. ``synthetic_corpus(...)`` — seeded, parallelism-independent generator per
+   FIXTURES.md §1 (Zipf vocabulary, a ~99%-of-docs stopword for the skew test,
+   under-8-byte and oversized docs for the admission filter
+   (/root/reference/index/index.h:19-25), delimiter runs and non-ASCII
+   identifiers pinning tokenizer behavior
+   (/root/reference/utils/stringtokenizer.cc:30-51,
+   /root/reference/utils/utils_test.cc:53-54)).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType, StructField, StringType
+
+CORPUS_SCHEMA = StructType(
+    [
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("commit", StringType(), False),
+        StructField("lang", StringType(), False),
+        StructField("content", StringType(), False),
+    ]
+)
+
+
+def load_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Production source (S1): Iceberg table name or parquet path.
+
+    On a real cluster this is ``spark.read.format("iceberg").load(name)`` and
+    the snapshot id is recorded in the build manifest (lineage,
+    BASELINE.json north star). In this sandbox only the parquet branch runs.
+    """
+    if "/" not in path and "." in path:  # catalog.db.table → Iceberg
+        return spark.read.format("iceberg").load(path)
+    return spark.read.parquet(path)
+
+
+# documents(doc_id, text, lang, source, n_chars)  →  corpus shape.
+# Keep the Spark and DuckDB versions textually adjacent: they must agree.
+def corpus_from_documents(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.concat(F.lit("c"), F.col("doc_id").cast("string"))).alias("commit"),
+        F.col("lang").alias("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+DOCUMENTS_AS_CORPUS_SQL = """
+SELECT source AS repo,
+       'doc/' || CAST(doc_id AS VARCHAR) AS path,
+       md5('c' || CAST(doc_id AS VARCHAR)) AS "commit",
+       lang,
+       text AS content
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Synthetic fixture corpus (FIXTURES.md §1). Deterministic for a given seed
+# and independent of generator parallelism: every row is a pure function of
+# (seed, i). Not a hot path — used for tests and bench amplification only.
+# --------------------------------------------------------------------------
+
+_VOCAB_SIZE = 5000
+_LANGS = ["py", "java", "c", "cpp", "js", "md", "txt"]
+STOPWORD = "common_stopword"
+
+
+def _vocab() -> list[str]:
+    base = [f"ident_{i}" for i in range(_VOCAB_SIZE)]
+    # sprinkle non-ASCII identifiers (tokenizer keeps [a-z0-9_] runs only,
+    # so these pin the "unicode is a delimiter" behavior)
+    base[100] = "変数_100"
+    base[200] = "データ200"
+    return base
+
+
+def _doc_row(seed: int, i: int, vocab: list[str]) -> tuple[str, str, str, str, str]:
+    rng = np.random.default_rng(np.random.SeedSequence([seed, i]))
+    repo = f"org{int(rng.integers(0, 20))}/proj{int(rng.integers(0, 5))}"
+    path = f"src/mod{int(rng.integers(0, 50))}/name{i}.{_LANGS[int(rng.integers(0, len(_LANGS)))]}"
+    commit = hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()
+    lang = path.rsplit(".", 1)[1]
+    if i % 97 == 13:  # below MIN_FILE_SIZE=8 → admission filter drops it
+        content = "x=1"
+    else:
+        n_tokens = int(rng.zipf(1.3)) * 8 + int(rng.integers(4, 40))
+        n_tokens = min(n_tokens, 4000)
+        # Zipf-distributed vocabulary draws
+        idx = np.minimum(rng.zipf(1.2, size=n_tokens) - 1, _VOCAB_SIZE - 1)
+        words = [vocab[j] for j in idx]
+        if rng.random() < 0.99:
+            words.insert(int(rng.integers(0, len(words) + 1)), STOPWORD)
+        seps = rng.choice([" ", " ", " ", "::", "//", ".", "(", ");\n", "  "], size=len(words))
+        content = "".join(w + s for w, s in zip(words, seps)) + " "
+    return repo, path, commit, lang, content
+
+
+def synthetic_corpus_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
+    vocab = _vocab()
+    rows = [_doc_row(seed, i, vocab) for i in range(n_docs)]
+    pdf = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+    pdf["content_sha256"] = pdf["content"].map(
+        lambda s: hashlib.sha256(s.encode()).hexdigest()
+    )
+    return pdf
+
+
+def synthetic_corpus(
+    spark: SparkSession, n_docs: int, seed: int = 42, num_partitions: int = 4
+) -> DataFrame:
+    """Distributed generation: each row derived purely from (seed, i) via
+    mapInPandas over spark.range → identical output at any parallelism
+    (FIXTURES.md §5)."""
+    vocab = _vocab()
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [_doc_row(seed, int(i), vocab) for i in pdf["id"]]
+            out = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+            yield out
+
+    return (
+        spark.range(0, n_docs, numPartitions=num_partitions)
+        .mapInPandas(gen, schema=CORPUS_SCHEMA)
+    )

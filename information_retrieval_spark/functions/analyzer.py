@@ -1,0 +1,64 @@
+"""Analyzer: tokenization + content hashing.
+
+Re-creates the reference's StringTokenizer semantics
+(/root/reference/utils/stringtokenizer.cc:19-51: destructive split on a
+delimiter set, zero-length tokens possible between adjacent delimiters)
+as the *complement* formulation: tokens are maximal runs matching
+``token_pattern`` on lowercased text, so empty tokens never materialise —
+the normalisation SURVEY.md T1 requires.
+
+Two implementations with pinned-identical output (tests/test_analyzer.py):
+
+- ``tokenize_expr`` — pure Catalyst (``regexp_extract_all``), used by the
+  oracle/naive paths and wherever a JVM-side expression suffices.
+- ``tokenize_series`` — vectorized pandas path used inside the SPIMI
+  mapInArrow emitter (BASELINE.json: tokenize via pandas/Arrow UDFs).
+
+Stemming level 0 (identity) is the reference default
+(/root/reference/index/index.h:35-37, index.cc:34); bigram emission
+(/root/reference/index/index.h:68-70) is available behind the config flag.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+
+
+def tokenize_expr(col: Column | str, cfg: EngineConfig = DEFAULT_CONFIG) -> Column:
+    """array<string> of analyzed tokens — Catalyst-only (JVM, codegen)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(f"({cfg.token_pattern})"), 1)
+
+
+def doc_len_expr(col: Column | str, cfg: EngineConfig = DEFAULT_CONFIG) -> Column:
+    return F.array_size(tokenize_expr(col, cfg))
+
+
+def sha256_expr(col: Column | str) -> Column:
+    """Per-row content sha256 invariant (BASELINE.json input_hint) —
+    built-in ``F.sha2``: zero Python, runs in codegen (SURVEY.md §2.11)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c, 256)
+
+
+def tokenize_series(content: pd.Series, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.Series:
+    """Vectorized pandas tokenizer: Series[str] -> Series[list[str]].
+
+    ``str.findall`` on the lowercased series — C-speed regex over the whole
+    Arrow batch, no per-row Python loop.
+    """
+    toks = content.str.lower().str.findall(cfg.token_pattern)
+    if cfg.bigram_indexing:
+        # T8: emit "w1 w2" pair terms alongside unigrams
+        toks = toks.map(lambda ts: ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])])
+    return toks
+
+
+# DuckDB-side equivalent of tokenize_expr, for oracle_sql() construction.
+# Keeping both in one module makes drift between engine and oracle visible.
+def duckdb_tokenize_sql(col_sql: str, cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+    return f"regexp_extract_all(lower({col_sql}), '{cfg.token_pattern}')"

@@ -1,0 +1,154 @@
+"""Posting-list codec: delta-gap + VByte + fixed-size blocks + block-max.
+
+Pure NumPy, zero Spark dependency (SURVEY.md §7.1 step 3). The reference
+planned this module but never wrote it — /root/reference/utils/compression.h:1-5
+is an empty placeholder defining only ``byte``; the contract here comes from
+public literature (VByte: Scholer et al. 2002; Block-Max: Ding & Suel,
+SIGIR 2011) per BASELINE.json's north star.
+
+Layout per (term, bucket): postings sorted by docID ascending, split into
+blocks of ``block_size``; per block we store
+
+    first_docid, last_docid, n          -- skip pointers (C3)
+    docs_vb  : VByte(delta-gap docIDs)  -- first absolute, rest gaps (C1, C2)
+    tfs_vb   : VByte(tf per posting)
+    dls_vb   : VByte(doc_len per posting)  -- keeps BM25 scoring local at
+                                              10^12-doc scale (no docID->len
+                                              lookup join at query time)
+    block_max_tfnorm : float64          -- max over the block of
+        tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+      i.e. the BM25 score WITHOUT the idf factor; idf is a per-term constant
+      so block_max_score = idf * block_max_tfnorm at query time. Storing the
+      idf-free bound lets blocks be encoded in one distributed pass without
+      joining per-term df onto every group (C4).
+
+VByte format: little-endian 7-bit groups; 0x80 continuation bit set on every
+byte except the last of a value. All encode/decode paths are vectorized —
+no per-value Python loops (BASELINE.json: "no per-row Python in the hot path").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# 7-bit group thresholds: a value v needs 1 + floor(log128(v)) bytes.
+_THRESHOLDS = np.array([1 << (7 * i) for i in range(1, 10)], dtype=np.uint64)
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized VByte encode of non-negative int64/uint64 values."""
+    v = np.asarray(values)
+    if v.size == 0:
+        return b""
+    if v.dtype != np.uint64:
+        if np.any(np.asarray(values, dtype=np.int64) < 0):
+            raise ValueError("vbyte_encode: negative value")
+        v = v.astype(np.uint64)
+    # byte length per value: 1 + count of thresholds <= v  (ladder compare)
+    lengths = 1 + np.searchsorted(_THRESHOLDS, v, side="right").astype(np.int64)
+    total = int(lengths.sum())
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    # position of each output byte within its value
+    idx = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+    rep = np.repeat(v, lengths)
+    out = ((rep >> (7 * idx.astype(np.uint64))) & np.uint64(0x7F)).astype(np.uint8)
+    cont = idx < np.repeat(lengths - 1, lengths)
+    out[cont] |= 0x80
+    return out.tobytes()
+
+
+def vbyte_decode(buf: bytes | np.ndarray) -> np.ndarray:
+    """Vectorized VByte decode -> uint64 array."""
+    data = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if data.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (data & 0x80) == 0
+    # value id per byte: 0-based running count of completed values before it
+    value_id = np.zeros(data.size, dtype=np.int64)
+    value_id[1:] = np.cumsum(is_last)[:-1]
+    starts = np.flatnonzero(np.diff(value_id, prepend=-1))
+    k = np.arange(data.size, dtype=np.int64) - starts[value_id]
+    contrib = (data.astype(np.uint64) & np.uint64(0x7F)) << (7 * k.astype(np.uint64))
+    return np.add.reduceat(contrib, starts)
+
+
+def delta_encode(docids: np.ndarray) -> np.ndarray:
+    """Strictly-ascending docIDs -> gaps; first element stored absolute."""
+    d = np.asarray(docids, dtype=np.int64)
+    if d.size == 0:
+        return d.astype(np.uint64)
+    gaps = np.diff(d, prepend=d[:1])  # first becomes 0; fix below
+    gaps[0] = d[0]
+    if d.size > 1 and np.any(gaps[1:] <= 0):
+        raise ValueError("delta_encode: docIDs must be strictly ascending")
+    return gaps.astype(np.uint64)
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    g = np.asarray(gaps, dtype=np.uint64).astype(np.int64)
+    return np.cumsum(g)
+
+
+def bm25_tfnorm(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
+    """idf-free BM25 component: tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)).
+
+    float64 throughout — rank-identity between the naive and WAND paths
+    depends on both computing in the same precision (SURVEY.md §7.4 #2).
+    """
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def bm25_idf(df: np.ndarray | float, n_docs: float) -> np.ndarray | float:
+    """Lucene/standard BM25+ idf: ln(1 + (N - df + 0.5)/(df + 0.5))."""
+    return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def encode_blocks(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    *,
+    block_size: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> list[tuple[int, int, int, int, bytes, bytes, bytes, float]]:
+    """Split one term's (bucket-local) postings into encoded blocks.
+
+    Input arrays must be docID-ascending. Returns a list of tuples
+    (block_id, first_docid, last_docid, n, docs_vb, tfs_vb, dls_vb,
+    block_max_tfnorm). Loops over *blocks* (len/128), never rows.
+    """
+    d = np.asarray(docids, dtype=np.int64)
+    t = np.asarray(tfs, dtype=np.int64)
+    l = np.asarray(dls, dtype=np.int64)
+    n = d.size
+    out = []
+    tfnorm = bm25_tfnorm(t, l, avgdl, k1, b)
+    for blk, lo in enumerate(range(0, n, block_size)):
+        hi = min(lo + block_size, n)
+        bd = d[lo:hi]
+        out.append(
+            (
+                blk,
+                int(bd[0]),
+                int(bd[-1]),
+                hi - lo,
+                vbyte_encode(delta_encode(bd)),
+                vbyte_encode(t[lo:hi].astype(np.uint64)),
+                vbyte_encode(l[lo:hi].astype(np.uint64)),
+                float(tfnorm[lo:hi].max()),
+            )
+        )
+    return out
+
+
+def decode_block(docs_vb: bytes, tfs_vb: bytes, dls_vb: bytes):
+    """Decode one block -> (docids int64 asc, tfs int64, dls int64)."""
+    docids = delta_decode(vbyte_decode(docs_vb))
+    tfs = vbyte_decode(tfs_vb).astype(np.int64)
+    dls = vbyte_decode(dls_vb).astype(np.int64)
+    return docids, tfs, dls

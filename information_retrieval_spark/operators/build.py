@@ -1,0 +1,252 @@
+"""Index build: SPIMI emit (PASS 1) + salted sort-merge encode (PASS 2).
+
+Re-creates the reference's planned build pipeline (the C++ constructor stops
+at ``// TODO FileManager実装から``, /root/reference/index/index.cc:161) as two
+Spark passes (SURVEY.md §3.2):
+
+PASS 1 (B2/B3): ``mapInPandas`` SPIMI emitter over corpus partitions —
+  tokenize (pandas, Arrow-batched), per-doc tf aggregation, flush runs when
+  the in-memory budget exceeds ``spimi_budget_bytes`` (the reference's 40 MB
+  MAX_UPDATE_SPACE contract, /root/reference/index/index.h:27-29).
+  Emits (term, docid, bucket, tf, dl) — mode-2 document-level postings
+  (/root/reference/index/index.h:51-58; SURVEY.md §1.4).
+
+PASS 2 (B4/B5, C1-C4): one shuffle keyed by (term, bucket) — the *salted*
+  repartitioning that absorbs stopword skew: a term occurring in every doc is
+  split over n_doc_buckets groups, each bounded by the bucket's doc count.
+  Because docIDs are bucket-local-ascending (docids.py), per-(term,bucket)
+  blocks are globally docID-ordered once sorted by bucket — the stage-2 merge
+  is an ordered concat that never runs: blocks stay bucket-scoped and the
+  query layer iterates them in (first_docid) order (SURVEY.md B5).
+
+Scale notes (100 TB / 10^12 docs):
+- the only wide shuffle is the (term,bucket) repartition; size n_doc_buckets
+  so max-group = |docs|/buckets postings (e.g. 2^16 buckets → ≤ ~1.5e7
+  postings ≈ 350 MB per group for a 100%-df term — one Arrow group per task);
+- no collect(), no driver-side loops over data, no per-row Python;
+- dictionary/stats are pure hash aggregations with map-side partials.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+from ..functions import codec
+from ..functions.analyzer import doc_len_expr, sha256_expr, tokenize_series
+from .docids import admission_filter, assign_docids
+
+RUNS_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("docid", LongType(), False),
+        StructField("bucket", IntegerType(), False),
+        StructField("tf", IntegerType(), False),
+        StructField("dl", IntegerType(), False),
+    ]
+)
+
+POSTINGS_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("bucket", IntegerType(), False),
+        StructField("block_id", IntegerType(), False),
+        StructField("first_docid", LongType(), False),
+        StructField("last_docid", LongType(), False),
+        StructField("n", IntegerType(), False),
+        StructField("block_cf", LongType(), False),
+        StructField("docs_vb", BinaryType(), False),
+        StructField("tfs_vb", BinaryType(), False),
+        StructField("dls_vb", BinaryType(), False),
+        StructField("block_max_tfnorm", DoubleType(), False),
+    ]
+)
+
+
+def build_docs_table(corpus: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Doc catalog (the Spark analog of the reference's file/inode catalog,
+    /root/reference/filemanager/filemanager.cc:13-15): admission filter →
+    deterministic docIDs → sha256 invariant + doc length, all Catalyst."""
+    admitted = admission_filter(corpus, cfg)
+    with_ids = assign_docids(admitted, cfg)
+    return with_ids.select(
+        "docid",
+        "bucket",
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        sha256_expr("content").alias("content_sha256"),
+        doc_len_expr("content", cfg).alias("doc_len"),
+        "content",
+    )
+
+
+def spimi_emit(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """PASS 1: (docid, bucket, content) → (term, docid, bucket, tf, dl).
+
+    Vectorized end-to-end: regex findall over the whole Arrow batch,
+    np.repeat explode, one C-level hash groupby for per-doc tf. Output
+    batches are buffered and flushed at the SPIMI byte budget.
+    """
+    budget = cfg.spimi_budget_bytes
+    token_cfg = cfg
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: list[pd.DataFrame] = []
+        pending_bytes = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            toks = tokenize_series(pdf["content"], token_cfg)
+            lens = toks.str.len().to_numpy(dtype=np.int64)
+            if lens.sum() == 0:
+                continue
+            docid = np.repeat(pdf["docid"].to_numpy(np.int64), lens)
+            bucket = np.repeat(pdf["bucket"].to_numpy(np.int32), lens)
+            dl = np.repeat(lens, lens).astype(np.int32)
+            flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            run = pd.DataFrame(
+                {"term": flat_terms, "docid": docid, "bucket": bucket, "dl": dl}
+            )
+            # per-doc tf: one vectorized hash aggregation (A1 — no shuffle,
+            # a doc lives entirely inside one row/batch)
+            grouped = (
+                run.groupby(["term", "docid"], sort=False, observed=True)
+                .agg(bucket=("bucket", "first"), dl=("dl", "first"), tf=("dl", "size"))
+                .reset_index()
+            )
+            grouped["tf"] = grouped["tf"].astype(np.int32)
+            grouped = grouped[["term", "docid", "bucket", "tf", "dl"]]
+            pending.append(grouped)
+            pending_bytes += int(grouped.memory_usage(deep=False).sum()) + int(
+                grouped["term"].str.len().sum()
+            )
+            if pending_bytes >= budget:  # SPIMI flush (index.h:27-29 analog)
+                yield pd.concat(pending, ignore_index=True)
+                pending, pending_bytes = [], 0
+        if pending:
+            yield pd.concat(pending, ignore_index=True)
+
+    return docs.select("docid", "bucket", "content").mapInPandas(emit, RUNS_SCHEMA)
+
+
+def encode_postings(
+    runs: DataFrame, avgdl: float, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """PASS 2: group by (term, bucket) → encoded posting blocks.
+
+    block_max is stored idf-free (codec.encode_blocks docstring) so this pass
+    needs only the global avgdl scalar — no per-term df join.
+    """
+    block_size, k1, b = cfg.block_size, cfg.k1, cfg.b
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, bucket = key
+        order = np.argsort(pdf["docid"].to_numpy(np.int64), kind="stable")
+        d = pdf["docid"].to_numpy(np.int64)[order]
+        t = pdf["tf"].to_numpy(np.int64)[order]
+        l = pdf["dl"].to_numpy(np.int64)[order]
+        blocks = codec.encode_blocks(
+            d, t, l, block_size=block_size, avgdl=avgdl, k1=k1, b=b
+        )
+        tf_cum = np.concatenate([[0], np.cumsum(t)])
+        rows = []
+        for blk, first, last, n, dvb, tvb, lvb, bmax in blocks:
+            lo = blk * block_size
+            rows.append(
+                (
+                    term,
+                    int(bucket),
+                    blk,
+                    first,
+                    last,
+                    n,
+                    int(tf_cum[lo + n] - tf_cum[lo]),
+                    dvb,
+                    tvb,
+                    lvb,
+                    bmax,
+                )
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+
+    return runs.groupBy("term", "bucket").applyInPandas(encode, POSTINGS_SCHEMA)
+
+
+def build_dictionary(postings: DataFrame) -> DataFrame:
+    """dictionary(term, df, cf, n_blocks, max_tfnorm) — A2, from block rows
+    (cheap: |blocks| rows, not |postings|)."""
+    return postings.groupBy("term").agg(
+        F.sum("n").alias("df"),
+        F.sum("block_cf").alias("cf"),
+        F.count(F.lit(1)).cast("int").alias("n_blocks"),
+        F.max("block_max_tfnorm").alias("max_tfnorm"),
+    )
+
+
+@dataclass
+class InvertedIndex:
+    """One index dataset (SURVEY.md §1.1 'Index'): docs + postings +
+    dictionary + collection stats, plus the config that built it."""
+
+    docs: DataFrame
+    postings: DataFrame
+    dictionary: DataFrame
+    n_docs: int
+    avgdl: float
+    total_tokens: int
+    cfg: EngineConfig
+
+    def stats(self) -> dict:
+        return {
+            "n_docs": self.n_docs,
+            "avgdl": self.avgdl,
+            "total_tokens": self.total_tokens,
+        }
+
+
+def build_index(
+    spark: SparkSession, corpus: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> InvertedIndex:
+    """Full in-memory build (lazy DataFrames; persist via sources.manifest).
+
+    Collection stats (A3 — the usedAddressSpace accounting analog,
+    /root/reference/index/index.h:160-166) are the only actions here.
+    """
+    docs = build_docs_table(corpus, cfg)
+    docs = docs.persist()
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").alias("total_tokens"),
+    ).collect()[0]
+    n_docs = int(row["n"] or 0)
+    avgdl = float(row["avgdl"] or 1.0)
+    total_tokens = int(row["total_tokens"] or 0)
+    runs = spimi_emit(docs, cfg)
+    postings = encode_postings(runs, avgdl, cfg)
+    dictionary = build_dictionary(postings)
+    return InvertedIndex(
+        docs=docs.drop("content"),
+        postings=postings,
+        dictionary=dictionary,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        total_tokens=total_tokens,
+        cfg=cfg,
+    )

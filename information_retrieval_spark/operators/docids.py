@@ -1,0 +1,91 @@
+"""Deterministic docID assignment (SURVEY.md B1) + admission filter (S2).
+
+The reference avoids ID collisions by handing each sub-index a disjoint
+10^13-wide slice of one global address space
+(/root/reference/masterindex/masterindex.h:25-29) and keeps offsets strictly
+ascending (/root/reference/index/index.h:167-173). We re-express the same
+trick Spark-natively:
+
+    bucket = md5(repo|path|commit)[first 16 bits] mod n_doc_buckets
+    docID  = bucket * 2**doc_bucket_bits
+           + (row_number within bucket, ordered by (repo, path, commit)) - 1
+
+Properties:
+- deterministic & parallelism-independent: pure function of the key set
+  (FIXTURES.md §5, SURVEY.md test #5);
+- scalable: the global sort shatters into n_doc_buckets independent
+  bucket-local sorts (each a window over one shuffle partition group) —
+  no single-reducer global row_number at 10^12 docs;
+- docID order within a bucket == key order, so per-bucket posting lists are
+  docID-ascending after a bucket-local sort, which makes the salted posting
+  merge an ordered concat (SURVEY.md B5);
+- the md5-hex→int bucket function is expressible identically in DuckDB, so
+  the correctness oracle can re-derive docIDs bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+
+KEY_COLS = ["repo", "path", "commit"]
+
+
+def doc_key_expr() -> Column:
+    return F.concat_ws("|", *KEY_COLS)
+
+
+def bucket_expr(cfg: EngineConfig = DEFAULT_CONFIG) -> Column:
+    # first 4 hex chars of md5 → 16-bit int → mod buckets  (T5 analog of the
+    # reference's simpleHashFunction bucketing, /root/reference/utils/utils.cc:80-85)
+    return (
+        F.conv(F.substring(F.md5(doc_key_expr()), 1, 4), 16, 10).cast("long")
+        % cfg.n_doc_buckets
+    ).cast("int")
+
+
+def admission_filter(corpus: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """S2: keep docs whose byte length is within [min_file_size, max_file_size]
+    (/root/reference/index/index.h:19-25). Pure Catalyst predicate — pushed
+    into the scan."""
+    blen = F.octet_length("content")
+    return corpus.filter(
+        (blen >= cfg.min_file_size) & (blen <= cfg.max_file_size)
+    )
+
+
+def assign_docids(corpus: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Input: corpus-shaped DataFrame. Output: + (bucket int, docid long)."""
+    w = Window.partitionBy("bucket").orderBy(*KEY_COLS)
+    return (
+        corpus.withColumn("bucket", bucket_expr(cfg))
+        .withColumn(
+            "docid",
+            (
+                F.col("bucket").cast("long") * F.lit(1 << cfg.doc_bucket_bits)
+                + F.row_number().over(w)
+                - 1
+            ),
+        )
+    )
+
+
+def duckdb_docid_sql(corpus_sql: str, cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+    """DuckDB CTE producing the identical (bucket, docid) columns over a
+    corpus-shaped relation — used by oracle_sql() entries."""
+    return f"""
+WITH corpus AS ({corpus_sql}),
+bucketed AS (
+  SELECT *,
+         CAST((('0x' || substring(md5(repo || '|' || path || '|' || "commit"), 1, 4))::BIGINT
+               % {cfg.n_doc_buckets}) AS INT) AS bucket
+  FROM corpus
+  WHERE strlen(content) BETWEEN {cfg.min_file_size} AND {cfg.max_file_size}
+)
+SELECT *,
+       CAST(bucket AS BIGINT) * {1 << cfg.doc_bucket_bits}
+         + ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY repo, path, "commit") - 1
+         AS docid
+FROM bucketed
+"""

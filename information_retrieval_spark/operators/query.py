@@ -1,0 +1,173 @@
+"""Query-side operators: analysis (Q1), naive BM25 scoring (Q5), top-k (Q4).
+
+The reference has zero query code (SURVEY.md §2.7 — only the TCP port and
+concurrency constants exist, /root/reference/index/index.h:43-45,93-94); the
+semantics re-created here are the BASELINE.json north star: BM25(k1, b) with
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    s(t, d) = idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+summed over the *distinct* analyzed query terms, deterministic tie-break
+(score DESC, docid ASC) for rank-identity (SURVEY.md Q4).
+
+``naive_bm25`` is the pure-DataFrame exhaustive path: it never touches the
+encoded index, giving an independent oracle for the block-max WAND path
+(differential testing, SURVEY.md §5.2 #3). It is also fully expressible in
+ANSI SQL — see ``duckdb_bm25_sql`` — which is what the driver's DuckDB
+correctness gate runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+from ..functions.analyzer import tokenize_expr
+from .build import build_docs_table
+from .docids import duckdb_docid_sql
+
+
+def parse_queries(
+    spark: SparkSession, queries: list[str], cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """(query_id, term) — distinct analyzed terms, same analyzer as indexing
+    (the STEMMING_LEVEL read-back contract, /root/reference/index/index.cc:189-190)."""
+    qdf = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(queries)], "query_id int, text string"
+    )
+    return (
+        qdf.select("query_id", F.explode(tokenize_expr("text", cfg)).alias("term"))
+        .distinct()
+    )
+
+
+def naive_bm25(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int | None = None,
+) -> DataFrame:
+    """Exhaustive BM25 over a corpus-shaped DataFrame.
+
+    Pure Catalyst: tokenize → explode → tf hash-agg → broadcast join with the
+    query terms → score → per-(query,doc) sum → optional top-k window.
+    Returns (query_id, docid, score[, rank]).
+    """
+    docs = build_docs_table(corpus, cfg)
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    )
+    tf = (
+        docs.select(
+            "docid",
+            "doc_len",
+            F.explode(tokenize_expr("content", cfg)).alias("term"),
+        )
+        .groupBy("term", "docid", "doc_len")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # df(t) only needed for query terms — semi-restrict before the agg
+    matched = tf.join(F.broadcast(qterms), "term")
+    df_t = matched.groupBy("query_id", "term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    k1, b = float(cfg.k1), float(cfg.b)
+    scored = (
+        matched.join(F.broadcast(df_t), ["query_id", "term"])
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "s",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("query_id", "docid")
+        .agg(F.sum("s").alias("score"))
+    )
+    if k is None:
+        return scored
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "docid", "score")
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL — the same computation in ANSI SQL over the same corpus
+# relation. Used by __spark_entry__.oracle_sql(); kept here so engine and
+# oracle live side by side.
+# --------------------------------------------------------------------------
+
+def duckdb_bm25_sql(
+    corpus_sql: str,
+    queries: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int | None = None,
+    round_to: int = 4,
+) -> str:
+    qvalues = ", ".join(
+        f"({i}, '{q}')" for i, q in enumerate(queries)
+    )
+    topk_filter = f"WHERE rank <= {k}" if k is not None else ""
+    rank_col = ", rank" if k is not None else ""
+    return f"""
+WITH docids AS ({duckdb_docid_sql(corpus_sql, cfg)}),
+docs AS (
+  SELECT docid,
+         len({duckdb_tok('content', cfg)}) AS doc_len,
+         content
+  FROM docids
+),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(doc_len) AS avgdl FROM docs),
+tf AS (
+  SELECT term, docid, any_value(doc_len) AS doc_len, count(*) AS tf
+  FROM (
+    SELECT docid, doc_len, unnest({duckdb_tok('content', cfg)}) AS term
+    FROM docs
+  )
+  GROUP BY term, docid
+),
+q AS (
+  SELECT query_id, unnest({duckdb_tok('text', cfg)}) AS qterm
+  FROM (VALUES {qvalues}) AS queries(query_id, text)
+),
+qterms AS (SELECT DISTINCT query_id, qterm AS term FROM q),
+matched AS (SELECT qterms.query_id, tf.* FROM tf JOIN qterms USING (term)),
+df_t AS (SELECT query_id, term, count(*)::DOUBLE AS df FROM matched GROUP BY query_id, term),
+scored AS (
+  SELECT m.query_id, m.docid,
+         sum(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (m.tf * {cfg.k1 + 1.0})
+           / (m.tf + {cfg.k1} * ({1.0 - cfg.b} + {cfg.b} * m.doc_len / s.avgdl))
+         ) AS score
+  FROM matched m
+  JOIN df_t d USING (query_id, term)
+  CROSS JOIN stats s
+  GROUP BY m.query_id, m.docid
+),
+ranked AS (
+  SELECT query_id, docid, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid ASC) AS rank
+  FROM scored
+)
+SELECT query_id{rank_col}, docid, round(score, {round_to}) AS score
+FROM ranked
+{topk_filter}
+"""
+
+
+def duckdb_tok(col_sql: str, cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+    from ..functions.analyzer import duckdb_tokenize_sql
+
+    return duckdb_tokenize_sql(col_sql, cfg)

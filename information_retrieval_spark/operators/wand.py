@@ -1,0 +1,227 @@
+"""Top-k retrieval via Block-Max WAND over the encoded index (SURVEY.md Q3).
+
+Algorithm: Ding & Suel, "Faster Top-k Document Retrieval Using Block-Max
+Indexes", SIGIR 2011 (public literature — the reference repo has no query
+code at all, SURVEY.md §2.7).
+
+Distributed shape (scale-first): posting blocks are bucket-scoped
+(operators/build.py), and buckets partition the doc space, so
+
+    postings ⨝ broadcast(query terms)          -- Parquet `term IN` pushdown
+      groupBy (query_id, bucket)               -- one BMW run per doc-bucket
+      applyInPandas(bmw)  → ≤k rows per group  -- local top-k, NumPy decode
+      window rank over query_id → global top-k -- merge of ≤ k·buckets rows
+
+A hot stopword term's blocks are spread over all buckets, so no single task
+sees more than one bucket's share — the same salting that bounds the build
+shuffle bounds query-time work (SURVEY.md B5). The WAND loop advances per
+*block* (NumPy decode + searchsorted), never per row in Python.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+from ..functions import codec
+from .build import InvertedIndex
+
+TOPK_SCHEMA = StructType(
+    [
+        StructField("query_id", IntegerType(), False),
+        StructField("docid", LongType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
+
+
+class _Cursor:
+    """Per-term posting cursor over that term's blocks within one bucket.
+
+    Lazy block decode; skip via (first_docid, last_docid) block metadata —
+    the C3 skip pointers."""
+
+    __slots__ = ("idf", "term", "firsts", "lasts", "maxes", "docs_vb", "tfs_vb",
+                 "dls_vb", "blk", "pos", "docids", "tfnorm", "exhausted",
+                 "_avgdl", "_k1", "_b")
+
+    def __init__(self, term, idf, block_rows, avgdl, k1, b):
+        self.term = term
+        self.idf = idf
+        order = np.argsort(block_rows["first_docid"].to_numpy(np.int64), kind="stable")
+        self.firsts = block_rows["first_docid"].to_numpy(np.int64)[order]
+        self.lasts = block_rows["last_docid"].to_numpy(np.int64)[order]
+        self.maxes = block_rows["block_max_tfnorm"].to_numpy(np.float64)[order]
+        self.docs_vb = block_rows["docs_vb"].to_numpy(object)[order]
+        self.tfs_vb = block_rows["tfs_vb"].to_numpy(object)[order]
+        self.dls_vb = block_rows["dls_vb"].to_numpy(object)[order]
+        self._avgdl, self._k1, self._b = avgdl, k1, b
+        self.blk = -1
+        self.exhausted = False
+        self._load_block(0)
+
+    def _load_block(self, blk: int):
+        if blk >= len(self.firsts):
+            self.exhausted = True
+            return
+        self.blk = blk
+        d, t, l = codec.decode_block(self.docs_vb[blk], self.tfs_vb[blk], self.dls_vb[blk])
+        self.docids = d
+        self.tfnorm = codec.bm25_tfnorm(t, l, self._avgdl, self._k1, self._b)
+        self.pos = 0
+
+    @property
+    def doc(self) -> int:
+        return int(self.docids[self.pos])
+
+    def block_max_score(self) -> float:
+        return self.idf * float(self.maxes[self.blk])
+
+    def score_current(self) -> float:
+        return self.idf * float(self.tfnorm[self.pos])
+
+    def advance_to(self, target: int):
+        """Move to first posting with docid >= target (block skip + within-
+        block searchsorted)."""
+        if self.exhausted:
+            return
+        if target > self.lasts[self.blk]:
+            nxt = int(np.searchsorted(self.lasts, target, side="left"))
+            if nxt >= len(self.firsts):
+                self.exhausted = True
+                return
+            self._load_block(nxt)
+        pos = int(np.searchsorted(self.docids, target, side="left"))
+        if pos >= len(self.docids):
+            self._load_block(self.blk + 1)  # target fell in a gap past block end
+            if not self.exhausted:
+                self.advance_to(target)
+        else:
+            self.pos = pos
+
+    def next(self):
+        self.pos += 1
+        if self.pos >= len(self.docids):
+            self._load_block(self.blk + 1)
+
+
+def _bmw(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
+    """Block-max WAND main loop → [(docid, score)] unordered, ≤ k.
+
+    Threshold test uses >= so exact ties with the current k-th score are
+    still evaluated — required for the deterministic (score DESC, docid ASC)
+    tie-break (SURVEY.md Q4/§7.4#2).
+    """
+    # heap of (score, -docid): heap[0] is the current worst of the top k
+    heap: list[tuple[float, int]] = []
+    live = [c for c in cursors if not c.exhausted]
+    # per-term global (bucket-local) upper bounds for pivot selection
+    ub = {c.term: c.idf * float(c.maxes.max()) for c in live}
+    while True:
+        live = [c for c in live if not c.exhausted]
+        if not live:
+            break
+        live.sort(key=lambda c: c.doc)
+        theta = heap[0][0] if len(heap) >= k else float("-inf")
+        acc = 0.0
+        pivot_idx = -1
+        for i, c in enumerate(live):
+            acc += ub[c.term]
+            if acc >= theta:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break  # even the sum of all upper bounds can't reach theta
+        pivot_doc = live[pivot_idx].doc
+        if live[0].doc == pivot_doc:
+            # shallow check: refine with the block-level maxima at pivot_doc
+            bub = 0.0
+            involved = [c for c in live if c.doc <= pivot_doc]
+            for c in involved:
+                blk = c.blk
+                # block containing-or-after pivot_doc (cursor already ≥)
+                bub += c.idf * float(c.maxes[blk])
+            if bub >= theta:
+                score = 0.0
+                # deterministic accumulation order: ascending term
+                for c in sorted(involved, key=lambda c: c.term):
+                    if not c.exhausted and c.doc == pivot_doc:
+                        score += c.score_current()
+                for c in involved:
+                    if not c.exhausted and c.doc == pivot_doc:
+                        c.next()
+                item = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+            else:
+                # block-max says no: jump past the earliest block boundary
+                nxt = min(int(c.lasts[c.blk]) for c in involved) + 1
+                for c in involved:
+                    c.advance_to(max(nxt, pivot_doc))
+        else:
+            # align: everything before the pivot moves up to pivot_doc
+            for c in live:
+                if c.doc >= pivot_doc:
+                    break
+                c.advance_to(pivot_doc)
+    return [(-nd, s) for s, nd in heap]
+
+
+def bmw_partial(
+    pdf: pd.DataFrame, idf: dict[str, float], avgdl: float, k: int, k1: float, b: float
+) -> pd.DataFrame:
+    """One (query_id, bucket) group of joined posting-block rows → ≤k rows."""
+    qid = int(pdf["query_id"].iloc[0])
+    cursors = []
+    for term, rows in pdf.groupby("term", sort=True):
+        if term in idf:
+            cursors.append(_Cursor(term, idf[term], rows, avgdl, k1, b))
+    top = _bmw(cursors, k)
+    return pd.DataFrame(
+        {"query_id": qid, "docid": [d for d, _ in top], "score": [s for _, s in top]}
+    )
+
+
+def wand_topk(
+    spark: SparkSession,
+    index: InvertedIndex,
+    qterms: DataFrame,
+    k: int,
+    cfg: EngineConfig | None = None,
+) -> DataFrame:
+    """(query_id, rank, docid, score) — full BMW path over the encoded index."""
+    cfg = cfg or index.cfg
+    # per-term idf from the dictionary — query terms are few: collect to a map
+    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    stat_rows = index.dictionary.filter(F.col("term").isin(terms)).select("term", "df").collect()
+    idf = {
+        r["term"]: float(codec.bm25_idf(float(r["df"]), float(index.n_docs)))
+        for r in stat_rows
+    }
+    avgdl, k1, b = float(index.avgdl), float(cfg.k1), float(cfg.b)
+
+    joined = index.postings.join(F.broadcast(qterms), "term")
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return bmw_partial(pdf, idf, avgdl, k, k1, b)
+
+    partials = joined.groupBy("query_id", "bucket").applyInPandas(run, TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "docid", "score")
+    )

@@ -1,0 +1,51 @@
+"""Tokenizer parity tests (SURVEY.md §5.2 #2) — pinned golden token lists
+mirroring /root/reference/utils/stringtokenizer_test.cc cases plus code-text
+cases; and Catalyst-vs-pandas implementation agreement."""
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from information_retrieval_spark.config import DEFAULT_CONFIG
+from information_retrieval_spark.functions.analyzer import (
+    duckdb_tokenize_sql,
+    tokenize_expr,
+    tokenize_series,
+)
+
+CASES = [
+    ("hello world", ["hello", "world"]),
+    ("", []),
+    ("a//b::c  d", ["a", "b", "c", "d"]),  # adjacent delimiters → no empty tokens
+    ("def foo_bar(x1, y2):", ["def", "foo_bar", "x1", "y2"]),
+    ("CamelCase HTTP2", ["camelcase", "http2"]),
+    ("変数_100 データ200", ["_100", "200"]),  # non-ASCII = delimiter (T1)
+    ("  trailing  ", ["trailing"]),
+    ("std::vector<int>", ["std", "vector", "int"]),
+]
+
+
+def test_pandas_tokenizer_golden():
+    out = tokenize_series(pd.Series([c for c, _ in CASES]))
+    for (text, expect), got in zip(CASES, out):
+        assert got == expect, text
+
+
+def test_spark_tokenizer_matches_pandas(spark):
+    df = spark.createDataFrame([(c,) for c, _ in CASES], "content string")
+    got = [r[0] for r in df.select(tokenize_expr("content")).collect()]
+    for (text, expect), g in zip(CASES, got):
+        assert g == expect, text
+
+
+def test_duckdb_tokenizer_matches():
+    sql = duckdb_tokenize_sql("t")
+    for text, expect in CASES:
+        got = duckdb.sql(f"SELECT {sql} FROM (SELECT ? AS t)", params=[text]).fetchone()[0]
+        assert got == expect, text
+
+
+def test_bigram_mode():
+    cfg = DEFAULT_CONFIG.__class__(bigram_indexing=True)
+    out = tokenize_series(pd.Series(["a b c"]), cfg)[0]
+    assert out == ["a", "b", "c", "a b", "b c"]

@@ -1,0 +1,127 @@
+"""End-to-end build + query tests (SURVEY.md §5.2 #3, #5, #8):
+
+- rank-identity between the naive pure-DataFrame BM25 oracle (Q5) and the
+  full SPIMI → VByte → block-max-WAND path (Q3);
+- index determinism across build parallelism;
+- stopword-skew: the hot term's postings are spread over buckets.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.corpus import STOPWORD, synthetic_corpus_pdf
+from information_retrieval_spark.operators.build import build_index
+from information_retrieval_spark.operators.query import naive_bm25, parse_queries
+from information_retrieval_spark.operators.wand import wand_topk
+
+CFG = EngineConfig(n_doc_buckets=8, block_size=16)  # small blocks → many block
+# boundaries exercised even on a small corpus
+
+QUERIES = [
+    "ident_1",                      # single term
+    "ident_1 ident_2 ident_7",      # multi-term
+    f"{STOPWORD} ident_3",          # contains the ~99%-df skew stopword
+    "zzz_not_in_corpus",            # df = 0 → empty result
+    "ident_0 ident_0 ident_0",      # repeated term → distinct-term semantics
+    f"{STOPWORD}",                  # pure stopword (ties galore)
+]
+K = 10
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = synthetic_corpus_pdf(400, seed=42)[["repo", "path", "commit", "lang", "content"]]
+    return spark.createDataFrame(pdf).cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus):
+    idx = build_index(spark, corpus, CFG)
+    idx.postings = idx.postings.cache()
+    idx.dictionary = idx.dictionary.cache()
+    return idx
+
+
+def _by_query(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], []).append((r["rank"], r["docid"], r["score"]))
+    for v in out.values():
+        v.sort()
+    return out
+
+
+def assert_rank_identical(got, want, tol=1e-9):
+    assert set(got) == set(want) or set(want).issuperset(set(got))
+    for qid in want:
+        g, w = got.get(qid, []), want[qid]
+        assert len(g) == len(w), f"query {qid}: {len(g)} vs {len(w)} results"
+        for (gr, gd, gs), (wr, wd, ws) in zip(g, w):
+            assert gs == pytest.approx(ws, abs=tol), f"q{qid} rank {wr}"
+        # docids must match exactly except inside float-tie groups
+        i = 0
+        while i < len(w):
+            j = i
+            while j + 1 < len(w) and abs(w[j + 1][2] - w[i][2]) <= tol:
+                j += 1
+            assert {d for _, d, _ in g[i : j + 1]} == {d for _, d, _ in w[i : j + 1]}
+            i = j + 1
+
+
+def test_rank_identity_wand_vs_naive(spark, corpus, index):
+    qterms = parse_queries(spark, QUERIES, CFG).cache()
+    want = _by_query(naive_bm25(corpus, qterms, CFG, k=K).collect())
+    got = _by_query(wand_topk(spark, index, qterms, K, CFG).collect())
+    # query 3 has no matching docs
+    assert 3 not in want and 3 not in got
+    assert set(want) == {0, 1, 2, 4, 5}
+    assert_rank_identical(got, want)
+
+
+def test_index_determinism_across_parallelism(spark):
+    """SURVEY.md test #5: same postings/dictionary regardless of input
+    partitioning and shuffle width."""
+    pdf = synthetic_corpus_pdf(200, seed=7)[["repo", "path", "commit", "lang", "content"]]
+    snapshots = []
+    for parts in (1, 7):
+        corpus = spark.createDataFrame(pdf).repartition(parts)
+        idx = build_index(spark, corpus, CFG)
+        post = {
+            (r["term"], r["bucket"], r["block_id"]): (
+                r["first_docid"], r["last_docid"], r["n"], r["block_cf"],
+                bytes(r["docs_vb"]), bytes(r["tfs_vb"]), bytes(r["dls_vb"]),
+                round(r["block_max_tfnorm"], 12),
+            )
+            for r in idx.postings.collect()
+        }
+        dic = {(r["term"]): (r["df"], r["cf"], r["n_blocks"]) for r in idx.dictionary.collect()}
+        snapshots.append((post, dic, idx.n_docs, idx.total_tokens))
+    assert snapshots[0] == snapshots[1]
+
+
+def test_stopword_skew_spread(index):
+    """B5: the hot term is salted across doc buckets — no single reducer
+    group holds it all."""
+    rows = index.postings.filter(F.col("term") == STOPWORD).collect()
+    buckets = {r["bucket"] for r in rows}
+    assert len(buckets) >= 4  # spread over most of the 8 buckets
+    df_row = index.dictionary.filter(F.col("term") == STOPWORD).collect()[0]
+    assert df_row["df"] > 0.9 * index.n_docs  # it really is a stopword
+
+
+def test_dictionary_df_matches_naive(spark, corpus, index):
+    """Independent recount of df(t) via the Catalyst tokenizer path."""
+    from information_retrieval_spark.operators.build import build_docs_table
+    from information_retrieval_spark.functions.analyzer import tokenize_expr
+
+    tf_naive = (
+        build_docs_table(corpus, CFG)
+        .select("docid", F.explode(tokenize_expr("content", CFG)).alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct("docid").alias("df"))
+    )
+    want = {r["term"]: r["df"] for r in tf_naive.collect()}
+    got = {r["term"]: r["df"] for r in index.dictionary.select("term", "df").collect()}
+    assert got == want

@@ -1,0 +1,67 @@
+"""Codec property tests (SURVEY.md §5.2 #1) — pure NumPy, no Spark."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from information_retrieval_spark.functions import codec
+
+MAX_OFFSET = (1 << 47) - 1  # /root/reference/index/index_type.h:12
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 62)), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_vbyte_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    assert np.array_equal(codec.vbyte_decode(codec.vbyte_encode(arr)), arr)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=MAX_OFFSET), min_size=1, max_size=500, unique=True)
+)
+@settings(max_examples=200, deadline=None)
+def test_delta_roundtrip(docids):
+    arr = np.sort(np.array(docids, dtype=np.int64))
+    gaps = codec.delta_encode(arr)
+    assert np.array_equal(codec.delta_decode(gaps), arr)
+    # full pipeline: delta + vbyte
+    assert np.array_equal(
+        codec.delta_decode(codec.vbyte_decode(codec.vbyte_encode(gaps))), arr
+    )
+
+
+def test_vbyte_edges():
+    for v in [0, 1, 127, 128, 16383, 16384, MAX_OFFSET, (1 << 62)]:
+        arr = np.array([v], dtype=np.uint64)
+        assert codec.vbyte_decode(codec.vbyte_encode(arr))[0] == v
+    assert codec.vbyte_encode(np.array([], dtype=np.uint64)) == b""
+    assert codec.vbyte_decode(b"").size == 0
+    assert len(codec.vbyte_encode(np.array([127], dtype=np.uint64))) == 1
+    assert len(codec.vbyte_encode(np.array([128], dtype=np.uint64))) == 2
+
+
+def test_delta_rejects_nonascending():
+    with pytest.raises(ValueError):
+        codec.delta_encode(np.array([5, 5], dtype=np.int64))
+    with pytest.raises(ValueError):
+        codec.delta_encode(np.array([5, 3], dtype=np.int64))
+
+
+@pytest.mark.parametrize("n", [1, 127, 128, 129, 256, 300])
+def test_encode_blocks_boundaries(n):
+    rng = np.random.default_rng(7)
+    docids = np.sort(rng.choice(10 * n, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 50, size=n).astype(np.int64)
+    dls = rng.integers(10, 500, size=n).astype(np.int64)
+    blocks = codec.encode_blocks(docids, tfs, dls, block_size=128, avgdl=100.0, k1=1.2, b=0.75)
+    assert len(blocks) == (n + 127) // 128
+    out_d, out_t, out_l = [], [], []
+    for blk_id, first, last, cnt, dvb, tvb, lvb, bmax in blocks:
+        d, t, l = codec.decode_block(dvb, tvb, lvb)
+        assert d[0] == first and d[-1] == last and len(d) == cnt
+        expect = codec.bm25_tfnorm(t, l, 100.0, 1.2, 0.75).max()
+        assert bmax == pytest.approx(expect, rel=0, abs=0)
+        out_d.append(d), out_t.append(t), out_l.append(l)
+    assert np.array_equal(np.concatenate(out_d), docids)
+    assert np.array_equal(np.concatenate(out_t), tfs)
+    assert np.array_equal(np.concatenate(out_l), dls)

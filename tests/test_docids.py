@@ -1,0 +1,68 @@
+"""Deterministic docID tests (SURVEY.md §5.2 #4, #5): sha invariant,
+parallelism-independence, DuckDB oracle agreement."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.corpus import synthetic_corpus, synthetic_corpus_pdf
+from information_retrieval_spark.operators.build import build_docs_table
+from information_retrieval_spark.operators.docids import duckdb_docid_sql
+
+CFG = EngineConfig(n_doc_buckets=8)
+
+
+def test_sha256_invariant(spark):
+    """Engine must reproduce the fixture's precomputed content_sha256 with
+    F.sha2 (BASELINE.json per-row invariant)."""
+    pdf = synthetic_corpus_pdf(200, seed=42)
+    df = spark.createDataFrame(pdf)
+    bad = df.filter(F.sha2(F.col("content"), 256) != F.col("content_sha256")).count()
+    assert bad == 0
+
+
+def test_docids_parallelism_independent(spark):
+    """Identical docIDs at 2 and 16 partitions (FIXTURES.md §5)."""
+    outs = []
+    for parts in (2, 16):
+        corpus = synthetic_corpus(spark, 300, seed=42, num_partitions=parts)
+        docs = build_docs_table(corpus, CFG).select("docid", "repo", "path", "commit")
+        outs.append({tuple(r) for r in docs.collect()})
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 0
+
+
+def test_docids_match_duckdb_oracle(spark):
+    pdf = synthetic_corpus_pdf(250, seed=42)[["repo", "path", "commit", "lang", "content"]]
+    spark_docs = build_docs_table(spark.createDataFrame(pdf), CFG)
+    got = {(r["repo"], r["path"], r["commit"]): (r["bucket"], r["docid"])
+           for r in spark_docs.collect()}
+    con = duckdb.connect()
+    con.register("corpus_pdf", pdf)
+    oracle = con.sql(duckdb_docid_sql("SELECT * FROM corpus_pdf", CFG)).fetchall()
+    cols = [d[0] for d in con.sql(duckdb_docid_sql("SELECT * FROM corpus_pdf", CFG)).description]
+    i_repo, i_path, i_commit = cols.index("repo"), cols.index("path"), cols.index("commit")
+    i_bucket, i_docid = cols.index("bucket"), cols.index("docid")
+    want = {(r[i_repo], r[i_path], r[i_commit]): (r[i_bucket], r[i_docid]) for r in oracle}
+    assert got == want
+
+
+def test_admission_filter_drops_tiny_docs(spark):
+    corpus = synthetic_corpus(spark, 200, seed=42, num_partitions=2)
+    n_all = corpus.count()
+    n_kept = build_docs_table(corpus, CFG).count()
+    assert n_kept < n_all  # the i % 97 == 13 docs are < 8 bytes
+    assert n_kept > 0
+
+
+def test_docid_disjoint_bucket_ranges(spark):
+    corpus = synthetic_corpus(spark, 300, seed=42, num_partitions=4)
+    docs = build_docs_table(corpus, CFG)
+    rows = docs.groupBy("bucket").agg(
+        F.min("docid").alias("lo"), F.max("docid").alias("hi"), F.count("*").alias("n")
+    ).collect()
+    for r in rows:
+        base = r["bucket"] << CFG.doc_bucket_bits
+        assert r["lo"] == base
+        assert r["hi"] == base + r["n"] - 1  # dense, ascending, bucket-local
