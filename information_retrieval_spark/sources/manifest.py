@@ -1,0 +1,243 @@
+"""Index persistence + per-partition checkpointing (SURVEY.md U1/A5, S4/S5).
+
+The reference keeps a work file of ``KEY = VALUE`` index metadata with an
+``IS_CONSISTENT`` flag, and on inconsistent startup sweeps and rebuilds
+(/root/reference/index/index.cc:113-158,173-217). We re-create that contract
+partition-granular and Spark-native:
+
+- ``_index_meta.json`` — analyzer/config metadata (the STEMMING_LEVEL
+  read-back contract, index.cc:189-190) + collection stats.
+- ``manifest/`` — append-only Parquet ledger; one row per (stage, bucket)
+  with lineage (input snapshot, bucket = partition range) and metrics
+  (docs, postings emitted, elapsed, throughput) — the Spark analog of the
+  reference's per-transaction AddressSpaceChange log
+  (/root/reference/filemanager/filemanager.h:14-18,125-132).
+- ``docs/``, ``postings/`` — Parquet partitioned by ``bucket``; writes use
+  dynamic partition overwrite so a re-run of an incomplete bucket atomically
+  replaces any partial output (the crash-recovery sweep analog,
+  index.cc:114-137).
+
+``build_index_resumable`` skips (stage, bucket) pairs already marked
+``complete`` — restartability demanded by BASELINE.json ("resumable from
+per-partition checkpoints recording lineage ... plus metrics").
+
+Scale note: the resume filter is a driver-side set of bucket ids (≤ tens of
+thousands of ints), never a data-sized collect; bucket-pruned reads hit
+Parquet partition pruning (``bucket IN (...)`` on the partition column).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+from ..operators.build import (
+    InvertedIndex,
+    build_dictionary,
+    build_docs_table,
+    encode_postings,
+    spimi_emit,
+)
+
+MANIFEST_SCHEMA = (
+    "stage string, bucket int, input_snapshot string, n_docs long, "
+    "postings_emitted long, elapsed_sec double, tokens_per_sec double, "
+    "postings_per_sec double, merge_fan_in int, status string, ts double"
+)
+
+
+def _paths(root: str) -> dict:
+    return {
+        "meta": os.path.join(root, "_index_meta.json"),
+        "docs": os.path.join(root, "docs"),
+        "postings": os.path.join(root, "postings"),
+        "dictionary": os.path.join(root, "dictionary"),
+        "manifest": os.path.join(root, "manifest"),
+    }
+
+
+def read_manifest(spark: SparkSession, root: str) -> DataFrame:
+    p = _paths(root)["manifest"]
+    try:
+        return spark.read.schema(MANIFEST_SCHEMA).parquet(p)
+    except Exception:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def _append_manifest(spark: SparkSession, root: str, rows: list[tuple]) -> None:
+    spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1).write.mode("append").parquet(
+        _paths(root)["manifest"]
+    )
+
+
+def completed_buckets(spark: SparkSession, root: str, stage: str) -> set[int]:
+    m = read_manifest(spark, root)
+    return {
+        r["bucket"]
+        for r in m.filter((F.col("stage") == stage) & (F.col("status") == "complete"))
+        .select("bucket")
+        .collect()
+    }
+
+
+def write_meta(root: str, cfg: EngineConfig, stats: dict, consistent: bool) -> None:
+    os.makedirs(root, exist_ok=True)
+    meta = {"config": cfg.to_meta(), "stats": stats, "is_consistent": consistent}
+    tmp = _paths(root)["meta"] + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+    os.replace(tmp, _paths(root)["meta"])  # atomic IS_CONSISTENT commit
+
+
+def read_meta(root: str) -> dict:
+    with open(_paths(root)["meta"]) as f:
+        return json.load(f)
+
+
+def build_index_resumable(
+    spark: SparkSession,
+    corpus: DataFrame,
+    root: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    input_snapshot: str = "",
+) -> InvertedIndex:
+    """Build (or resume building) a persisted index at ``root``.
+
+    Stage 1 'docs': docs catalog, written once (all buckets), manifest row
+      per bucket. Stage 2 'postings': per-bucket SPIMI emit + encode; only
+      buckets without a complete manifest row are (re)built. Finally the
+      dictionary + meta are rewritten from the full postings table.
+    """
+    p = _paths(root)
+    os.makedirs(root, exist_ok=True)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # ---- stage 1: docs catalog --------------------------------------
+    done_docs = completed_buckets(spark, root, "docs")
+    all_buckets = set(range(cfg.n_doc_buckets))
+    if done_docs != all_buckets:
+        t0 = time.time()
+        docs = build_docs_table(corpus, cfg)
+        docs.write.mode("overwrite").partitionBy("bucket").parquet(p["docs"])
+        elapsed = time.time() - t0
+        per_bucket = {
+            r["bucket"]: (r["n"], r["toks"])
+            for r in spark.read.parquet(p["docs"])
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("toks"))
+            .collect()
+        }
+        now = time.time()
+        _append_manifest(
+            spark,
+            root,
+            [
+                (
+                    "docs",
+                    int(b),
+                    input_snapshot,
+                    int(per_bucket.get(b, (0, 0))[0]),
+                    0,
+                    elapsed,
+                    float(per_bucket.get(b, (0, 0))[1] or 0) / max(elapsed, 1e-9),
+                    0.0,
+                    0,
+                    "complete",
+                    now,
+                )
+                for b in sorted(all_buckets - done_docs)
+            ],
+        )
+
+    docs_all = spark.read.parquet(p["docs"])
+    row = docs_all.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").alias("toks"),
+    ).collect()[0]
+    n_docs, avgdl, total_tokens = int(row["n"] or 0), float(row["avgdl"] or 1.0), int(row["toks"] or 0)
+
+    # ---- stage 2: postings, per-bucket resumable ---------------------
+    todo = sorted(all_buckets - completed_buckets(spark, root, "postings"))
+    if todo:
+        t0 = time.time()
+        docs_todo = docs_all.filter(F.col("bucket").isin([int(b) for b in todo]))
+        runs = spimi_emit(docs_todo, cfg)
+        postings = encode_postings(runs, avgdl, cfg)
+        # dynamic overwrite: replaces exactly the partial/missing buckets
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(p["postings"])
+        elapsed = time.time() - t0
+        stats_rows = {
+            r["bucket"]: r
+            for r in spark.read.parquet(p["postings"])
+            .filter(F.col("bucket").isin([int(b) for b in todo]))
+            .groupBy("bucket")
+            .agg(F.sum("n").alias("postings"), F.sum("block_cf").alias("toks"))
+            .collect()
+        }
+        now = time.time()
+        _append_manifest(
+            spark,
+            root,
+            [
+                (
+                    "postings",
+                    int(b),
+                    input_snapshot,
+                    n_docs,
+                    int(stats_rows[b]["postings"]) if b in stats_rows else 0,
+                    elapsed,
+                    (float(stats_rows[b]["toks"]) if b in stats_rows else 0.0) / max(elapsed, 1e-9),
+                    (float(stats_rows[b]["postings"]) if b in stats_rows else 0.0) / max(elapsed, 1e-9),
+                    cfg.shuffle_partitions,
+                    "complete",
+                    now,
+                )
+                for b in todo
+            ],
+        )
+
+    postings_all = spark.read.parquet(p["postings"])
+    dictionary = build_dictionary(postings_all)
+    dictionary.write.mode("overwrite").parquet(p["dictionary"])
+    stats = {"n_docs": n_docs, "avgdl": avgdl, "total_tokens": total_tokens}
+    write_meta(root, cfg, stats, consistent=True)
+    return InvertedIndex(
+        docs=docs_all,
+        postings=postings_all,
+        dictionary=spark.read.parquet(p["dictionary"]),
+        n_docs=n_docs,
+        avgdl=avgdl,
+        total_tokens=total_tokens,
+        cfg=cfg,
+    )
+
+
+def open_index(spark: SparkSession, root: str) -> InvertedIndex:
+    """Re-open a persisted index; refuses an inconsistent one (the
+    IS_CONSISTENT contract, /root/reference/index/index.cc:195-200)."""
+    meta = read_meta(root)
+    if not meta.get("is_consistent", False):
+        raise RuntimeError(f"index at {root} is not consistent; rebuild required")
+    p = _paths(root)
+    cfg = EngineConfig(
+        **{
+            k: v
+            for k, v in meta["config"].items()
+            if k in EngineConfig.__dataclass_fields__ and k != "extras"
+        }
+    )
+    s = meta["stats"]
+    return InvertedIndex(
+        docs=spark.read.parquet(p["docs"]),
+        postings=spark.read.parquet(p["postings"]),
+        dictionary=spark.read.parquet(p["dictionary"]),
+        n_docs=s["n_docs"],
+        avgdl=s["avgdl"],
+        total_tokens=s["total_tokens"],
+        cfg=cfg,
+    )

@@ -1,0 +1,98 @@
+"""Checkpoint / resume / lifecycle tests (SURVEY.md §5.2 #6, #7)."""
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.corpus import synthetic_corpus_pdf
+from information_retrieval_spark.sources import manifest as mf
+
+CFG = EngineConfig(n_doc_buckets=4, block_size=32)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = synthetic_corpus_pdf(150, seed=11)[["repo", "path", "commit", "lang", "content"]]
+    return spark.createDataFrame(pdf).cache()
+
+
+def _snapshot(idx):
+    post = {
+        (r["term"], r["bucket"], r["block_id"]): (
+            r["first_docid"], r["last_docid"], r["n"],
+            bytes(r["docs_vb"]), bytes(r["tfs_vb"]), bytes(r["dls_vb"]),
+        )
+        for r in idx.postings.collect()
+    }
+    return post, idx.n_docs, idx.avgdl, idx.total_tokens
+
+
+def test_build_persist_reopen(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx_a"))
+    idx = mf.build_index_resumable(spark, corpus, root, CFG, input_snapshot="snap-1")
+    snap1 = _snapshot(idx)
+    # lifecycle (mirrors /root/reference/tests/index_test.cc): meta written,
+    # analyzer settings round-trip on re-open
+    meta = mf.read_meta(root)
+    assert meta["is_consistent"] is True
+    assert meta["config"]["stemming_level"] == CFG.stemming_level
+    reopened = mf.open_index(spark, root)
+    assert reopened.cfg.k1 == CFG.k1 and reopened.cfg.block_size == CFG.block_size
+    assert _snapshot(reopened) == snap1
+    # manifest has lineage + metrics per bucket per stage
+    m = mf.read_manifest(spark, root)
+    rows = m.collect()
+    assert {(r["stage"], r["bucket"]) for r in rows} == {
+        (s, b) for s in ("docs", "postings") for b in range(CFG.n_doc_buckets)
+    }
+    assert all(r["input_snapshot"] == "snap-1" for r in rows)
+    assert all(r["status"] == "complete" for r in rows)
+    assert any(r["postings_per_sec"] > 0 for r in rows if r["stage"] == "postings")
+
+
+def test_rerun_is_noop(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx_b"))
+    idx = mf.build_index_resumable(spark, corpus, root, CFG)
+    snap1 = _snapshot(idx)
+    n_manifest = mf.read_manifest(spark, root).count()
+    idx2 = mf.build_index_resumable(spark, corpus, root, CFG)
+    assert _snapshot(idx2) == snap1
+    assert mf.read_manifest(spark, root).count() == n_manifest  # nothing re-ran
+
+
+def test_resume_rebuilds_only_missing_bucket(spark, corpus, tmp_path_factory):
+    root_a = str(tmp_path_factory.mktemp("idx_full"))
+    full = mf.build_index_resumable(spark, corpus, root_a, CFG)
+    want = _snapshot(full)
+
+    root_b = str(tmp_path_factory.mktemp("idx_crash"))
+    mf.build_index_resumable(spark, corpus, root_b, CFG)
+    # simulate a crash after bucket 0,1,3 committed but bucket 2 lost:
+    # remove bucket 2's postings output AND its manifest completion row
+    shutil.rmtree(os.path.join(root_b, "postings", "bucket=2"))
+    m = mf.read_manifest(spark, root_b)
+    kept = m.filter(~((F.col("stage") == "postings") & (F.col("bucket") == 2)))
+    kept_rows = [tuple(r) for r in kept.collect()]
+    shutil.rmtree(os.path.join(root_b, "manifest"))
+    spark.createDataFrame(kept_rows, mf.MANIFEST_SCHEMA).write.parquet(
+        os.path.join(root_b, "manifest")
+    )
+
+    idx2 = mf.build_index_resumable(spark, corpus, root_b, CFG)
+    assert _snapshot(idx2) == want
+    m2 = mf.read_manifest(spark, root_b)
+    # docs stage untouched (4 rows), postings has exactly one fresh bucket-2 row
+    assert m2.filter(F.col("stage") == "docs").count() == CFG.n_doc_buckets
+    assert m2.filter((F.col("stage") == "postings") & (F.col("bucket") == 2)).count() == 1
+
+
+def test_open_inconsistent_refuses(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx_c"))
+    idx = mf.build_index_resumable(spark, corpus, root, CFG)
+    mf.write_meta(root, CFG, idx.stats(), consistent=False)
+    with pytest.raises(RuntimeError, match="not consistent"):
+        mf.open_index(spark, root)
