@@ -3,36 +3,219 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Engine under test: ``information_retrieval_spark`` — a PySpark-native
+inverted-index builder + BM25 query engine (SPIMI → delta-gap/VByte
+block postings → block-max WAND), see SURVEY.md §2.  The driver's
+``documents`` test table is mapped deterministically into the
+Iceberg-shaped corpus ``(repo, path, commit, lang, content)``
+(BASELINE.json input_hint) by ``corpus_from_documents`` /
+``DOCUMENTS_AS_CORPUS_SQL`` — both sides of every oracle see
+bit-identical input rows.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from information_retrieval_spark.config import EngineConfig  # noqa: E402
+from information_retrieval_spark.corpus import (  # noqa: E402
+    DOCUMENTS_AS_CORPUS_SQL,
+    corpus_from_documents,
+)
+from information_retrieval_spark.operators.build import (  # noqa: E402
+    build_docs_table,
+    build_index,
+    spimi_emit,
+)
+from information_retrieval_spark.operators.docids import duckdb_docid_sql  # noqa: E402
+from information_retrieval_spark.operators.query import (  # noqa: E402
+    duckdb_bm25_sql,
+    duckdb_tok,
+    naive_bm25,
+    parse_queries,
+)
+from information_retrieval_spark.operators.wand import wand_topk  # noqa: E402
+
+CFG = EngineConfig()  # defaults: 8 doc buckets, 128-posting blocks, BM25(1.2, 0.75)
+
+# Fixed benchmark query set over the driver's `documents` vocabulary
+# (key agg row scan slow fast table value part hash merge batch spark …).
+QUERY_SET = [
+    "hash join table",
+    "spark sort merge batch",
+    "scan slow fast table",
+    "window line key value",
+    "the a",                 # high-df skew terms
+    "zzz_not_in_corpus",     # df = 0 → no results for this query_id
+]
+TOP_K = 10
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_from_documents(_documents(spark, sf_dir))
+
+
+_INDEX_CACHE: dict = {}
+
+
+def _index(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) the full encoded index used by the
+    dictionary / WAND entries — the SPIMI → VByte-block pipeline."""
+    if sf_dir not in _INDEX_CACHE:
+        idx = build_index(spark, _corpus(spark, sf_dir), CFG)
+        idx.postings = idx.postings.persist()
+        idx.dictionary = idx.dictionary.persist()
+        _INDEX_CACHE[sf_dir] = idx
+    return _INDEX_CACHE[sf_dir]
+
+
+# --------------------------------------------------------------------------
+# entry: flagship — build the encoded index on sf0.001 and answer the query
+# set via block-max WAND, resolving winners back to (repo, path).
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    idx = _index(spark, sf_dir)
+    qterms = parse_queries(spark, QUERY_SET, CFG)
+    topk = wand_topk(spark, idx, qterms, TOP_K, CFG)
+    # J2: resolve ≤ k·|queries| winners against the doc catalog (broadcast)
+    return (
+        topk.join(F.broadcast(idx.docs.select("docid", "repo", "path")), "docid")
+        .select("query_id", "rank", "docid", F.round("score", 4).alias("score"),
+                "repo", "path")
+        .orderBy("query_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# queries: one entry per implemented operator (SURVEY.md §2 ids in comments)
+# --------------------------------------------------------------------------
+
+def _q_docids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 + S2: admission filter + deterministic docID assignment."""
+    return build_docs_table(_corpus(spark, sf_dir), CFG).select(
+        "docid", "bucket", "repo", "path", "commit", "lang"
+    )
+
+
+def _q_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row content sha256 invariant (BASELINE.json input_hint) — F.sha2
+    built-in, zero Python."""
+    return _documents(spark, sf_dir).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha256")
+    )
+
+
+def _q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: N, avgdl, total tokens (usedAddressSpace analog)."""
+    docs = build_docs_table(_corpus(spark, sf_dir), CFG)
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("doc_len"), 6).alias("avgdl"),
+        F.sum("doc_len").alias("total_tokens"),
+    )
+
+
+def _q_term_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 + B2/B3: the vectorized SPIMI emitter (mapInPandas, Arrow-batched
+    tokenize + per-doc tf) — compared against DuckDB regexp unnest."""
+    docs = build_docs_table(_corpus(spark, sf_dir), CFG)
+    return spimi_emit(docs, CFG).select("term", "docid", F.col("tf").cast("long").alias("tf"))
+
+
+def _q_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 via the FULL encode pipeline: df/cf recomputed from encoded
+    posting-block rows (C1-C4) — proves the codec preserved every posting."""
+    idx = _index(spark, sf_dir)
+    return idx.dictionary.select(
+        "term", F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf")
+    )
+
+
+def _q_bm25_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: exhaustive pure-DataFrame BM25 top-k."""
+    qterms = parse_queries(spark, QUERY_SET, CFG)
+    out = naive_bm25(_corpus(spark, sf_dir), qterms, CFG, k=TOP_K)
+    return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
+
+
+def _q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: block-max WAND over the encoded index — must be rank-identical to
+    the same SQL oracle as the naive path."""
+    idx = _index(spark, sf_dir)
+    qterms = parse_queries(spark, QUERY_SET, CFG)
+    out = wand_topk(spark, idx, qterms, TOP_K, CFG)
+    return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "docids": _q_docids,
+        "sha256_invariant": _q_sha256,
+        "collection_stats": _q_collection_stats,
+        "term_tf": _q_term_tf,
+        "dictionary": _q_dictionary,
+        "bm25_topk_naive": _q_bm25_naive,
+        "bm25_topk_wand": _q_bm25_wand,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# --------------------------------------------------------------------------
+# oracle_sql: ANSI SQL (DuckDB) equivalents over the pre-registered views
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    corpus = DOCUMENTS_AS_CORPUS_SQL
+    tok = duckdb_tok("content", CFG)
+    bm25 = duckdb_bm25_sql(corpus, QUERY_SET, CFG, k=TOP_K, round_to=4)
+    return {
+        "docids": f"""
+SELECT docid, bucket, repo, path, "commit", lang
+FROM ({duckdb_docid_sql(corpus, CFG)})
+""",
+        "sha256_invariant": """
+SELECT doc_id, sha256(text) AS content_sha256 FROM documents
+""",
+        "collection_stats": f"""
+WITH d AS (
+  SELECT len({tok}) AS doc_len
+  FROM ({corpus})
+  WHERE strlen(content) BETWEEN {CFG.min_file_size} AND {CFG.max_file_size}
+)
+SELECT count(*) AS n_docs,
+       round(avg(doc_len), 6) AS avgdl,
+       CAST(sum(doc_len) AS BIGINT) AS total_tokens
+FROM d
+""",
+        "term_tf": f"""
+WITH ids AS ({duckdb_docid_sql(corpus, CFG)})
+SELECT term, docid, count(*) AS tf
+FROM (SELECT docid, unnest({tok}) AS term FROM ids)
+GROUP BY term, docid
+""",
+        "dictionary": f"""
+WITH ids AS ({duckdb_docid_sql(corpus, CFG)}),
+tf AS (
+  SELECT term, docid, count(*) AS tf
+  FROM (SELECT docid, unnest({tok}) AS term FROM ids)
+  GROUP BY term, docid
+)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM tf GROUP BY term
+""",
+        "bm25_topk_naive": bm25,
+        "bm25_topk_wand": bm25,
+    }

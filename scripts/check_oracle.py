@@ -1,0 +1,95 @@
+"""Local replica of the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same sf parquet tables; compare row count, column names and
+order-insensitive values.
+
+Usage: python scripts/check_oracle.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: bytes(v) if isinstance(v, bytearray) else v)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        got = normalize(fn(spark, sf_dir).toPandas())
+        t1 = time.time()
+        if name not in oracles:
+            print(f"{name:24s} rows={len(got):7d}  (no oracle — rows-only) {t1-t0:6.1f}s")
+            continue
+        want = normalize(con.execute(oracles[name]).df())
+        status = []
+        if list(got.columns) != list(want.columns):
+            status.append(f"COLS got={list(got.columns)} want={list(want.columns)}")
+        if len(got) != len(want):
+            status.append(f"ROWS got={len(got)} want={len(want)}")
+        if not status:
+            g, w = got, want
+            try:
+                pd.testing.assert_frame_equal(
+                    g, w, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
+                )
+            except AssertionError as e:
+                status.append(f"VALUES {str(e).splitlines()[-1][:160]}")
+        tag = "OK " if not status else "FAIL"
+        print(f"{name:24s} {tag} rows={len(got):7d} spark={t1-t0:6.1f}s  {' | '.join(status)}")
+        if status:
+            failures.append(name)
+            mism = got.merge(want, how="outer", indicator=True)
+            diff = mism[mism["_merge"] != "both"]
+            print(diff.head(10).to_string())
+    spark.stop()
+    print("FAILURES:", failures or "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
