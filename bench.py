@@ -1,0 +1,164 @@
+"""Benchmark harness (SURVEY.md §7.1 step 8).
+
+Headline workload at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+on ``local[$SPARK_GRAFT_CPUS]`` (default 32):
+
+  1. full index build (docs catalog → SPIMI emit → salted encode →
+     dictionary) over the ``documents`` corpus — reported as docs/sec;
+  2. the fixed benchmark query set via block-max WAND, per-query latency.
+
+Scaling-efficiency leg (BASELINE.json: throughput efficiency >= 0.8 from N
+to 4N executors; sandbox proxy per driver instruction: the same build at
+local[8] vs local[32] on the same amplified input). Enabled by default;
+disable with ``IR_BENCH_SCALING=0``. The amplified corpus replicates the
+driver's documents table with distinct (path) suffixes — deterministic,
+derived only from driver testdata.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {"q0": sec, ...}, "sf": ...,
+   "build_sec": ..., "docs_per_sec": ..., "scaling": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession, functions as F
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.corpus import corpus_from_documents
+from information_retrieval_spark.operators.build import build_index
+from information_retrieval_spark.operators.query import parse_queries
+from information_retrieval_spark.operators.wand import wand_topk
+
+from __spark_entry__ import QUERY_SET, TOP_K
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALING = os.environ.get("IR_BENCH_SCALING", "1") != "0"
+AMP = int(os.environ.get("IR_BENCH_AMP", "100"))  # scaling-corpus amplification
+# At 10^12-doc scale n_doc_buckets would be ~2^16 (SURVEY.md B1); it is the
+# parallelism floor of the whole pipeline (docID window, SPIMI input, encode
+# groups are all bucket-keyed), so the bench uses a cluster-sized value.
+BUCKETS = int(os.environ.get("IR_BENCH_BUCKETS", "64"))
+
+
+def make_session(cores: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"ir-bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(2 * cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+
+
+def load_corpus(spark: SparkSession, amplify: int = 1):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    if amplify > 1:
+        # deterministic replication: each replica gets distinct doc_id/source,
+        # so (repo, path, commit) keys stay unique after the corpus mapping
+        reps = spark.range(amplify).select(F.col("id").alias("rep"))
+        docs = (
+            docs.crossJoin(reps)
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(10_000_000))
+            .withColumn("source", F.concat("source", F.lit("/r"), F.col("rep").cast("string")))
+            .drop("rep")
+        )
+    return corpus_from_documents(docs)
+
+
+def timed_build(spark: SparkSession, corpus, cfg: EngineConfig):
+    t0 = time.time()
+    idx = build_index(spark, corpus, cfg)
+    idx.postings = idx.postings.persist()
+    # force full materialisation of the encoded postings
+    n_blocks = idx.postings.count()
+    build_sec = time.time() - t0
+    return idx, build_sec, n_blocks
+
+
+def warm_up(spark: SparkSession, corpus, cfg: EngineConfig) -> None:
+    """Spin up Python workers / JIT before the timed region (both scaling
+    arms get the identical warm-up, so it cancels out of the ratio)."""
+    build_index(spark, corpus.limit(200), cfg).postings.count()
+
+
+def main() -> None:
+    cfg = EngineConfig(shuffle_partitions=2 * CPUS, n_doc_buckets=BUCKETS)
+    total_t0 = time.time()
+    spark = make_session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus = load_corpus(spark).repartition(2 * CPUS).persist()
+    n_corpus = corpus.count()
+    warm_up(spark, corpus, cfg)
+
+    idx, build_sec, n_blocks = timed_build(spark, corpus, cfg)
+    docs_per_sec = idx.n_docs / build_sec
+
+    idx.dictionary = idx.dictionary.persist()
+    idx.dictionary.count()
+
+    # warm-up (JIT, Python worker spin-up) then per-query timing
+    qterms_all = parse_queries(spark, QUERY_SET, cfg)
+    wand_topk(spark, idx, qterms_all, TOP_K, cfg).count()
+    query_secs: dict[str, float] = {}
+    for i, q in enumerate(QUERY_SET):
+        qt = parse_queries(spark, [q], cfg)
+        t0 = time.time()
+        wand_topk(spark, idx, qt, TOP_K, cfg).count()
+        query_secs[f"q{i}"] = round(time.time() - t0, 4)
+
+    out = {
+        "metric": "index-build + BM25 block-max-WAND top-k wall time",
+        "unit": "sec",
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "n_docs": idx.n_docs,
+        "n_corpus_rows": n_corpus,
+        "n_posting_blocks": n_blocks,
+        "build_sec": round(build_sec, 3),
+        "docs_per_sec": round(docs_per_sec, 1),
+        "queries": query_secs,
+    }
+    spark.stop()
+
+    if SCALING:
+        # N vs 4N parallelism on the SAME amplified input (sandbox proxy for
+        # N vs 4N executors — BASELINE.json scaling rule)
+        throughput = {}
+        for cores in (8, 32):
+            s = make_session(cores)
+            s.sparkContext.setLogLevel("ERROR")
+            c = load_corpus(s, amplify=AMP).repartition(2 * cores).persist()
+            c.count()
+            scfg = EngineConfig(shuffle_partitions=2 * cores, n_doc_buckets=BUCKETS)
+            warm_up(s, c, scfg)
+            sidx, sec, _ = timed_build(s, c, scfg)
+            throughput[cores] = sidx.n_docs / sec
+            out[f"scaling_build_sec_local{cores}"] = round(sec, 3)
+            s.stop()
+        eff = throughput[32] / (4.0 * throughput[8])
+        out["scaling"] = {
+            "docs_per_sec_local8": round(throughput[8], 1),
+            "docs_per_sec_local32": round(throughput[32], 1),
+            "amplification": AMP,
+            "efficiency_8_to_32": round(eff, 3),
+        }
+
+    out["value"] = round(time.time() - total_t0, 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
