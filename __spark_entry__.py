@@ -33,7 +33,7 @@ from information_retrieval_spark.corpus import (  # noqa: E402
 from information_retrieval_spark.operators.build import (  # noqa: E402
     build_docs_table,
     build_index,
-    spimi_emit,
+    spimi_postings,
 )
 from information_retrieval_spark.operators.docids import duckdb_docid_sql  # noqa: E402
 from information_retrieval_spark.operators.query import (  # noqa: E402
@@ -43,6 +43,29 @@ from information_retrieval_spark.operators.query import (  # noqa: E402
     parse_queries,
 )
 from information_retrieval_spark.operators.wand import wand_topk  # noqa: E402
+from information_retrieval_spark.operators.textproc import (  # noqa: E402
+    duckdb_exact_dedup_sql,
+    duckdb_text_stats_sql,
+    exact_dedup,
+    lsh_near_dup_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_near_dup_pairs,
+    text_stats,
+)
+from information_retrieval_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+    duckdb_cosine_topk_sql,
+    lsh_bucketize,
+    lsh_topk,
+)
+
+import numpy as _np  # noqa: E402
+
+# Fixed 64-dim query vector for the similarity entries — deterministic and
+# inlined identically into the DuckDB oracle (embeddings are 64-dim at every
+# driver sf).
+ANN_QVEC = [round(float(v), 4) for v in _np.random.default_rng(7).standard_normal(64)]
 
 CFG = EngineConfig()  # defaults: 8 doc buckets, 128-posting blocks, BM25(1.2, 0.75)
 
@@ -133,7 +156,7 @@ def _q_term_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 + B2/B3: the vectorized SPIMI emitter (mapInPandas, Arrow-batched
     tokenize + per-doc tf) — compared against DuckDB regexp unnest."""
     docs = build_docs_table(_corpus(spark, sf_dir), CFG)
-    return spimi_emit(docs, CFG).select("term", "docid", F.col("tf").cast("long").alias("tf"))
+    return spimi_postings(docs, CFG).select("term", "docid", F.col("tf").cast("long").alias("tf"))
 
 
 def _q_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,6 +184,41 @@ def _q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
 
 
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on sha2(text) (training-data op #1)."""
+    return exact_dedup(_documents(spark, sf_dir))
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring + heuristic lang-ID, pure Catalyst."""
+    return text_stats(_documents(spark, sf_dir), CFG)
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table (ANN baseline)."""
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return cosine_topk(embs, ANN_QVEC, TOP_K)
+
+
+def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (no SQL oracle — verified in pytest against
+    exact shingle Jaccard, tests/test_textproc.py)."""
+    sigs = minhash_signatures(_documents(spark, sf_dir), CFG)
+    return lsh_near_dup_pairs(sigs, n_bands=32, threshold=0.5)
+
+
+def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (no SQL oracle — pytest-verified)."""
+    return simhash_near_dup_pairs(simhash(_documents(spark, sf_dir), CFG), max_hamming=3)
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate top-k (no SQL oracle — recall vs brute force is
+    pytest-verified; returns the probed-bucket rerank)."""
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return lsh_topk(lsh_bucketize(embs, dim=64, n_planes=6), ANN_QVEC, TOP_K, n_planes=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "docids": _q_docids,
@@ -170,6 +228,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dictionary": _q_dictionary,
         "bm25_topk_naive": _q_bm25_naive,
         "bm25_topk_wand": _q_bm25_wand,
+        "dedup_exact": _q_dedup_exact,
+        "text_stats": _q_text_stats,
+        "cosine_topk": _q_cosine_topk,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "lsh_topk": _q_lsh_topk,
     }
 
 
@@ -218,4 +282,10 @@ FROM tf GROUP BY term
 """,
         "bm25_topk_naive": bm25,
         "bm25_topk_wand": bm25,
+        "dedup_exact": duckdb_exact_dedup_sql(),
+        "text_stats": duckdb_text_stats_sql(CFG),
+        "cosine_topk": duckdb_cosine_topk_sql(ANN_QVEC, TOP_K),
+        # minhash_near_dups / simhash_near_dups / lsh_topk: intentionally no
+        # SQL oracle (hash-function-defined semantics); pytest verifies them
+        # against exact Jaccard / brute-force cosine respectively.
     }

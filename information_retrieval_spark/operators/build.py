@@ -50,7 +50,25 @@ from ..functions import codec
 from ..functions.analyzer import doc_len_expr, sha256_expr, tokenize_series
 from .docids import admission_filter, assign_docids
 
+# One row per (term, bucket) per SPIMI flush — a partition-local sorted run.
+# Shuffle row count is ~|vocab| × partitions × flushes, NOT ~|postings|:
+# at 10^12 docs the (term, docid, tf) posting stream is ~10^13 rows, but run
+# rows stay ~10^8. Payloads are opaque BINARY (raw little-endian arrays:
+# docids int64, tfs/dls int32) so the merge shuffle moves memcpy-able blobs —
+# no per-element JVM row conversion anywhere between the two Python stages
+# (SURVEY.md B3/B5 scale note).
 RUNS_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("bucket", IntegerType(), False),
+        StructField("n", IntegerType(), False),
+        StructField("docs_raw", BinaryType(), False),
+        StructField("tfs_raw", BinaryType(), False),
+        StructField("dls_raw", BinaryType(), False),
+    ]
+)
+
+POSTING_ROWS_SCHEMA = StructType(
     [
         StructField("term", StringType(), False),
         StructField("docid", LongType(), False),
@@ -97,14 +115,45 @@ def build_docs_table(corpus: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> D
 
 
 def spimi_emit(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """PASS 1: (docid, bucket, content) → (term, docid, bucket, tf, dl).
+    """PASS 1: (docid, content) → sorted partition-local runs
+    (term, bucket, docids[], tfs[], dls[]).
 
     Vectorized end-to-end: regex findall over the whole Arrow batch,
-    np.repeat explode, one C-level hash groupby for per-doc tf. Output
-    batches are buffered and flushed at the SPIMI byte budget.
+    np.repeat explode, one C-level hash groupby for per-doc tf; postings
+    accumulate until the SPIMI byte budget (the reference's 40 MB
+    MAX_UPDATE_SPACE contract) and each flush emits term-grouped,
+    docid-sorted run rows — array payloads, so the downstream merge
+    shuffle moves ~|vocab|·partitions rows instead of ~|postings| rows.
     """
     budget = cfg.spimi_budget_bytes
     token_cfg = cfg
+    shift = cfg.doc_bucket_bits
+
+    def _flush(pending: list[pd.DataFrame]) -> pd.DataFrame:
+        df = pd.concat(pending, ignore_index=True) if len(pending) > 1 else pending[0]
+        df.sort_values(["term", "docid"], kind="stable", inplace=True, ignore_index=True)
+        t = df["term"].to_numpy(object)
+        d = df["docid"].to_numpy("<i8")
+        tf = df["tf"].to_numpy("<i4")
+        dl = df["dl"].to_numpy("<i4")
+        b = (d >> shift).astype(np.int32)
+        # run boundary where term or bucket changes (buckets are contiguous
+        # within a term because bucket = docid high bits)
+        cut = np.flatnonzero((t[1:] != t[:-1]) | (b[1:] != b[:-1])) + 1
+        starts = np.concatenate(([0], cut))
+        d_b, tf_b, dl_b = d.tobytes(), tf.tobytes(), dl.tobytes()
+        lo8, hi8 = starts * 8, np.append(cut, d.size) * 8
+        lo4, hi4 = starts * 4, np.append(cut, d.size) * 4
+        return pd.DataFrame(
+            {
+                "term": t[starts],
+                "bucket": b[starts],
+                "n": (np.append(cut, d.size) - starts).astype(np.int32),
+                "docs_raw": [d_b[l:h] for l, h in zip(lo8, hi8)],
+                "tfs_raw": [tf_b[l:h] for l, h in zip(lo4, hi4)],
+                "dls_raw": [dl_b[l:h] for l, h in zip(lo4, hi4)],
+            }
+        )
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pending: list[pd.DataFrame] = []
@@ -117,32 +166,56 @@ def spimi_emit(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame
             if lens.sum() == 0:
                 continue
             docid = np.repeat(pdf["docid"].to_numpy(np.int64), lens)
-            bucket = np.repeat(pdf["bucket"].to_numpy(np.int32), lens)
             dl = np.repeat(lens, lens).astype(np.int32)
             flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in toks])
-            run = pd.DataFrame(
-                {"term": flat_terms, "docid": docid, "bucket": bucket, "dl": dl}
-            )
+            run = pd.DataFrame({"term": flat_terms, "docid": docid, "dl": dl})
             # per-doc tf: one vectorized hash aggregation (A1 — no shuffle,
             # a doc lives entirely inside one row/batch)
             grouped = (
                 run.groupby(["term", "docid"], sort=False, observed=True)
-                .agg(bucket=("bucket", "first"), dl=("dl", "first"), tf=("dl", "size"))
+                .agg(dl=("dl", "first"), tf=("dl", "size"))
                 .reset_index()
             )
             grouped["tf"] = grouped["tf"].astype(np.int32)
-            grouped = grouped[["term", "docid", "bucket", "tf", "dl"]]
             pending.append(grouped)
             pending_bytes += int(grouped.memory_usage(deep=False).sum()) + int(
                 grouped["term"].str.len().sum()
             )
             if pending_bytes >= budget:  # SPIMI flush (index.h:27-29 analog)
-                yield pd.concat(pending, ignore_index=True)
+                yield _flush(pending)
                 pending, pending_bytes = [], 0
         if pending:
-            yield pd.concat(pending, ignore_index=True)
+            yield _flush(pending)
 
-    return docs.select("docid", "bucket", "content").mapInPandas(emit, RUNS_SCHEMA)
+    return docs.select("docid", "content").mapInPandas(emit, RUNS_SCHEMA)
+
+
+def spimi_postings(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Posting-level view of the SPIMI runs — (term, docid, bucket, tf, dl).
+    Oracle/test surface only; the build hot path keeps the binary run form."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n = pdf["n"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    "term": np.repeat(pdf["term"].to_numpy(object), n),
+                    "docid": np.concatenate(
+                        [np.frombuffer(x, "<i8") for x in pdf["docs_raw"]]
+                    ),
+                    "bucket": np.repeat(pdf["bucket"].to_numpy(np.int32), n),
+                    "tf": np.concatenate(
+                        [np.frombuffer(x, "<i4") for x in pdf["tfs_raw"]]
+                    ),
+                    "dl": np.concatenate(
+                        [np.frombuffer(x, "<i4") for x in pdf["dls_raw"]]
+                    ),
+                }
+            )
+
+    return spimi_emit(docs, cfg).mapInPandas(decode, POSTING_ROWS_SCHEMA)
 
 
 def encode_postings(
@@ -157,10 +230,13 @@ def encode_postings(
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
         term, bucket = key
-        order = np.argsort(pdf["docid"].to_numpy(np.int64), kind="stable")
-        d = pdf["docid"].to_numpy(np.int64)[order]
-        t = pdf["tf"].to_numpy(np.int64)[order]
-        l = pdf["dl"].to_numpy(np.int64)[order]
+        # k-way merge of this group's sorted runs: concat + one argsort
+        # (docids are globally unique, so a plain sort is an exact merge)
+        d = np.concatenate([np.frombuffer(a, "<i8") for a in pdf["docs_raw"]]).astype(np.int64)
+        t = np.concatenate([np.frombuffer(a, "<i4") for a in pdf["tfs_raw"]]).astype(np.int64)
+        l = np.concatenate([np.frombuffer(a, "<i4") for a in pdf["dls_raw"]]).astype(np.int64)
+        order = np.argsort(d, kind="stable")
+        d, t, l = d[order], t[order], l[order]
         blocks = codec.encode_blocks(
             d, t, l, block_size=block_size, avgdl=avgdl, k1=k1, b=b
         )

@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same contract:
+
+- ``cosine_topk`` — exact brute-force top-k by cosine similarity, pure
+  Catalyst (``zip_with`` dot product inside codegen; one partial-top-k per
+  partition via the rank window). The correctness baseline, and also the
+  right plan when the query set is small and the scan is partition-pruned.
+- ``lsh_topk`` — random-hyperplane (sign) LSH: vectors land in 2^n_planes
+  buckets; the query probes its own bucket plus all Hamming-1 neighbours and
+  reranks candidates exactly. At 10^12-vector scale the bucket column is the
+  partition key, so a probe reads ≤ n_planes+1 partitions instead of the
+  full table — the same partition-pruning trick the posting index uses for
+  ``term``.
+
+Also ``embedding_near_dup_pairs`` — embedding-cosine near-duplicate pairs
+via the same bucket join (dedup-by-meaning for a training-data pipeline).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+
+
+def _qlit(qvec: list[float]):
+    return F.array(*[F.lit(float(v)) for v in qvec])
+
+
+def cosine_topk(
+    embs: DataFrame,
+    qvec: list[float],
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(rank, vec_id, sim) — exact cosine top-k, deterministic tie-break
+    (sim DESC, id ASC). All JVM-side; no Python in the scan."""
+    q = _qlit(qvec)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sim = F.round(_dot(v, q) / (_norm(v) * _norm(q)), 6)
+    scored = embs.select(F.col(id_col).cast("long").alias("vec_id"), sim.alias("sim"))
+    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "vec_id", "sim")
+    )
+
+
+def duckdb_cosine_topk_sql(
+    qvec: list[float], k: int, *, table: str = "embeddings",
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    vals = ", ".join(repr(float(v)) for v in qvec)
+    return f"""
+WITH scored AS (
+  SELECT CAST({id_col} AS BIGINT) AS vec_id,
+         round(list_cosine_similarity({vec_col}::DOUBLE[], [{vals}]), 6) AS sim
+  FROM {table}
+)
+SELECT rank, vec_id, sim FROM (
+  SELECT vec_id, sim,
+         row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH
+# --------------------------------------------------------------------------
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((dim, n_planes))
+
+
+def lsh_bucketize(
+    embs: DataFrame,
+    *,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 4242,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket int, embedding) — sign-LSH bucket id per vector.
+    Vectorized: one (batch × dim) @ (dim × n_planes) matmul per Arrow batch."""
+    planes = _planes(dim, n_planes, seed)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("bucket", IntegerType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.vstack(pdf[vec_col].to_numpy())
+            bits = (m @ planes) > 0
+            bucket = (bits @ weights).astype(np.int32)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].astype("int64").to_numpy(), "bucket": bucket}
+            )
+
+    buckets = embs.select(id_col, vec_col).mapInPandas(gen, schema)
+    return embs.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).join(buckets, "vec_id")
+
+
+def query_buckets(qvec: list[float], *, n_planes: int = 12, seed: int = 4242) -> list[int]:
+    """Bucket of the query + all Hamming-1 neighbours (multiprobe)."""
+    q = np.asarray(qvec, dtype=np.float64)
+    planes = _planes(q.size, n_planes, seed)
+    bits = (q @ planes) > 0
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    base = int(bits @ weights)
+    return [base] + [base ^ (1 << i) for i in range(n_planes)]
+
+
+def lsh_topk(
+    bucketized: DataFrame,
+    qvec: list[float],
+    k: int,
+    *,
+    n_planes: int = 12,
+    seed: int = 4242,
+) -> DataFrame:
+    """(rank, vec_id, sim) — approximate top-k: scan only the query's probe
+    buckets (partition-prunable predicate), exact rerank within."""
+    probes = query_buckets(qvec, n_planes=n_planes, seed=seed)
+    cand = bucketized.filter(F.col("bucket").isin(probes))
+    return cosine_topk(cand, qvec, k, id_col="vec_id", vec_col="embedding")
+
+
+def embedding_near_dup_pairs(
+    bucketized: DataFrame,
+    *,
+    min_sim: float = 0.95,
+) -> DataFrame:
+    """(id_a, id_b, sim) — embedding-cosine near-duplicates via same-bucket
+    join + exact verification. Bucket sizes are ~n/2^planes, so the self-join
+    is bounded; at scale, increase n_planes to keep buckets O(1000)."""
+    a = bucketized.select(
+        "bucket", F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a")
+    )
+    b = bucketized.select(
+        "bucket", F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b")
+    )
+    va = F.transform(F.col("v_a"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("v_b"), lambda x: x.cast("double"))
+    sim = F.round(_dot(va, vb) / (_norm(va) * _norm(vb)), 6)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= min_sim)
+        .distinct()
+    )

@@ -1,0 +1,449 @@
+"""Training-data text operators: dedup, quality, language-ID, fingerprints.
+
+These extend the engine beyond the reference's search surface to the
+operations a large-scale training-data pipeline runs over the same corpus
+(driver mandate; the reference's own scope is the inverted index, SURVEY.md
+§0). All operators follow the engine's hot-path rules: Catalyst built-ins
+where expressible, vectorized pandas/NumPy inside ``mapInPandas`` otherwise —
+never per-row Python.
+
+Scale notes (100 TB):
+- exact dedup is one hash aggregation on ``sha2(content)`` — map-side partial
+  combine, no skew (hashes are uniform);
+- MinHash/LSH shuffles one row per (doc, band): band buckets are bounded by
+  the LSH collision probability, and the pair-emit caps bucket size
+  (``max_bucket``) exactly like the stopword salt bounds posting groups;
+- SimHash bands likewise; candidate verification is a self-join restricted
+  to bucket-colliding pairs, never an all-pairs product.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+from ..functions.analyzer import tokenize_expr, tokenize_series
+
+# Small English stopword list shared by quality scoring and language-ID.
+# Kept tiny and fixed so the DuckDB oracle can inline it.
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "are",
+]
+
+
+# --------------------------------------------------------------------------
+# Exact deduplication (hash-groupBy on sha256)
+# --------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, content_sha256, keeper_id, dup_count): keeper = min id within
+    each identical-content group. One shuffle on the (uniform) hash key."""
+    h = F.sha2(F.col(text_col), 256).alias("content_sha256")
+    hashed = docs.select(F.col(id_col).cast("long").alias("id"), h)
+    groups = hashed.groupBy("content_sha256").agg(
+        F.min("id").alias("keeper_id"), F.count(F.lit(1)).alias("dup_count")
+    )
+    return hashed.join(groups, "content_sha256").select(
+        "id", "content_sha256", "keeper_id", "dup_count"
+    )
+
+
+def duckdb_exact_dedup_sql(table: str = "documents", id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    return f"""
+WITH hashed AS (
+  SELECT CAST({id_col} AS BIGINT) AS id, sha256({text_col}) AS content_sha256
+  FROM {table}
+)
+SELECT id, content_sha256,
+       min(id) OVER (PARTITION BY content_sha256) AS keeper_id,
+       count(*) OVER (PARTITION BY content_sha256) AS dup_count
+FROM hashed
+"""
+
+
+# --------------------------------------------------------------------------
+# Token counting / quality scoring / language-ID — pure Catalyst
+# --------------------------------------------------------------------------
+
+def _stopword_filter(tokens: Column) -> Column:
+    return F.filter(tokens, lambda t: t.isin(*STOPWORDS_EN))
+
+
+def text_stats(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc token statistics + quality score + heuristic language-ID.
+
+    quality_score = ttr-weighted stopword evidence, bounded [0, 1]; lang_pred
+    is a stopword-ratio threshold heuristic (an n-gram-free lang-ID adequate
+    for en/und discrimination; pluggable for more languages).
+    Everything is a single projection — no shuffle, no Python.
+    """
+    toks = tokenize_expr(F.col(text_col), cfg)
+    d = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.length(text_col).alias("n_chars"),
+        toks.alias("toks"),
+    )
+    n_tokens = F.array_size("toks")
+    n_stop = F.array_size(_stopword_filter(F.col("toks")))
+    n_distinct = F.array_size(F.array_distinct("toks"))
+    safe_n = F.greatest(n_tokens, F.lit(1))
+    raw_stop_ratio = n_stop.cast("double") / safe_n
+    stop_ratio = F.round(raw_stop_ratio, 6)
+    ttr = F.round(n_distinct.cast("double") / safe_n, 6)
+    mean_len = F.round(
+        F.aggregate("toks", F.lit(0.0), lambda acc, t: acc + F.length(t)) / safe_n, 6
+    )
+    quality = F.round(
+        F.least(
+            F.lit(1.0),
+            (n_tokens.cast("double") / F.lit(20.0)).cast("double"),
+        )
+        * (F.lit(0.5) + F.lit(0.5) * F.least(F.lit(1.0), raw_stop_ratio * 10.0)),
+        6,
+    )
+    lang = F.when(raw_stop_ratio >= 0.04, F.lit("en")).otherwise(F.lit("und"))
+    return d.select(
+        "id",
+        "n_chars",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct_tokens"),
+        ttr.alias("ttr"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_len.alias("mean_token_len"),
+        quality.alias("quality_score"),
+        lang.alias("lang_pred"),
+    )
+
+
+def duckdb_text_stats_sql(cfg: EngineConfig = DEFAULT_CONFIG, table: str = "documents",
+                          id_col: str = "doc_id", text_col: str = "text") -> str:
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    tok = f"regexp_extract_all(lower({text_col}), '{cfg.token_pattern}')"
+    return f"""
+WITH d AS (
+  SELECT CAST({id_col} AS BIGINT) AS id, strlen({text_col}) AS n_chars, {tok} AS toks
+  FROM {table}
+),
+m AS (
+  SELECT id, n_chars,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct_tokens,
+         len(list_filter(toks, t -> t IN ({sw}))) AS n_stop,
+         list_sum(list_transform(toks, t -> strlen(t))) AS tok_chars
+  FROM d
+)
+SELECT id, CAST(n_chars AS INT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+       round(n_distinct_tokens * 1.0 / greatest(n_tokens, 1), 6) AS ttr,
+       round(n_stop * 1.0 / greatest(n_tokens, 1), 6) AS stopword_ratio,
+       round(coalesce(tok_chars, 0) * 1.0 / greatest(n_tokens, 1), 6) AS mean_token_len,
+       round(least(1.0, n_tokens / 20.0)
+             * (0.5 + 0.5 * least(1.0, (n_stop * 1.0 / greatest(n_tokens, 1)) * 10.0)), 6)
+         AS quality_score,
+       CASE WHEN n_stop * 1.0 / greatest(n_tokens, 1) >= 0.04 THEN 'en' ELSE 'und' END
+         AS lang_pred
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + banded LSH near-duplicate detection
+# --------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hashes(tokens: list, k: int) -> np.ndarray:
+    """Stable uint64 hashes of the k-token shingles of one doc (SipHash via
+    pandas.util.hash_array — deterministic across processes)."""
+    if len(tokens) < k:
+        joined = [" ".join(tokens)] if tokens else [""]
+    else:
+        joined = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+    return np.unique(pd.util.hash_array(np.asarray(joined, dtype=object)))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    n_hashes: int = 128,
+    shingle_k: int = 3,
+    seed: int = 1337,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, sig array<long>[n_hashes]) — vectorized per Arrow batch: one
+    (n_shingles × n_hashes) broadcastless NumPy min-reduce per doc."""
+    a, b = _perm_params(n_hashes, seed)
+
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("sig", ArrayType(LongType(), False), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            toks = tokenize_series(pdf[text_col], cfg)
+            sigs = []
+            for tlist in toks:
+                sh = _shingle_hashes(tlist, shingle_k)
+                # (a * h + b) mod p per permutation, min over shingles
+                v = (sh[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+                sigs.append(v.min(axis=0).astype(np.int64))
+            yield pd.DataFrame(
+                {"id": pdf[id_col].astype("int64").to_numpy(), "sig": sigs}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def lsh_near_dup_pairs(
+    signatures: DataFrame,
+    *,
+    n_bands: int = 32,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banded LSH over minhash signatures → verified candidate pairs
+    (id_a < id_b, est_jaccard >= threshold).
+
+    Dataflow: explode signature into n_bands (band, band_hash) rows →
+    shuffle on (band, band_hash) → per-bucket pair emit (bucket size capped:
+    a degenerate bucket of near-identical boilerplate would otherwise emit
+    O(n²) pairs — the cap is this operator's skew guard) → distinct pairs →
+    exact signature-agreement estimate of Jaccard.
+    """
+    n_hashes = None  # inferred per row
+    rows_per_band = F.floor(F.array_size("sig") / n_bands).cast("int")
+    banded = signatures.select(
+        "id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).select(
+        "id",
+        "sig",
+        "band",
+        F.xxhash64(
+            F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band), F.col("band")
+        ).alias("band_hash"),
+    )
+    pair_schema = StructType(
+        [
+            StructField("id_a", LongType(), False),
+            StructField("id_b", LongType(), False),
+        ]
+    )
+
+    def emit_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(pdf["id"].to_numpy(np.int64))[:max_bucket]
+        if ids.size < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
+        ia, ib = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    cand = (
+        banded.groupBy("band", "band_hash")
+        .applyInPandas(emit_pairs, pair_schema)
+        .distinct()
+    )
+    sig_a = signatures.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = signatures.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.size("sig_a"),
+        6,
+    )
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """n-gram (shingle) Jaccard verification of candidate pairs — broadcast
+    the (small) candidate set, join shingle sets twice, compute exactly."""
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.array_size(tokenize_expr(F.col(text_col), cfg)) - shingle_k, F.lit(0)),
+            ),
+            lambda i: F.concat_ws(
+                " ", F.slice(tokenize_expr(F.col(text_col), cfg), i + 1, shingle_k)
+            ),
+        )
+    )
+    shingled = docs.select(F.col(id_col).cast("long").alias("id"), sh.alias("shingles"))
+    a = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, simhash int64): 64-bit SimHash over tf-weighted token hashes.
+    Vectorized: per batch, one token-hash array + bit-matrix accumulate."""
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("simhash", LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_id = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            toks = tokenize_series(pdf[text_col], cfg)
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for row, tlist in enumerate(toks):
+                if not tlist:
+                    continue
+                vals, counts = np.unique(np.asarray(tlist, dtype=object), return_counts=True)
+                h = pd.util.hash_array(vals)
+                bits = ((h[:, None] >> bit_id[None, :]) & np.uint64(1)).astype(np.int64)
+                acc = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
+                out[row] = np.int64(
+                    np.bitwise_or.reduce(
+                        (acc > 0).astype(np.uint64) << bit_id
+                    ).astype(np.int64)
+                )
+            yield pd.DataFrame({"id": pdf[id_col].astype("int64").to_numpy(), "simhash": out})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def simhash_near_dup_pairs(sim: DataFrame, *, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: 4×16-bit band buckets (any pair within
+    Hamming distance ≤ 3 of 64 bits must agree on ≥ 1 of 4 bands — the
+    pigeonhole guarantee), verified by exact popcount."""
+    bands = sim.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting (winnowing — rolling-hash minima)
+# --------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, fingerprints array<long>) — winnowing (Schleimer et al., SIGMOD
+    2003): min k-gram hash per sliding window, deduplicated; robust partial-
+    overlap detection for clone search."""
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("fingerprints", ArrayType(LongType(), False), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            toks = tokenize_series(pdf[text_col], cfg)
+            fps = []
+            for tlist in toks:
+                if len(tlist) < k:
+                    grams = [" ".join(tlist)] if tlist else [""]
+                else:
+                    grams = [" ".join(tlist[i : i + k]) for i in range(len(tlist) - k + 1)]
+                h = pd.util.hash_array(np.asarray(grams, dtype=object)).astype(np.int64)
+                if h.size <= window:
+                    fps.append(np.unique(h))
+                    continue
+                win = np.lib.stride_tricks.sliding_window_view(h, window)
+                fps.append(np.unique(win.min(axis=1)))
+            yield pd.DataFrame({"id": pdf[id_col].astype("int64").to_numpy(), "fingerprints": fps})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema)

@@ -1,0 +1,74 @@
+"""Similarity-search operator tests: exact cosine top-k vs NumPy, LSH recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketize,
+    lsh_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+K = 10
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_matrix(embs):
+    rows = embs.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    return ids, m
+
+
+@pytest.fixture(scope="module")
+def qvec(emb_matrix):
+    _, m = emb_matrix
+    return [float(v) for v in m[0]]
+
+
+def brute_force(ids, m, q, k):
+    q = np.asarray(q)
+    sims = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -np.round(sims, 12)))
+    return [(int(ids[i]), round(float(sims[i]), 6)) for i in order[:k]]
+
+
+def test_cosine_topk_exact(spark, embs, emb_matrix, qvec):
+    ids, m = emb_matrix
+    want = brute_force(ids, m, qvec, K)
+    got = [(r["vec_id"], r["sim"]) for r in cosine_topk(embs, qvec, K).orderBy("rank").collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gid, gs), (wid, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-5)
+
+
+def test_lsh_topk_recall(spark, embs, emb_matrix, qvec):
+    ids, m = emb_matrix
+    bucketized = lsh_bucketize(embs, dim=m.shape[1], n_planes=4).cache()
+    got = {r["vec_id"] for r in lsh_topk(bucketized, qvec, K, n_planes=4).collect()}
+    want = {w[0] for w in brute_force(ids, m, qvec, K)}
+    # multiprobe over 5 of 16 buckets must still find a decent fraction
+    assert len(got & want) >= 3
+    assert 0 < len(got) <= K
+
+
+def test_embedding_near_dup(spark, embs, emb_matrix):
+    ids, m = emb_matrix
+    # plant an exact duplicate of vec 0 with a new id
+    dup = embs.filter(F.col("vec_id") == int(ids[0])).withColumn(
+        "vec_id", F.lit(999_999).cast("long")
+    )
+    planted = embs.unionByName(dup)
+    bucketized = lsh_bucketize(planted, dim=m.shape[1], n_planes=8)
+    pairs = {(r["id_a"], r["id_b"]): r["sim"]
+             for r in embedding_near_dup_pairs(bucketized, min_sim=0.999).collect()}
+    assert (int(ids[0]), 999_999) in pairs
+    assert pairs[(int(ids[0]), 999_999)] == pytest.approx(1.0, abs=1e-5)

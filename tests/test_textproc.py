@@ -1,0 +1,108 @@
+"""Dedup / text-analysis operator tests (driver-mandated training-data ops)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.operators.textproc import (
+    STOPWORDS_EN,
+    exact_dedup,
+    exact_jaccard_pairs,
+    lsh_near_dup_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_near_dup_pairs,
+    text_stats,
+    winnow_fingerprints,
+)
+
+CFG = EngineConfig()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """12 docs: 0/1 identical, 2 near-dup of 0 (one word changed),
+    3.. distinct; 11 is a token-less doc."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),         # near dup of 0
+        (3, "completely different content about spark inverted index engines"),
+        (4, "yet another unrelated document with its own vocabulary entirely"),
+        (5, "the cat sat on the mat and the cat was fat"),
+        (6, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (7, "one two three four five six seven eight nine ten eleven twelve"),
+        (8, "to be or not to be that is the question for all of us"),
+        (9, "data pipelines shuffle partitions broadcast joins skew salting"),
+        (10, "sorting merging encoding compressing decoding posting lists blocks"),
+        (11, ":::: ////"),                           # tokenizes to nothing
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["id"]: (r["keeper_id"], r["dup_count"]) for r in exact_dedup(docs).collect()}
+    assert out[0] == (0, 2) and out[1] == (0, 2)
+    assert out[2] == (2, 1)
+    assert len(out) == 12
+
+
+def test_text_stats_reference(spark, docs):
+    rows = {r["id"]: r for r in text_stats(docs, CFG).collect()}
+    base = "the quick brown fox jumps over the lazy dog and runs far away home".split()
+    r = rows[0]
+    assert r["n_tokens"] == len(base)
+    assert r["n_distinct_tokens"] == len(set(base))
+    n_stop = sum(1 for t in base if t in STOPWORDS_EN)
+    assert r["stopword_ratio"] == pytest.approx(n_stop / len(base), abs=1e-6)
+    assert r["lang_pred"] == "en"
+    assert rows[6]["lang_pred"] == "und"     # greekish letters, no stopwords
+    assert rows[11]["n_tokens"] == 0 and rows[11]["quality_score"] == 0.0
+
+
+def test_minhash_identity_and_neardup(spark, docs):
+    sigs = minhash_signatures(docs, CFG, n_hashes=128, shingle_k=3)
+    rows = {r["id"]: tuple(r["sig"]) for r in sigs.collect()}
+    assert rows[0] == rows[1]                      # identical docs → identical sigs
+    agree_near = sum(a == b for a, b in zip(rows[0], rows[2])) / 128
+    agree_far = sum(a == b for a, b in zip(rows[0], rows[3])) / 128
+    assert agree_near > 0.5 > agree_far
+
+    pairs = lsh_near_dup_pairs(sigs, n_bands=32, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (0, 2) in got and (1, 2) in got
+    assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in got)
+
+
+def test_exact_jaccard_verification(spark, docs):
+    sigs = minhash_signatures(docs, CFG, n_hashes=128, shingle_k=3)
+    cand = lsh_near_dup_pairs(sigs, n_bands=32, threshold=0.5).select("id_a", "id_b")
+    verified = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in exact_jaccard_pairs(docs, cand, CFG, shingle_k=3).collect()}
+    assert verified[(0, 1)] == 1.0
+    assert 0.5 < verified[(0, 2)] < 1.0
+
+
+def test_simhash(spark, docs):
+    sh = simhash(docs, CFG)
+    rows = {r["id"]: r["simhash"] for r in sh.collect()}
+    assert rows[0] == rows[1]
+    ham_near = bin(rows[0] ^ rows[2]).count("1")
+    ham_far = bin(rows[0] ^ rows[3]).count("1")
+    assert ham_near < ham_far
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_dup_pairs(sh, max_hamming=6).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs
+
+
+def test_winnow_overlap(spark, docs):
+    fps = {r["id"]: set(r["fingerprints"]) for r in winnow_fingerprints(docs, CFG).collect()}
+    assert fps[0] == fps[1]
+    inter_near = len(fps[0] & fps[2]) / len(fps[0] | fps[2])
+    inter_far = len(fps[0] & fps[3]) / max(len(fps[0] | fps[3]), 1)
+    assert inter_near > inter_far
