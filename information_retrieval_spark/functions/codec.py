@@ -44,18 +44,7 @@ def vbyte_encode(values: np.ndarray) -> bytes:
         if np.any(np.asarray(values, dtype=np.int64) < 0):
             raise ValueError("vbyte_encode: negative value")
         v = v.astype(np.uint64)
-    # byte length per value: 1 + count of thresholds <= v  (ladder compare)
-    lengths = 1 + np.searchsorted(_THRESHOLDS, v, side="right").astype(np.int64)
-    total = int(lengths.sum())
-    ends = np.cumsum(lengths)
-    starts = ends - lengths
-    # position of each output byte within its value
-    idx = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
-    rep = np.repeat(v, lengths)
-    out = ((rep >> (7 * idx.astype(np.uint64))) & np.uint64(0x7F)).astype(np.uint8)
-    cont = idx < np.repeat(lengths - 1, lengths)
-    out[cont] |= 0x80
-    return out.tobytes()
+    return _vbyte_encode_offsets(v)[0]
 
 
 def vbyte_decode(buf: bytes | np.ndarray) -> np.ndarray:
@@ -126,24 +115,72 @@ def encode_blocks(
     t = np.asarray(tfs, dtype=np.int64)
     l = np.asarray(dls, dtype=np.int64)
     n = d.size
-    out = []
+    if n == 0:
+        return []
+    # One vectorized pass over the WHOLE term group, then per-block byte
+    # slicing — never a per-block numpy call (22k tiny calls per hot term
+    # would dominate; this path runs at tens of millions of postings/sec).
+    starts_p = np.arange(0, n, block_size)  # posting index of each block start
+    # delta-gap with a reset (absolute value) at every block start, so each
+    # block decodes independently (C1 + C3)
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = d[0]
+    np.subtract(d[1:], d[:-1], out=gaps[1:])
+    if n > 1 and gaps[1:].min() <= 0:
+        raise ValueError("encode_blocks: docIDs must be strictly ascending")
+    gaps[starts_p] = d[starts_p]
+    enc_d, off_d = _vbyte_encode_offsets(gaps.astype(np.uint64))
+    enc_t, off_t = _vbyte_encode_offsets(t.astype(np.uint64))
+    enc_l, off_l = _vbyte_encode_offsets(l.astype(np.uint64))
     tfnorm = bm25_tfnorm(t, l, avgdl, k1, b)
-    for blk, lo in enumerate(range(0, n, block_size)):
-        hi = min(lo + block_size, n)
-        bd = d[lo:hi]
+    bmax = np.maximum.reduceat(tfnorm, starts_p)
+    ends_p = np.minimum(starts_p + block_size, n)
+    out = []
+    for blk in range(starts_p.size):
+        lo, hi = int(starts_p[blk]), int(ends_p[blk])
         out.append(
             (
                 blk,
-                int(bd[0]),
-                int(bd[-1]),
+                int(d[lo]),
+                int(d[hi - 1]),
                 hi - lo,
-                vbyte_encode(delta_encode(bd)),
-                vbyte_encode(t[lo:hi].astype(np.uint64)),
-                vbyte_encode(l[lo:hi].astype(np.uint64)),
-                float(tfnorm[lo:hi].max()),
+                enc_d[off_d[lo] : off_d[hi]],
+                enc_t[off_t[lo] : off_t[hi]],
+                enc_l[off_l[lo] : off_l[hi]],
+                float(bmax[blk]),
             )
         )
     return out
+
+
+def _vbyte_encode_offsets(v: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """VByte-encode an entire array once; return (bytes, per-value byte
+    offsets of length n+1) so callers slice arbitrary value ranges.
+
+    Byte-plane scatter: plane j writes byte j of every value still needing
+    one — ≤ 9 fully-vectorized passes, total work O(output bytes), no
+    per-byte index arithmetic (the naive arange/repeat formulation is ~10×
+    slower on gap-sized values)."""
+    # byte length per value: 1 + number of 7-bit-threshold crossings
+    lengths = np.ones(v.size, dtype=np.int64)
+    for th in _THRESHOLDS:
+        lengths += v >= th
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    out = np.empty(int(offsets[-1]), dtype=np.uint8)
+    pos = offsets[:-1]
+    live = None  # indices of values with length > j
+    for j in range(int(lengths.max())):
+        if j == 0:
+            byte = (v & np.uint64(0x7F)).astype(np.uint8)
+            byte[lengths > 1] |= 0x80
+            out[pos] = byte
+            continue
+        if live is None or live.size != np.count_nonzero(lengths > j):
+            live = np.flatnonzero(lengths > j)
+        byte = ((v[live] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        byte[lengths[live] > j + 1] |= 0x80
+        out[pos[live] + j] = byte
+    return out.tobytes(), offsets
 
 
 def decode_block(docs_vb: bytes, tfs_vb: bytes, dls_vb: bytes):

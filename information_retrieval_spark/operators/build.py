@@ -131,16 +131,23 @@ def spimi_emit(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame
 
     def _flush(pending: list[pd.DataFrame]) -> pd.DataFrame:
         df = pd.concat(pending, ignore_index=True) if len(pending) > 1 else pending[0]
-        df.sort_values(["term", "docid"], kind="stable", inplace=True, ignore_index=True)
-        t = df["term"].to_numpy(object)
-        d = df["docid"].to_numpy("<i8")
-        tf = df["tf"].to_numpy("<i4")
-        dl = df["dl"].to_numpy("<i4")
+        # group by (term, docid-order) via integer codes — object-dtype string
+        # sorting never happens in the hot path; term order across runs is
+        # irrelevant (the merge groups by key), docid order within a run is
+        # what matters
+        codes, uniques = pd.factorize(df["term"], sort=False)
+        order = np.lexsort((df["docid"].to_numpy(np.int64), codes))
+        t = uniques.to_numpy() if hasattr(uniques, "to_numpy") else np.asarray(uniques, object)
+        c = codes[order]
+        d = df["docid"].to_numpy("<i8")[order]
+        tf = df["tf"].to_numpy("<i4")[order]
+        dl = df["dl"].to_numpy("<i4")[order]
         b = (d >> shift).astype(np.int32)
         # run boundary where term or bucket changes (buckets are contiguous
         # within a term because bucket = docid high bits)
-        cut = np.flatnonzero((t[1:] != t[:-1]) | (b[1:] != b[:-1])) + 1
+        cut = np.flatnonzero((c[1:] != c[:-1]) | (b[1:] != b[:-1])) + 1
         starts = np.concatenate(([0], cut))
+        t = t[c]
         d_b, tf_b, dl_b = d.tobytes(), tf.tobytes(), dl.tobytes()
         lo8, hi8 = starts * 8, np.append(cut, d.size) * 8
         lo4, hi4 = starts * 4, np.append(cut, d.size) * 4
@@ -165,18 +172,33 @@ def spimi_emit(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame
             lens = toks.str.len().to_numpy(dtype=np.int64)
             if lens.sum() == 0:
                 continue
-            docid = np.repeat(pdf["docid"].to_numpy(np.int64), lens)
-            dl = np.repeat(lens, lens).astype(np.int32)
             flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in toks])
-            run = pd.DataFrame({"term": flat_terms, "docid": docid, "dl": dl})
-            # per-doc tf: one vectorized hash aggregation (A1 — no shuffle,
-            # a doc lives entirely inside one row/batch)
-            grouped = (
-                run.groupby(["term", "docid"], sort=False, observed=True)
-                .agg(dl=("dl", "first"), tf=("dl", "size"))
-                .reset_index()
+            # per-doc tf: integer-coded sort + run-length encode (A1 — no
+            # shuffle, a doc lives entirely inside one row/batch; one string
+            # factorize is the only object-dtype pass)
+            codes, uniques = pd.factorize(flat_terms, sort=False)
+            doc_idx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+            key = codes.astype(np.int64) * len(pdf) + doc_idx
+            ks = np.sort(key, kind="stable")
+            cut = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+            starts = np.concatenate(([0], cut))
+            tf = np.diff(np.concatenate((starts, [ks.size]))).astype(np.int32)
+            uk = ks[starts]
+            term_code = uk // len(pdf)
+            di = uk % len(pdf)
+            docids_arr = pdf["docid"].to_numpy(np.int64)
+            uniq_arr = (
+                uniques.to_numpy() if hasattr(uniques, "to_numpy")
+                else np.asarray(uniques, object)
             )
-            grouped["tf"] = grouped["tf"].astype(np.int32)
+            grouped = pd.DataFrame(
+                {
+                    "term": uniq_arr[term_code],
+                    "docid": docids_arr[di],
+                    "tf": tf,
+                    "dl": lens[di].astype(np.int32),
+                }
+            )
             pending.append(grouped)
             pending_bytes += int(grouped.memory_usage(deep=False).sum()) + int(
                 grouped["term"].str.len().sum()
@@ -317,8 +339,11 @@ def build_index(
     runs = spimi_emit(docs, cfg)
     postings = encode_postings(runs, avgdl, cfg)
     dictionary = build_dictionary(postings)
+    # NOTE: docs keeps `content` — the cache is columnar, so downstream
+    # projections never read it; returning the persisted plan itself lets
+    # callers unpersist it (a derived .drop() plan would not clear the cache)
     return InvertedIndex(
-        docs=docs.drop("content"),
+        docs=docs,
         postings=postings,
         dictionary=dictionary,
         n_docs=n_docs,

@@ -1,0 +1,202 @@
+"""Deletion tracking + garbage collection (compaction) for a persisted index.
+
+Re-creates the reference's address-space GC design (SURVEY.md A4/U4):
+deleted/used accounting (/root/reference/index/index.h:160-173), trigger
+thresholds GARBAGE_COLLECTION_THRESHOLD = 0.40, ON_THE_FLY_GARBAGE_COLLECTION
+= 0.25, MIN_GARBAGE = 64*1024 dead postings (/root/reference/index/index.cc:42-43,
+index.h:96-98) — Spark-native:
+
+- ``record_deletions`` appends docids to a ``deleted/`` parquet ledger
+  (immutable postings stay in place — the reference marks address space
+  deleted the same way);
+- queries exclude deleted docs on the fly (the 0.25 "on-the-fly GC" analog):
+  ``wand_topk(..., deleted=...)`` filters decoded blocks;
+- ``gc_stats`` computes the deleted/used ratio from the ledger + dictionary;
+- ``compact_index`` rewrites ONLY the buckets that contain deletions
+  (J3 anti-join + re-encode), then clears the ledger — partition-granular,
+  like every other stage (dynamic partition overwrite).
+
+Scale: the ledger is docid-only (8 bytes/row); compaction touches
+|affected buckets| partitions, never the whole index; the decode→filter→
+re-encode pass is the same vectorized codec path as the build.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+from ..functions import codec
+from .build import POSTINGS_SCHEMA, InvertedIndex, build_dictionary
+
+# reference thresholds, /root/reference/index/index.cc:42-43, index.h:96-98
+GC_THRESHOLD = 0.40
+ON_THE_FLY_GC_THRESHOLD = 0.25
+MIN_GARBAGE_POSTINGS = 64 * 1024
+
+
+def _deleted_path(root: str) -> str:
+    return os.path.join(root, "deleted")
+
+
+def record_deletions(spark: SparkSession, root: str, docids: DataFrame) -> None:
+    """Append (docid) rows to the deletion ledger. Idempotent at query/GC
+    time (duplicates are fine; compaction clears the ledger)."""
+    docids.select(F.col("docid").cast("long")).write.mode("append").parquet(
+        _deleted_path(root)
+    )
+
+
+def read_deletions(spark: SparkSession, root: str) -> DataFrame:
+    p = _deleted_path(root)
+    try:
+        return spark.read.parquet(p).select("docid").distinct()
+    except Exception:
+        return spark.createDataFrame([], "docid long")
+
+
+def gc_stats(spark: SparkSession, index: InvertedIndex, root: str) -> dict:
+    """deleted/used posting accounting → GC decision (A4)."""
+    deleted = read_deletions(spark, root)
+    total_postings = int(
+        index.dictionary.agg(F.sum("df").alias("s")).collect()[0]["s"] or 0
+    )
+    n_deleted_docs = deleted.count()
+    if n_deleted_docs == 0 or total_postings == 0:
+        dead = 0
+    else:
+        # dead postings = postings of deleted docs ≈ sum of their doc lengths
+        dead = int(
+            index.docs.join(F.broadcast(deleted), "docid")
+            .agg(F.sum("doc_len").alias("s"))
+            .collect()[0]["s"]
+            or 0
+        )
+    ratio = dead / max(total_postings, 1)
+    return {
+        "total_postings": total_postings,
+        "dead_postings": dead,
+        "deleted_docs": n_deleted_docs,
+        "dead_ratio": round(ratio, 6),
+        "needs_compaction": dead >= MIN_GARBAGE_POSTINGS and ratio >= GC_THRESHOLD,
+        "on_the_fly_filtering": ratio >= ON_THE_FLY_GC_THRESHOLD,
+    }
+
+
+def compact_postings(
+    postings: DataFrame,
+    deleted: DataFrame,
+    avgdl: float,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Decode blocks → drop deleted docids → re-encode (vectorized).
+
+    One ``applyInPandas`` per (term, bucket) group, same grouping and codec
+    as the build's PASS 2; avgdl is kept UNCHANGED by design so surviving
+    docs' scores (and block maxima) stay bit-identical to a from-scratch
+    build with the same avgdl baseline — compaction must not silently
+    re-rank (tested in tests/test_compaction.py).
+    """
+    block_size, k1, b = cfg.block_size, cfg.k1, cfg.b
+    del_ids = np.sort(
+        np.asarray([r["docid"] for r in deleted.collect()], dtype=np.int64)
+    )
+
+    def rewrite(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, bucket = key
+        d = np.concatenate(
+            [codec.delta_decode(codec.vbyte_decode(x)) for x in pdf["docs_vb"]]
+        )
+        t = np.concatenate([codec.vbyte_decode(x) for x in pdf["tfs_vb"]]).astype(np.int64)
+        l = np.concatenate([codec.vbyte_decode(x) for x in pdf["dls_vb"]]).astype(np.int64)
+        order = np.argsort(d, kind="stable")
+        d, t, l = d[order], t[order], l[order]
+        keep = ~np.isin(d, del_ids, assume_unique=False)
+        d, t, l = d[keep], t[keep], l[keep]
+        rows = []
+        if d.size:
+            tf_cum = np.concatenate([[0], np.cumsum(t)])
+            for blk, first, last, n, dvb, tvb, lvb, bmax in codec.encode_blocks(
+                d, t, l, block_size=block_size, avgdl=avgdl, k1=k1, b=b
+            ):
+                lo = blk * block_size
+                rows.append(
+                    (term, int(bucket), blk, first, last, n,
+                     int(tf_cum[lo + n] - tf_cum[lo]), dvb, tvb, lvb, bmax)
+                )
+        return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+
+    return postings.groupBy("term", "bucket").applyInPandas(rewrite, POSTINGS_SCHEMA)
+
+
+def compact_index(
+    spark: SparkSession, root: str, cfg: EngineConfig | None = None
+) -> dict:
+    """Partition-granular GC: rewrite only buckets containing deletions,
+    update docs/dictionary/meta, clear the ledger. Returns stats."""
+    from ..sources.manifest import open_index, write_meta, _paths
+
+    index = open_index(spark, root)
+    cfg = cfg or index.cfg
+    p = _paths(root)
+    deleted = read_deletions(spark, root)
+    n_deleted = deleted.count()
+    if n_deleted == 0:
+        return {"compacted_buckets": 0, "deleted_docs": 0}
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    shift = cfg.doc_bucket_bits
+    affected = sorted(
+        r["b"]
+        for r in deleted.select(
+            (F.col("docid").bitwiseAND(F.lit(-1)) / F.lit(1 << shift))
+            .cast("long").alias("b")
+        ).distinct().collect()
+    )
+    affected = [int(b) for b in affected]
+
+    t0 = time.time()
+    # postings: rewrite affected buckets only (dynamic partition overwrite)
+    sub = index.postings.filter(F.col("bucket").isin(affected))
+    rewritten = compact_postings(sub, deleted, index.avgdl, cfg)
+    rewritten.write.mode("overwrite").partitionBy("bucket").parquet(p["postings"])
+
+    # docs: drop deleted rows in affected buckets (J3 left_anti)
+    docs_sub = index.docs.filter(F.col("bucket").isin(affected))
+    docs_kept = docs_sub.join(F.broadcast(deleted), "docid", "left_anti")
+    docs_kept.write.mode("overwrite").partitionBy("bucket").parquet(p["docs"])
+
+    # refresh dictionary + stats from the full (post-rewrite) tables
+    postings_all = spark.read.parquet(p["postings"])
+    build_dictionary(postings_all).write.mode("overwrite").parquet(p["dictionary"])
+    docs_all = spark.read.parquet(p["docs"])
+    row = docs_all.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").alias("toks"),
+    ).collect()[0]
+    # NOTE: collection stats keep the ORIGINAL avgdl for scoring stability
+    # (documented choice — rebuild from scratch to re-baseline avgdl);
+    # n_docs/total_tokens reflect the surviving corpus.
+    stats = {
+        "n_docs": int(row["n"] or 0),
+        "avgdl": index.avgdl,
+        "total_tokens": int(row["toks"] or 0),
+    }
+    write_meta(root, cfg, stats, consistent=True)
+
+    # clear the ledger (it has been fully applied)
+    import shutil
+
+    shutil.rmtree(_deleted_path(root), ignore_errors=True)
+    return {
+        "compacted_buckets": len(affected),
+        "deleted_docs": n_deleted,
+        "elapsed_sec": round(time.time() - t0, 3),
+    }

@@ -54,11 +54,12 @@ class _Cursor:
 
     __slots__ = ("idf", "term", "firsts", "lasts", "maxes", "docs_vb", "tfs_vb",
                  "dls_vb", "blk", "pos", "docids", "tfnorm", "exhausted",
-                 "_avgdl", "_k1", "_b")
+                 "_avgdl", "_k1", "_b", "_deleted")
 
-    def __init__(self, term, idf, block_rows, avgdl, k1, b):
+    def __init__(self, term, idf, block_rows, avgdl, k1, b, deleted=None):
         self.term = term
         self.idf = idf
+        self._deleted = deleted if deleted is not None and len(deleted) else None
         order = np.argsort(block_rows["first_docid"].to_numpy(np.int64), kind="stable")
         self.firsts = block_rows["first_docid"].to_numpy(np.int64)[order]
         self.lasts = block_rows["last_docid"].to_numpy(np.int64)[order]
@@ -77,6 +78,16 @@ class _Cursor:
             return
         self.blk = blk
         d, t, l = codec.decode_block(self.docs_vb[blk], self.tfs_vb[blk], self.dls_vb[blk])
+        if self._deleted is not None:
+            # on-the-fly GC filtering (reference threshold design,
+            # /root/reference/index/index.cc:42-43): deleted docs are masked
+            # at decode time until compaction rewrites the blocks
+            keep = ~np.isin(d, self._deleted, assume_unique=True)
+            if not keep.all():
+                d, t, l = d[keep], t[keep], l[keep]
+                if d.size == 0:
+                    self._load_block(blk + 1)
+                    return
         self.docids = d
         self.tfnorm = codec.bm25_tfnorm(t, l, self._avgdl, self._k1, self._b)
         self.pos = 0
@@ -181,14 +192,17 @@ def _bmw(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
 
 
 def bmw_partial(
-    pdf: pd.DataFrame, idf: dict[str, float], avgdl: float, k: int, k1: float, b: float
+    pdf: pd.DataFrame, idf: dict[str, float], avgdl: float, k: int, k1: float, b: float,
+    deleted=None,
 ) -> pd.DataFrame:
     """One (query_id, bucket) group of joined posting-block rows → ≤k rows."""
     qid = int(pdf["query_id"].iloc[0])
     cursors = []
     for term, rows in pdf.groupby("term", sort=True):
         if term in idf:
-            cursors.append(_Cursor(term, idf[term], rows, avgdl, k1, b))
+            c = _Cursor(term, idf[term], rows, avgdl, k1, b, deleted=deleted)
+            if not c.exhausted:
+                cursors.append(c)
     top = _bmw(cursors, k)
     return pd.DataFrame(
         {"query_id": qid, "docid": [d for d, _ in top], "score": [s for _, s in top]}
@@ -201,9 +215,20 @@ def wand_topk(
     qterms: DataFrame,
     k: int,
     cfg: EngineConfig | None = None,
+    deleted: DataFrame | None = None,
 ) -> DataFrame:
-    """(query_id, rank, docid, score) — full BMW path over the encoded index."""
+    """(query_id, rank, docid, score) — full BMW path over the encoded index.
+
+    ``deleted``: optional (docid) DataFrame of tombstoned docs excluded on
+    the fly (pre-compaction reads, SURVEY.md A4/U4); expected small — the
+    GC_THRESHOLD compaction trigger keeps it bounded."""
     cfg = cfg or index.cfg
+    del_arr = (
+        np.sort(np.asarray([r["docid"] for r in deleted.select("docid").distinct().collect()],
+                           dtype=np.int64))
+        if deleted is not None
+        else None
+    )
     # per-term idf from the dictionary — query terms are few: collect to a map
     terms = [r["term"] for r in qterms.select("term").distinct().collect()]
     stat_rows = index.dictionary.filter(F.col("term").isin(terms)).select("term", "df").collect()
@@ -216,7 +241,7 @@ def wand_topk(
     joined = index.postings.join(F.broadcast(qterms), "term")
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return bmw_partial(pdf, idf, avgdl, k, k1, b)
+        return bmw_partial(pdf, idf, avgdl, k, k1, b, deleted=del_arr)
 
     partials = joined.groupBy("query_id", "bucket").applyInPandas(run, TOPK_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))

@@ -1,0 +1,77 @@
+"""spark-submit entry: build (or resume) a persisted inverted index.
+
+Usage (cluster):
+    spark-submit --py-files dist/information_retrieval_spark.zip \
+        jobs/build_index.py --input <iceberg-table-or-parquet-path> \
+        --output /path/to/index [--buckets 65536] [--block-size 128] \
+        [--k1 1.2] [--b 0.75] [--snapshot <id>]
+
+Local dev:
+    python jobs/build_index.py --input /root/testdata/sf0.01/documents.parquet \
+        --from-documents --output /tmp/idx
+
+The CLI mirrors the reference's ``ir --KEY=VALUE --DIRECTORY=...`` entry
+(/root/reference/executable/ir.cc:14-65): argv > environment > defaults via
+EngineConfig.from_env (the configurator cascade,
+/root/reference/utils/configurator.cc:134-164). Resumability: re-running the
+same command continues from the per-bucket manifest (SURVEY.md U1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.corpus import corpus_from_documents, load_corpus
+from information_retrieval_spark.sources.manifest import build_index_resumable
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="Iceberg table name or parquet path")
+    p.add_argument("--output", required=True, help="index root directory")
+    p.add_argument("--from-documents", action="store_true",
+                   help="input is a driver documents(doc_id, text, ...) table")
+    p.add_argument("--buckets", type=int, default=None)
+    p.add_argument("--block-size", type=int, default=None)
+    p.add_argument("--k1", type=float, default=None)
+    p.add_argument("--b", type=float, default=None)
+    p.add_argument("--snapshot", default="", help="input snapshot id recorded as lineage")
+    p.add_argument("--master", default=None, help="override master for local dev")
+    args = p.parse_args(argv)
+
+    overrides = {}
+    if args.buckets is not None:
+        overrides["n_doc_buckets"] = args.buckets
+    if args.block_size is not None:
+        overrides["block_size"] = args.block_size
+    if args.k1 is not None:
+        overrides["k1"] = args.k1
+    if args.b is not None:
+        overrides["b"] = args.b
+    cfg = EngineConfig.from_env(**overrides)
+
+    b = SparkSession.builder.appName("ir-build-index")
+    if args.master:
+        b = b.master(args.master)
+    spark = b.config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions)).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    corpus = load_corpus(spark, args.input)
+    if args.from_documents:
+        corpus = corpus_from_documents(corpus)
+
+    idx = build_index_resumable(spark, corpus, args.output, cfg, input_snapshot=args.snapshot)
+    print(json.dumps({"index_root": args.output, **idx.stats()}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

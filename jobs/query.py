@@ -1,0 +1,64 @@
+"""spark-submit entry: top-k BM25 queries against a persisted index.
+
+Usage:
+    spark-submit --py-files dist/information_retrieval_spark.zip \
+        jobs/query.py --index /path/to/index --k 10 "hash join" "btree split"
+
+Prints one JSON line per query: {"query": ..., "hits": [{rank, docid, score,
+repo, path}, ...]}. The analyzer settings are read back from the index
+metadata so query-side analysis always matches the build
+(the STEMMING_LEVEL read-back contract, /root/reference/index/index.cc:189-190).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+from information_retrieval_spark.operators.query import parse_queries
+from information_retrieval_spark.operators.wand import wand_topk
+from information_retrieval_spark.sources.manifest import open_index
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--index", required=True)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--master", default=None)
+    p.add_argument("queries", nargs="+")
+    args = p.parse_args(argv)
+
+    b = SparkSession.builder.appName("ir-query")
+    if args.master:
+        b = b.master(args.master)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    idx = open_index(spark, args.index)
+    qterms = parse_queries(spark, args.queries, idx.cfg)
+    topk = wand_topk(spark, idx, qterms, args.k, idx.cfg)
+    resolved = (
+        topk.join(F.broadcast(idx.docs.select("docid", "repo", "path")), "docid")
+        .select("query_id", "rank", "docid", "score", "repo", "path")
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    by_q: dict[int, list] = {}
+    for r in resolved:
+        by_q.setdefault(r["query_id"], []).append(
+            {"rank": r["rank"], "docid": r["docid"], "score": round(r["score"], 4),
+             "repo": r["repo"], "path": r["path"]}
+        )
+    for i, q in enumerate(args.queries):
+        print(json.dumps({"query": q, "hits": by_q.get(i, [])}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

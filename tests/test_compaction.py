@@ -1,0 +1,83 @@
+"""GC / compaction tests (SURVEY.md A4/U4/J3)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.corpus import synthetic_corpus_pdf
+from information_retrieval_spark.operators.compaction import (
+    GC_THRESHOLD,
+    MIN_GARBAGE_POSTINGS,
+    compact_index,
+    gc_stats,
+    read_deletions,
+    record_deletions,
+)
+from information_retrieval_spark.operators.query import parse_queries
+from information_retrieval_spark.operators.wand import wand_topk
+from information_retrieval_spark.sources.manifest import build_index_resumable, open_index
+
+CFG = EngineConfig(n_doc_buckets=8, block_size=16)
+
+
+@pytest.fixture(scope="module")
+def root(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("gc") / "idx")
+    pdf = synthetic_corpus_pdf(150, seed=11)[["repo", "path", "commit", "lang", "content"]]
+    corpus = spark.createDataFrame(pdf)
+    build_index_resumable(spark, corpus, out, CFG)
+    return out
+
+
+def test_on_the_fly_deletion_filter(spark, root):
+    idx = open_index(spark, root)
+    qterms = parse_queries(spark, ["ident_1 ident_2"], CFG).cache()
+    before = wand_topk(spark, idx, qterms, 5, CFG).collect()
+    assert before
+    victim = before[0]["docid"]
+    deleted = spark.createDataFrame([(victim,)], "docid long")
+    after = wand_topk(spark, idx, qterms, 5, CFG, deleted=deleted).collect()
+    assert victim not in {r["docid"] for r in after}
+    # remaining ranking order preserved
+    before_rest = [r["docid"] for r in before if r["docid"] != victim]
+    assert [r["docid"] for r in after][: len(before_rest)] == before_rest
+
+
+def test_gc_stats_and_compact(spark, root):
+    idx = open_index(spark, root)
+    qterms = parse_queries(spark, ["ident_1 ident_2"], CFG).cache()
+    topk = wand_topk(spark, idx, qterms, 5, CFG).collect()
+    victim = topk[0]["docid"]
+    deleted = spark.createDataFrame([(victim,)], "docid long")
+    record_deletions(spark, root, deleted)
+    assert read_deletions(spark, root).count() == 1
+
+    stats = gc_stats(spark, idx, root)
+    assert stats["deleted_docs"] == 1
+    assert stats["dead_postings"] > 0
+    # one doc of a 150-doc corpus is far below both thresholds
+    assert not stats["needs_compaction"]
+    assert GC_THRESHOLD == 0.40 and MIN_GARBAGE_POSTINGS == 64 * 1024
+
+    # expected post-compaction results = on-the-fly-filtered results
+    want = wand_topk(spark, idx, qterms, 5, CFG, deleted=deleted).collect()
+    total_df_before = idx.dictionary.agg(F.sum("df")).collect()[0][0]
+
+    out = compact_index(spark, root, CFG)
+    assert out["deleted_docs"] == 1 and out["compacted_buckets"] >= 1
+    assert read_deletions(spark, root).count() == 0
+
+    idx2 = open_index(spark, root)
+    assert idx2.n_docs == idx.n_docs - 1
+    got = wand_topk(spark, idx2, qterms, 5, CFG).collect()
+    # same ranking as the on-the-fly-filtered read; scores shift slightly
+    # because df/N legitimately reflect the surviving corpus after GC
+    assert [r["docid"] for r in got] == [r["docid"] for r in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], rel=0.02)
+    # the victim is gone from the postings entirely
+    assert victim not in {r["docid"] for r in got}
+    # dictionary df shrank for the victim's terms
+    total_df = idx2.dictionary.agg(F.sum("df")).collect()[0][0]
+    assert total_df < total_df_before
