@@ -28,10 +28,35 @@ from pyspark.sql import functions as F
 from ..config import EngineConfig, DEFAULT_CONFIG
 
 
+def _check_stemming(cfg: EngineConfig) -> None:
+    if cfg.stemming_level != 0:
+        # Reference default is 0 = off (/root/reference/index/index.cc:34);
+        # levels 1-2 are declared surface only (index/index.h:35-37) and an
+        # explicit extension point here — both analyzer paths refuse rather
+        # than silently diverge between index- and query-time.
+        raise NotImplementedError(
+            f"stemming_level={cfg.stemming_level} is an extension point; v1 "
+            "implements level 0 (identity), the reference default"
+        )
+
+
 def tokenize_expr(col: Column | str, cfg: EngineConfig = DEFAULT_CONFIG) -> Column:
-    """array<string> of analyzed tokens — Catalyst-only (JVM, codegen)."""
+    """array<string> of analyzed tokens — Catalyst-only (JVM, codegen).
+    Must stay output-identical to ``tokenize_series`` (pinned by
+    tests/test_analyzer.py), including T8 bigram emission."""
+    _check_stemming(cfg)
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(F.lower(c), F.lit(f"({cfg.token_pattern})"), 1)
+    toks = F.regexp_extract_all(F.lower(c), F.lit(f"({cfg.token_pattern})"), 1)
+    if not cfg.bigram_indexing:
+        return toks
+    # T8: unigrams followed by "w1 w2" pair terms (same order as the pandas
+    # path: all unigrams, then all bigrams)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.concat(toks, bigrams)
 
 
 def doc_len_expr(col: Column | str, cfg: EngineConfig = DEFAULT_CONFIG) -> Column:
@@ -51,6 +76,7 @@ def tokenize_series(content: pd.Series, cfg: EngineConfig = DEFAULT_CONFIG) -> p
     ``str.findall`` on the lowercased series — C-speed regex over the whole
     Arrow batch, no per-row Python loop.
     """
+    _check_stemming(cfg)
     toks = content.str.lower().str.findall(cfg.token_pattern)
     if cfg.bigram_indexing:
         # T8: emit "w1 w2" pair terms alongside unigrams

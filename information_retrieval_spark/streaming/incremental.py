@@ -1,0 +1,169 @@
+"""Incremental index updates via Structured Streaming (SURVEY.md U5).
+
+The reference plans live filesystem-change ingestion through a
+``/proc/fschange`` monitor daemon (/root/reference/index/index.h:47-49,
+/root/reference/masterindex/masterindex.h:6-10) feeding incremental index
+updates buffered in the 40 MB update list (/root/reference/index/index.h:27-29).
+The Spark-native re-creation: a Structured Streaming source of new corpus
+rows, ``foreachBatch`` appending SPIMI-encoded posting segments.
+
+Semantics:
+- each micro-batch is an append-only **delta segment**: new docs get docids
+  continuing their bucket's local counter, so within every (term, bucket)
+  the delta blocks' docid ranges sit strictly above all earlier blocks —
+  the WAND cursor (which orders blocks by first_docid) reads base+delta
+  segments with no merge step;
+- ``avgdl`` stays pinned to the index's baseline (scoring stability across
+  appends; rebuild or compact to re-baseline) while n_docs / df / cf are
+  refreshed, so idf reflects the growing corpus;
+- single writer (the stream), concurrent readers on immutable files — the
+  reference's 1-writer/4-reader semaphore contract (index.h:31-33) holds by
+  construction;
+- the periodic-merge analog (LSM-style segment compaction) is
+  ``operators.compaction.compact_index``, which rewrites buckets into
+  canonical sorted blocks.
+
+Docid determinism caveat: batch builds are parallelism-independent
+(SURVEY.md B1); streamed appends are deterministic given the same *arrival
+order* of batches — the streaming analog of the reference's strictly
+ascending offset allocation (index.h:167-173).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+from ..corpus import CORPUS_SCHEMA
+from ..operators.build import build_dictionary, encode_postings, spimi_emit
+from ..operators.docids import KEY_COLS, admission_filter, bucket_expr
+from ..functions.analyzer import doc_len_expr, sha256_expr
+from ..sources.manifest import _paths, read_meta, write_meta
+
+
+def append_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    root: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    batch_id: int = -1,
+    refresh_dict: bool = True,
+) -> dict:
+    """Append one micro-batch of corpus rows to a persisted index."""
+    p = _paths(root)
+    meta = read_meta(root)
+    avgdl = float(meta["stats"]["avgdl"])
+    t0 = time.time()
+
+    admitted = admission_filter(batch_df, cfg).withColumn("bucket", bucket_expr(cfg))
+    # continue each bucket's local-row counter: base = max existing local id + 1
+    existing = spark.read.parquet(p["docs"])
+    base = existing.groupBy("bucket").agg(
+        (F.max(F.col("docid") % F.lit(1 << cfg.doc_bucket_bits)) + 1).alias("base_local")
+    )
+    w = Window.partitionBy("bucket").orderBy(*KEY_COLS)
+    docs_new = (
+        admitted.join(F.broadcast(base), "bucket", "left")
+        .withColumn("base_local", F.coalesce("base_local", F.lit(0)))
+        .withColumn(
+            "docid",
+            F.col("bucket").cast("long") * F.lit(1 << cfg.doc_bucket_bits)
+            + F.col("base_local")
+            + F.row_number().over(w)
+            - 1,
+        )
+        .select(
+            "docid",
+            "bucket",
+            "repo",
+            "path",
+            "commit",
+            "lang",
+            sha256_expr("content").alias("content_sha256"),
+            doc_len_expr("content", cfg).alias("doc_len"),
+            "content",
+        )
+    ).persist()
+    n_new = docs_new.count()
+    if n_new == 0:
+        docs_new.unpersist()
+        return {"batch_id": batch_id, "docs_appended": 0}
+
+    docs_new.write.mode("append").partitionBy("bucket").parquet(p["docs"])
+    postings_new = encode_postings(spimi_emit(docs_new, cfg), avgdl, cfg)
+    postings_new.write.mode("append").partitionBy("bucket").parquet(p["postings"])
+
+    if refresh_dict:
+        refresh_dictionary(spark, root)
+
+    row = spark.read.parquet(p["docs"]).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("toks")
+    ).collect()[0]
+    stats = {
+        "n_docs": int(row["n"]),
+        "avgdl": avgdl,  # pinned baseline (see module docstring)
+        "total_tokens": int(row["toks"] or 0),
+    }
+    write_meta(root, cfg, stats, consistent=True)
+
+    # manifest lineage+metrics row (stage="stream")
+    from ..sources.manifest import _append_manifest
+
+    elapsed = time.time() - t0
+    toks_new = int(
+        docs_new.agg(F.sum("doc_len").alias("s")).collect()[0]["s"] or 0
+    )
+    _append_manifest(
+        spark,
+        root,
+        [(
+            "stream", -1, f"batch={batch_id}", n_new, 0, elapsed,
+            toks_new / max(elapsed, 1e-9), 0.0, 0, "complete", time.time(),
+        )],
+    )
+    docs_new.unpersist()
+    return {"batch_id": batch_id, "docs_appended": n_new, "elapsed_sec": round(elapsed, 3)}
+
+
+def refresh_dictionary(spark: SparkSession, root: str) -> None:
+    """Recompute df/cf/n_blocks from all posting segments (base + deltas).
+    At scale, run periodically instead of per batch — the dictionary is a
+    pure aggregation of block rows, ~|vocab| output."""
+    p = _paths(root)
+    dict_tmp = p["dictionary"] + "__tmp"
+    build_dictionary(spark.read.parquet(p["postings"])).write.mode("overwrite").parquet(dict_tmp)
+    # atomic-ish swap (single writer)
+    import shutil
+
+    shutil.rmtree(p["dictionary"], ignore_errors=True)
+    os.replace(dict_tmp, p["dictionary"])
+
+
+def stream_index_updates(
+    spark: SparkSession,
+    input_path: str,
+    root: str,
+    checkpoint: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    available_now: bool = True,
+):
+    """Start the incremental indexer over a parquet file-source directory.
+
+    New parquet files dropped into ``input_path`` (corpus schema) are
+    discovered by the file source (the /proc/fschange analog), indexed per
+    micro-batch, exactly-once via the streaming checkpoint. Returns the
+    StreamingQuery; ``availableNow`` drains pending input then stops."""
+    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(input_path)
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        append_batch(spark, df, root, cfg, batch_id=batch_id)
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -49,3 +49,34 @@ def test_bigram_mode():
     cfg = DEFAULT_CONFIG.__class__(bigram_indexing=True)
     out = tokenize_series(pd.Series(["a b c"]), cfg)[0]
     assert out == ["a", "b", "c", "a b", "b c"]
+
+
+def test_bigram_parity_between_paths(spark):
+    """T8: bigram emission identical between the Catalyst and pandas
+    tokenizers, and end-to-end consistent (naive vs encoded index)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from information_retrieval_spark.config import EngineConfig
+    from information_retrieval_spark.functions.analyzer import tokenize_expr, tokenize_series
+
+    cfg = EngineConfig(bigram_indexing=True)
+    texts = ["foo bar baz", "one", "", ":::", "a b c d"]
+    pdf = pd.Series(texts)
+    pandas_out = [list(x) for x in tokenize_series(pdf, cfg)]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    spark_out = [r["t"] for r in df.select(tokenize_expr("text", cfg).alias("t")).collect()]
+    assert pandas_out == spark_out
+    assert pandas_out[0] == ["foo", "bar", "baz", "foo bar", "bar baz"]
+
+
+def test_stemming_levels_refused(spark):
+    import pandas as pd
+    import pytest
+    from information_retrieval_spark.config import EngineConfig
+    from information_retrieval_spark.functions.analyzer import tokenize_expr, tokenize_series
+
+    cfg = EngineConfig(stemming_level=1)
+    with pytest.raises(NotImplementedError):
+        tokenize_expr("text", cfg)
+    with pytest.raises(NotImplementedError):
+        tokenize_series(pd.Series(["x"]), cfg)

@@ -1,0 +1,74 @@
+"""Incremental (Structured Streaming) index update tests — SURVEY.md U5."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.corpus import synthetic_corpus_pdf
+from information_retrieval_spark.operators.query import parse_queries
+from information_retrieval_spark.operators.wand import wand_topk
+from information_retrieval_spark.sources.manifest import build_index_resumable, open_index, read_manifest
+from information_retrieval_spark.streaming.incremental import stream_index_updates
+
+CFG = EngineConfig(n_doc_buckets=8, block_size=16)
+COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+def test_streamed_appends_are_searchable(spark, tmp_path_factory):
+    base_dir = tmp_path_factory.mktemp("stream")
+    root = str(base_dir / "idx")
+    inbox = str(base_dir / "inbox")
+    ckpt = str(base_dir / "ckpt")
+    os.makedirs(inbox)
+
+    # base index: 100 docs
+    full = synthetic_corpus_pdf(180, seed=23)[COLS]
+    base_pdf, delta1, delta2 = full.iloc[:100], full.iloc[100:150], full.iloc[150:]
+    build_index_resumable(spark, spark.createDataFrame(base_pdf), root, CFG)
+
+    # a marker term that exists only in streamed docs
+    delta2 = delta2.copy()
+    delta2.iloc[0, COLS.index("content")] += " streamed_marker_term streamed_marker_term"
+
+    spark.createDataFrame(delta1).coalesce(1).write.parquet(inbox, mode="append")
+    spark.createDataFrame(delta2).coalesce(1).write.parquet(inbox, mode="append")
+
+    q = stream_index_updates(spark, inbox, root, ckpt, CFG, available_now=True)
+    q.awaitTermination(300)
+
+    # the admission filter (min 8 bytes) drops the generator's tiny docs
+    n_admitted = int((full["content"].str.encode("utf-8").str.len() >= 8).sum())
+    idx = open_index(spark, root)
+    assert idx.n_docs == n_admitted
+    # docids unique across base + deltas
+    assert idx.docs.select("docid").distinct().count() == n_admitted
+
+    # the streamed-only term is retrievable through the full WAND path
+    qterms = parse_queries(spark, ["streamed_marker_term"], CFG)
+    hits = wand_topk(spark, idx, qterms, 5, CFG).collect()
+    assert len(hits) == 1
+
+    # dictionary df matches an independent recount over the merged docs
+    from information_retrieval_spark.functions.analyzer import tokenize_expr
+
+    recount = (
+        idx.docs.select("docid", F.explode(tokenize_expr("content", CFG)).alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct("docid").alias("df"))
+    )
+    want = {r["term"]: r["df"] for r in recount.collect()}
+    got = {r["term"]: r["df"] for r in idx.dictionary.select("term", "df").collect()}
+    assert got == want
+
+    # manifest recorded the stream batches with lineage
+    m = read_manifest(spark, root)
+    stream_rows = m.filter(F.col("stage") == "stream").collect()
+    assert len(stream_rows) >= 1
+    assert all(r["status"] == "complete" for r in stream_rows)
+
+    # exactly-once: re-running the drained stream appends nothing
+    q2 = stream_index_updates(spark, inbox, root, ckpt, CFG, available_now=True)
+    q2.awaitTermination(300)
+    assert open_index(spark, root).n_docs == n_admitted
