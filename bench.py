@@ -42,7 +42,7 @@ from __spark_entry__ import QUERY_SET, TOP_K
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING = os.environ.get("IR_BENCH_SCALING", "1") != "0"
-AMP = int(os.environ.get("IR_BENCH_AMP", "1200"))  # scaling-corpus amplification
+AMP = int(os.environ.get("IR_BENCH_AMP", "400"))   # scaling-corpus amplification
 REPS = int(os.environ.get("IR_BENCH_REPS", "2"))   # timed reps per scaling arm
 # At 10^12-doc scale n_doc_buckets would be ~2^16 (SURVEY.md B1); it is the
 # parallelism floor of the whole pipeline (docID window, SPIMI input, encode
@@ -141,6 +141,33 @@ def hw_calibration() -> dict:
     }
 
 
+def _prepare_scaling_corpus() -> str:
+    """Write the amplified corpus to parquet once (reused across arms and
+    bench runs); both arms read identical input files."""
+    path = f"/tmp/ir_bench_corpus_amp{AMP}_{os.path.basename(SF_DIR.rstrip('/'))}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        s = make_session(CPUS)
+        s.sparkContext.setLogLevel("ERROR")
+        load_corpus(s, amplify=AMP).repartition(64).write.mode("overwrite").parquet(path)
+        s.stop()
+    return path
+
+
+def run_arm(cores: int, corpus_path: str) -> None:
+    """Subprocess body: warm-up build + REPS timed builds at local[cores];
+    prints one JSON line {"build_sec": best, "n_docs": n}."""
+    s = make_session(cores)
+    s.sparkContext.setLogLevel("ERROR")
+    c = s.read.parquet(corpus_path).persist()
+    c.count()
+    cfg = EngineConfig(shuffle_partitions=2 * cores, n_doc_buckets=BUCKETS)
+    warm_up(s, c, cfg)
+    idx, sec, _ = timed_build(s, c, cfg)
+    release(idx)
+    print(json.dumps({"build_sec": round(sec, 3), "n_docs": idx.n_docs, "cores": cores}))
+    s.stop()
+
+
 def main() -> None:
     cfg = EngineConfig(shuffle_partitions=2 * CPUS, n_doc_buckets=BUCKETS)
     total_t0 = time.time()
@@ -182,28 +209,31 @@ def main() -> None:
 
     if SCALING:
         # N vs 4N parallelism on the SAME amplified input (sandbox proxy for
-        # N vs 4N executors — BASELINE.json scaling rule)
+        # N vs 4N executors — BASELINE.json scaling rule). Each arm runs in a
+        # FRESH subprocess (clean JVM — no cross-arm cache/GC/heap history),
+        # arms alternate to decorrelate host CPU-steal drift, and the best of
+        # REPS runs per arm is the sustained-throughput capability.
         hw = hw_calibration()
-        throughput = {}
-        for cores in (8, 32):
-            s = make_session(cores)
-            s.sparkContext.setLogLevel("ERROR")
-            c = load_corpus(s, amplify=AMP).repartition(2 * cores).persist()
-            c.count()
-            scfg = EngineConfig(shuffle_partitions=2 * cores, n_doc_buckets=BUCKETS)
-            warm_up(s, c, scfg)
-            # the sandbox host has visible CPU-steal noise (Firecracker VM) —
-            # take the best of REPS timed builds as the arm's sustained
-            # throughput capability
-            best, n_docs = None, 0
-            for _ in range(REPS):
-                sidx, sec, _ = timed_build(s, c, scfg)
-                release(sidx)
-                best = sec if best is None else min(best, sec)
-                n_docs = sidx.n_docs
-            throughput[cores] = n_docs / best
-            out[f"scaling_build_sec_local{cores}"] = round(best, 3)
-            s.stop()
+        corpus_path = _prepare_scaling_corpus()
+        times: dict[int, list[float]] = {8: [], 32: []}
+        n_docs_arm = 0
+        import subprocess
+
+        for _ in range(REPS):
+            for cores in (8, 32):
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--arm",
+                     str(cores), corpus_path],
+                    capture_output=True, text=True,
+                )
+                line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
+                arm = json.loads(line)
+                times[cores].append(arm["build_sec"])
+                n_docs_arm = arm["n_docs"]
+        throughput = {c: n_docs_arm / min(ts) for c, ts in times.items()}
+        for c in (8, 32):
+            out[f"scaling_build_sec_local{c}"] = round(min(times[c]), 3)
+            out[f"scaling_build_secs_local{c}_all"] = [round(t, 2) for t in times[c]]
         ratio = throughput[32] / throughput[8]
         out["scaling"] = {
             "docs_per_sec_local8": round(throughput[8], 1),
@@ -222,4 +252,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--arm":
+        run_arm(int(sys.argv[2]), sys.argv[3])
+    else:
+        main()

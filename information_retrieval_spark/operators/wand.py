@@ -238,7 +238,14 @@ def wand_topk(
     }
     avgdl, k1, b = float(index.avgdl), float(cfg.k1), float(cfg.b)
 
-    joined = index.postings.join(F.broadcast(qterms), "term")
+    # static IN-filter BEFORE the join: the term set is already known
+    # driver-side (collected for idf), so Catalyst pushes it into the
+    # Parquet scan — row-group min/max stats prune everything but the
+    # queried terms' blocks (C3 "skip pointers" at the storage layer;
+    # verified by tests/test_plans.py)
+    joined = index.postings.filter(F.col("term").isin(terms)).join(
+        F.broadcast(qterms), "term"
+    )
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return bmw_partial(pdf, idf, avgdl, k, k1, b, deleted=del_arr)

@@ -1,0 +1,70 @@
+"""Multimodal binary-column plumbing tests (schema, batching, plans, stubs)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_spark.sources.multimodal import (
+    ASSET_SCHEMA,
+    decode_image,
+    extract_byte_features,
+    plan_frame_sample,
+    plan_resize,
+    synthesize_assets,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return synthesize_assets(docs).cache()
+
+
+def test_schema_and_determinism(spark, assets):
+    assert assets.schema == ASSET_SCHEMA
+    rows = assets.orderBy("asset_id").limit(5).collect()
+    # payload deterministic given asset_id (regenerate and compare)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    again = {r["asset_id"]: bytes(r["payload"])
+             for r in synthesize_assets(docs).orderBy("asset_id").limit(5).collect()}
+    for r in rows:
+        assert bytes(r["payload"]) == again[r["asset_id"]]
+        assert r["modality"] in ("image", "audio", "video")
+    # typed metadata coherent per modality
+    img = assets.filter(F.col("modality") == "image").first()
+    assert img["meta"]["width"] > 0 and img["meta"]["sample_rate"] is None
+    aud = assets.filter(F.col("modality") == "audio").first()
+    assert aud["meta"]["sample_rate"] == 16000 and aud["meta"]["width"] is None
+
+
+def test_byte_features(assets):
+    feats = extract_byte_features(assets, dim=16).collect()
+    assert len(feats) == assets.count()
+    for r in feats[:10]:
+        v = np.asarray(r["feature"], dtype=np.float64)
+        assert v.shape == (16,)
+        assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_resize_and_frame_plans(assets):
+    resized = plan_resize(assets, max_side=48).collect()
+    assert resized
+    for r in resized:
+        assert max(r["out_width"], r["out_height"]) <= 48
+        # aspect ratio preserved within rounding
+        ar_in = r["meta"]["width"] / r["meta"]["height"]
+        ar_out = r["out_width"] / r["out_height"]
+        assert ar_out == pytest.approx(ar_in, rel=0.08)
+    sampled = plan_frame_sample(assets, every_n=5).collect()
+    assert sampled
+    for r in sampled:
+        idxs = r["sampled_frames"]
+        assert idxs[0] == 0 and all(b - a == 5 for a, b in zip(idxs, idxs[1:]))
+        assert idxs[-1] <= r["meta"]["frames"] - 1
+
+
+def test_decode_stub_raises_clearly():
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"xx", "png")

@@ -1,0 +1,71 @@
+"""Physical-plan shape assertions (SURVEY.md §4): the optimizations we rely
+on at 100 TB must actually appear in the plan, not just in comments."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.corpus import synthetic_corpus_pdf
+from information_retrieval_spark.operators.query import naive_bm25, parse_queries
+from information_retrieval_spark.operators.wand import wand_topk
+from information_retrieval_spark.sources.manifest import build_index_resumable, open_index
+
+CFG = EngineConfig(n_doc_buckets=8, block_size=16)
+
+
+@pytest.fixture(scope="module")
+def root(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("plans") / "idx")
+    pdf = synthetic_corpus_pdf(120, seed=5)[["repo", "path", "commit", "lang", "content"]]
+    build_index_resumable(spark, spark.createDataFrame(pdf), out, CFG)
+    return out
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._jdf.queryExecution().explainMode()
+    ) if False else df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_wand_term_filter_pushed_to_parquet(spark, root):
+    """The queried terms reach the postings Parquet scan as PushedFilters —
+    storage-level block skipping (C3)."""
+    idx = open_index(spark, root)
+    qterms = parse_queries(spark, ["ident_1 ident_2"], CFG)
+    plan = _plan(wand_topk(spark, idx, qterms, 5, CFG))
+    scan = plan[plan.index("Scan parquet"):]
+    pushed = scan[: scan.index("ReadSchema")]
+    assert re.search(r"PushedFilters: \[.*In\(term", pushed), pushed[:500]
+
+
+def test_wand_uses_broadcast_join(spark, root):
+    idx = open_index(spark, root)
+    qterms = parse_queries(spark, ["ident_1"], CFG)
+    plan = _plan(wand_topk(spark, idx, qterms, 5, CFG))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_naive_bm25_broadcasts_query_terms(spark):
+    pdf = synthetic_corpus_pdf(60, seed=6)[["repo", "path", "commit", "lang", "content"]]
+    corpus = spark.createDataFrame(pdf)
+    qterms = parse_queries(spark, ["ident_1 ident_2"], CFG)
+    plan = _plan(naive_bm25(corpus, qterms, CFG, k=5))
+    assert "BroadcastHashJoin" in plan
+    # no cartesian product anywhere (the stats join is a broadcast nested
+    # loop over a 1-row stats relation — fine; a CartesianProduct is not)
+    assert "CartesianProduct" not in plan
+
+
+def test_postings_scan_prunes_columns(spark, root):
+    """Column pruning: a dictionary aggregation over the postings table must
+    not read the (large) binary payload columns."""
+    idx = open_index(spark, root)
+    agg = idx.postings.groupBy("term").agg(F.sum("n").alias("df"))
+    plan = _plan(agg)
+    scan = plan[plan.index("Scan parquet"):]
+    read_schema = scan[scan.index("ReadSchema"):].splitlines()[0]
+    assert "docs_vb" not in read_schema and "tfs_vb" not in read_schema
