@@ -216,12 +216,20 @@ def wand_topk(
     k: int,
     cfg: EngineConfig | None = None,
     deleted: DataFrame | None = None,
+    mode: str = "auto",
+    local_block_limit: int = 20_000,
 ) -> DataFrame:
     """(query_id, rank, docid, score) — full BMW path over the encoded index.
 
     ``deleted``: optional (docid) DataFrame of tombstoned docs excluded on
     the fly (pre-compaction reads, SURVEY.md A4/U4); expected small — the
-    GC_THRESHOLD compaction trigger keeps it bounded."""
+    GC_THRESHOLD compaction trigger keeps it bounded.
+
+    ``mode``: 'auto' picks the driver-local path (SURVEY.md §3.3) when the
+    query's candidate blocks fit comfortably in driver memory (one pruned
+    scan job, then BMW runs in-process — interactive latency); 'distributed'
+    forces the applyInPandas path (the 10^12-doc shape); 'local' forces
+    local."""
     cfg = cfg or index.cfg
     del_arr = (
         np.sort(np.asarray([r["docid"] for r in deleted.select("docid").distinct().collect()],
@@ -231,12 +239,18 @@ def wand_topk(
     )
     # per-term idf from the dictionary — query terms are few: collect to a map
     terms = [r["term"] for r in qterms.select("term").distinct().collect()]
-    stat_rows = index.dictionary.filter(F.col("term").isin(terms)).select("term", "df").collect()
+    stat_rows = index.dictionary.filter(F.col("term").isin(terms)).select(
+        "term", "df", "n_blocks"
+    ).collect()
     idf = {
         r["term"]: float(codec.bm25_idf(float(r["df"]), float(index.n_docs)))
         for r in stat_rows
     }
     avgdl, k1, b = float(index.avgdl), float(cfg.k1), float(cfg.b)
+    est_blocks = sum(int(r["n_blocks"]) for r in stat_rows)
+    if mode == "local" or (mode == "auto" and est_blocks <= local_block_limit):
+        return _wand_topk_local(spark, index, qterms, k, idf, avgdl, k1, b,
+                                terms, del_arr)
 
     # static IN-filter BEFORE the join: the term set is already known
     # driver-side (collected for idf), so Catalyst pushes it into the
@@ -257,3 +271,38 @@ def wand_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "docid", "score")
     )
+
+
+def _wand_topk_local(
+    spark, index, qterms, k, idf, avgdl, k1, b, terms, del_arr
+) -> pd.DataFrame:
+    """Driver-local BMW (SURVEY.md §3.3): one pruned block-fetch job, then
+    the WAND loop in-process. Identical semantics to the distributed path —
+    per-bucket partials merged under the same (score DESC, docid ASC) rank."""
+    blocks = (
+        index.postings.filter(F.col("term").isin(terms))
+        .select("term", "bucket", "first_docid", "last_docid",
+                "block_max_tfnorm", "docs_vb", "tfs_vb", "dls_vb")
+        .toPandas()
+    )
+    q_pdf = qterms.toPandas()
+    rows = []
+    for qid, qgroup in q_pdf.groupby("query_id", sort=True):
+        tset = set(qgroup["term"]) & set(idf)
+        qblocks = blocks[blocks["term"].isin(tset)]
+        if qblocks.empty:
+            continue
+        collected: list[tuple[int, float]] = []
+        for _, bucket_blocks in qblocks.groupby("bucket", sort=True):
+            cursors = []
+            for term, trows in bucket_blocks.groupby("term", sort=True):
+                c = _Cursor(term, idf[term], trows, avgdl, k1, b, deleted=del_arr)
+                if not c.exhausted:
+                    cursors.append(c)
+            collected.extend(_bmw(cursors, k))
+        collected.sort(key=lambda ds: (-ds[1], ds[0]))
+        for rank, (docid, score) in enumerate(collected[:k], start=1):
+            rows.append((int(qid), rank, int(docid), float(score)))
+    out = pd.DataFrame(rows, columns=["query_id", "rank", "docid", "score"])
+    schema = "query_id int, rank int, docid long, score double"
+    return spark.createDataFrame(out, schema=schema)

@@ -125,3 +125,16 @@ def test_dictionary_df_matches_naive(spark, corpus, index):
     want = {r["term"]: r["df"] for r in tf_naive.collect()}
     got = {r["term"]: r["df"] for r in index.dictionary.select("term", "df").collect()}
     assert got == want
+
+
+def test_local_and_distributed_wand_identical(spark, corpus, index):
+    """The driver-local fast path (SURVEY.md §3.3) and the distributed
+    applyInPandas path must return identical rankings."""
+    qterms = parse_queries(spark, QUERIES, CFG).cache()
+    loc = _by_query(wand_topk(spark, index, qterms, K, CFG, mode="local").collect())
+    dist = _by_query(wand_topk(spark, index, qterms, K, CFG, mode="distributed").collect())
+    assert set(loc) == set(dist)
+    for qid in loc:
+        assert [(d, round(s, 9)) for _, d, s in loc[qid]] == [
+            (d, round(s, 9)) for _, d, s in dist[qid]
+        ]
