@@ -47,6 +47,7 @@ from information_retrieval_spark.operators.textproc import (  # noqa: E402
     duckdb_exact_dedup_sql,
     duckdb_text_stats_sql,
     exact_dedup,
+    exact_jaccard_pairs,
     lsh_near_dup_pairs,
     minhash_signatures,
     simhash,
@@ -212,6 +213,28 @@ def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(simhash(_documents(spark, sf_dir), CFG), max_hamming=3)
 
 
+def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event stats (batch form of the streaming windowed
+    aggregation in streaming/windows.py)."""
+    from information_retrieval_spark.streaming.windows import windowed_event_stats
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return windowed_event_stats(ev)
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-gram (shingle) Jaccard over all pairs of the 40 lowest
+    doc_ids — the verification stage of the near-dup pipeline, SQL-oracled."""
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 40)
+    ids = docs.select(F.col("doc_id").cast("long").alias("id"))
+    pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return exact_jaccard_pairs(docs, pairs, CFG, shingle_k=2)
+
+
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH approximate top-k (no SQL oracle — recall vs brute force is
     pytest-verified; returns the probed-bucket rerank)."""
@@ -234,12 +257,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_topk": _q_lsh_topk,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "events_window": _q_events_window,
     }
 
 
 # --------------------------------------------------------------------------
 # oracle_sql: ANSI SQL (DuckDB) equivalents over the pre-registered views
 # --------------------------------------------------------------------------
+
+def _events_window_sql() -> str:
+    from information_retrieval_spark.streaming.windows import (
+        DUCKDB_WINDOWED_EVENT_STATS_SQL,
+    )
+
+    return DUCKDB_WINDOWED_EVENT_STATS_SQL
+
 
 def oracle_sql() -> dict[str, str]:
     corpus = DOCUMENTS_AS_CORPUS_SQL
@@ -283,8 +316,26 @@ FROM tf GROUP BY term
         "bm25_topk_naive": bm25,
         "bm25_topk_wand": bm25,
         "dedup_exact": duckdb_exact_dedup_sql(),
+        "ngram_jaccard": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+  FROM documents WHERE doc_id < 40
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1])) END)
+           AS shingles
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+             / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+""",
         "text_stats": duckdb_text_stats_sql(CFG),
         "cosine_topk": duckdb_cosine_topk_sql(ANN_QVEC, TOP_K),
+        "events_window": _events_window_sql(),
         # minhash_near_dups / simhash_near_dups / lsh_topk: intentionally no
         # SQL oracle (hash-function-defined semantics); pytest verifies them
         # against exact Jaccard / brute-force cosine respectively.

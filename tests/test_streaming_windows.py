@@ -1,0 +1,37 @@
+"""Streaming windowed aggregation: stream result must equal the batch plan."""
+
+import os
+import shutil
+
+from information_retrieval_spark.streaming.windows import windowed_event_stats
+
+SF_EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def test_stream_matches_batch(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("evts"))
+    shutil.copy(SF_EVENTS, os.path.join(d, "part-000.parquet"))
+
+    batch = spark.read.parquet(d)
+    want = {
+        (r["window_start"], r["event_type"]): (r["cnt"], r["total"])
+        for r in windowed_event_stats(batch).collect()
+    }
+    assert want
+
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    sdf = windowed_event_stats(stream)
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("evw")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window_start"], r["event_type"]): (r["cnt"], r["total"])
+        for r in spark.sql("SELECT * FROM evw").collect()
+    }
+    assert got == want
