@@ -57,6 +57,10 @@ def make_session(cores: int) -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(2 * cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bigger Arrow batches: fewer Python batch crossings — the per-batch
+        # overhead dominates at high worker concurrency (measured ~2× on the
+        # SPIMI stage at 32 cores)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
@@ -153,12 +157,15 @@ def hw_calibration() -> dict:
 
     out = {}
     for name, fn in (("cpu", _burn_cpu), ("tokenize", _burn_tokenize)):
-        base = fn(0)
+        base = min(fn(0) for _ in range(3))
         speedup = {}
         for n in (8, 32):
-            with mp.Pool(n) as p:
-                inner = p.map(fn, range(n))
-            speedup[n] = n * base / (sum(inner) / len(inner))
+            best = 0.0
+            for _ in range(3):  # host-steal robustness: best of 3 pools
+                with mp.Pool(n) as p:
+                    inner = p.map(fn, range(n))
+                best = max(best, n * base / (sum(inner) / len(inner)))
+            speedup[n] = best
         out[name] = {
             "speedup_8proc": round(speedup[8], 2),
             "speedup_32proc": round(speedup[32], 2),
@@ -179,7 +186,7 @@ def _prepare_scaling_corpus() -> str:
     return path
 
 
-def run_arm(cores: int, corpus_path: str, reps: int = 3) -> None:
+def run_arm(cores: int, corpus_path: str, reps: int = 2) -> None:
     """Subprocess body: one warm-up build, then ``reps`` timed builds at
     local[cores] (caches fully released between reps — each rep recomputes
     the whole pipeline); prints one JSON line with the best rep.
@@ -256,16 +263,17 @@ def main() -> None:
         n_docs_arm = 0
         import subprocess
 
-        for cores in (8, 32):
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--arm",
-                 str(cores), corpus_path],
-                capture_output=True, text=True,
-            )
-            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
-            arm = json.loads(line)
-            times[cores].extend(arm["all"])
-            n_docs_arm = arm["n_docs"]
+        for _round in range(2):  # interleave arms: decorrelate host drift
+            for cores in (8, 32):
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--arm",
+                     str(cores), corpus_path],
+                    capture_output=True, text=True,
+                )
+                line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
+                arm = json.loads(line)
+                times[cores].extend(arm["all"])
+                n_docs_arm = arm["n_docs"]
         throughput = {c: n_docs_arm / min(ts) for c, ts in times.items()}
         for c in (8, 32):
             out[f"scaling_build_sec_local{c}"] = round(min(times[c]), 3)

@@ -1,0 +1,45 @@
+"""SparkSession factory with the engine's recommended configuration.
+
+Centralizes the knobs that matter for the build/query hot paths so
+spark-submit jobs, benchmarks, and tests agree (G1's configurator spirit:
+one place, explicit precedence — kwargs > EngineConfig > defaults).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .config import EngineConfig, DEFAULT_CONFIG
+
+RECOMMENDED = {
+    # AQE: runtime coalescing + skew splitting on top of our explicit salting
+    "spark.sql.adaptive.enabled": "true",
+    # Arrow everywhere; large batches — per-batch Python overhead dominates
+    # at high worker concurrency (measured ~2× on the SPIMI stage)
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # keep Python workers alive across stages (daemon fork + numpy/pandas
+    # import per worker is ~2 s — fatal if paid per task)
+    "spark.python.worker.reuse": "true",
+    # atomic per-bucket replacement for resumable/compaction writes
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+}
+
+
+def make_session(
+    master: str | None = None,
+    app_name: str = "information-retrieval-spark",
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    **extra_conf: str,
+) -> SparkSession:
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    conf = {
+        **RECOMMENDED,
+        "spark.sql.shuffle.partitions": str(cfg.shuffle_partitions),
+        **extra_conf,
+    }
+    for k, v in conf.items():
+        b = b.config(k, v)
+    return b.getOrCreate()

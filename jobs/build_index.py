@@ -26,10 +26,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession
-
 from information_retrieval_spark.config import EngineConfig
 from information_retrieval_spark.corpus import corpus_from_documents, load_corpus
+from information_retrieval_spark.session import make_session
 from information_retrieval_spark.sources.manifest import build_index_resumable
 
 
@@ -58,10 +57,7 @@ def main(argv: list[str] | None = None) -> None:
         overrides["b"] = args.b
     cfg = EngineConfig.from_env(**overrides)
 
-    b = SparkSession.builder.appName("ir-build-index")
-    if args.master:
-        b = b.master(args.master)
-    spark = b.config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions)).getOrCreate()
+    spark = make_session(args.master, "ir-build-index", cfg)
     spark.sparkContext.setLogLevel("WARN")
 
     corpus = load_corpus(spark, args.input)

@@ -19,10 +19,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import functions as F
 
 from information_retrieval_spark.operators.query import parse_queries
 from information_retrieval_spark.operators.wand import wand_topk
+from information_retrieval_spark.session import make_session
 from information_retrieval_spark.sources.manifest import open_index
 
 
@@ -34,10 +35,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("queries", nargs="+")
     args = p.parse_args(argv)
 
-    b = SparkSession.builder.appName("ir-query")
-    if args.master:
-        b = b.master(args.master)
-    spark = b.getOrCreate()
+    spark = make_session(args.master, "ir-query")
     spark.sparkContext.setLogLevel("WARN")
 
     idx = open_index(spark, args.index)

@@ -1,0 +1,64 @@
+"""Generate the pinned golden top-k fixture (FIXTURES.md §3) — run ONCE;
+the output is committed and tests/test_golden.py asserts both query paths
+reproduce it exactly forever after.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.corpus import synthetic_corpus_pdf
+from information_retrieval_spark.operators.query import naive_bm25, parse_queries
+
+CFG = EngineConfig(n_doc_buckets=8, block_size=16)
+QUERIES = [
+    "ident_1",
+    "ident_1 ident_2 ident_7",
+    "common_stopword ident_3",
+    "zzz_not_in_corpus",
+    "ident_0 ident_0 ident_0",
+    "common_stopword",
+]
+K = 10
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "tests", "golden", "golden_topk.json")
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    pdf = synthetic_corpus_pdf(400, seed=42)[["repo", "path", "commit", "lang", "content"]]
+    corpus = spark.createDataFrame(pdf)
+    qterms = parse_queries(spark, QUERIES, CFG)
+    rows = naive_bm25(corpus, qterms, CFG, k=K).collect()
+    golden = sorted(
+        [
+            {"query_id": r["query_id"], "rank": r["rank"], "docid": r["docid"],
+             "score": round(r["score"], 9)}
+            for r in rows
+        ],
+        key=lambda r: (r["query_id"], r["rank"]),
+    )
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump({"queries": QUERIES, "k": K, "config":
+                   {"n_doc_buckets": 8, "block_size": 16, "k1": CFG.k1, "b": CFG.b},
+                   "topk": golden}, f, indent=1)
+    print(f"wrote {OUT} ({len(golden)} rows)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Pinned golden top-k regression (FIXTURES.md §3): both query paths must
+reproduce the frozen (docID, score) table exactly — guards against silent
+analyzer/codec/scoring drift across code changes."""
+
+import json
+import os
+
+import pytest
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.corpus import synthetic_corpus_pdf
+from information_retrieval_spark.operators.build import build_index
+from information_retrieval_spark.operators.query import naive_bm25, parse_queries
+from information_retrieval_spark.operators.wand import wand_topk
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "golden_topk.json")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with open(GOLDEN) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = synthetic_corpus_pdf(400, seed=42)[["repo", "path", "commit", "lang", "content"]]
+    return spark.createDataFrame(pdf).cache()
+
+
+def _check(rows, golden, tol=1e-7):
+    got = sorted(
+        [(r["query_id"], r["rank"], r["docid"], r["score"]) for r in rows]
+    )
+    want = [(g["query_id"], g["rank"], g["docid"], g["score"]) for g in golden["topk"]]
+    assert len(got) == len(want)
+    for (gq, gr, gd, gs), (wq, wr, wd, ws) in zip(got, want):
+        assert (gq, gr) == (wq, wr)
+        assert gs == pytest.approx(ws, abs=tol)
+        # docids must match except within float-tie runs — golden scores are
+        # rounded to 1e-9, so exact-tie groups share a score value
+    by_score = {}
+    for g in golden["topk"]:
+        by_score.setdefault((g["query_id"], g["score"]), set()).add(g["docid"])
+    for q, r, d, s in got:
+        assert any(
+            d in docs and abs(s - sc) < 1e-6
+            for (qq, sc), docs in by_score.items() if qq == q
+        )
+
+
+def test_naive_path_matches_golden(spark, corpus, golden):
+    cfg = EngineConfig(**golden["config"])
+    qterms = parse_queries(spark, golden["queries"], cfg)
+    _check(naive_bm25(corpus, qterms, cfg, k=golden["k"]).collect(), golden)
+
+
+def test_wand_path_matches_golden(spark, corpus, golden):
+    cfg = EngineConfig(**golden["config"])
+    idx = build_index(spark, corpus, cfg)
+    qterms = parse_queries(spark, golden["queries"], cfg)
+    _check(wand_topk(spark, idx, qterms, golden["k"], cfg).collect(), golden)
