@@ -36,7 +36,7 @@ def test_wand_term_filter_pushed_to_parquet(spark, root):
     storage-level block skipping (C3)."""
     idx = open_index(spark, root)
     qterms = parse_queries(spark, ["ident_1 ident_2"], CFG)
-    plan = _plan(wand_topk(spark, idx, qterms, 5, CFG))
+    plan = _plan(wand_topk(spark, idx, qterms, 5, CFG, mode="distributed"))
     scan = plan[plan.index("Scan parquet"):]
     pushed = scan[: scan.index("ReadSchema")]
     assert re.search(r"PushedFilters: \[.*In\(term", pushed), pushed[:500]
@@ -45,7 +45,7 @@ def test_wand_term_filter_pushed_to_parquet(spark, root):
 def test_wand_uses_broadcast_join(spark, root):
     idx = open_index(spark, root)
     qterms = parse_queries(spark, ["ident_1"], CFG)
-    plan = _plan(wand_topk(spark, idx, qterms, 5, CFG))
+    plan = _plan(wand_topk(spark, idx, qterms, 5, CFG, mode="distributed"))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
