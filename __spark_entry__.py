@@ -37,7 +37,9 @@ from information_retrieval_spark.operators.build import (  # noqa: E402
 )
 from information_retrieval_spark.operators.docids import duckdb_docid_sql  # noqa: E402
 from information_retrieval_spark.operators.query import (  # noqa: E402
+    conjunctive_match,
     duckdb_bm25_sql,
+    duckdb_conjunctive_sql,
     duckdb_tok,
     naive_bm25,
     parse_queries,
@@ -213,6 +215,12 @@ def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(simhash(_documents(spark, sf_dir), CFG), max_hamming=3)
 
 
+def _q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-AND (conjunctive) retrieval: docs containing every query term."""
+    qterms = parse_queries(spark, QUERY_SET, CFG)
+    return conjunctive_match(_corpus(spark, sf_dir), qterms, CFG)
+
+
 def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event stats (batch form of the streaming windowed
     aggregation in streaming/windows.py)."""
@@ -259,6 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _q_lsh_topk,
         "ngram_jaccard": _q_ngram_jaccard,
         "events_window": _q_events_window,
+        "boolean_and": _q_boolean_and,
     }
 
 
@@ -336,6 +345,7 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         "text_stats": duckdb_text_stats_sql(CFG),
         "cosine_topk": duckdb_cosine_topk_sql(ANN_QVEC, TOP_K),
         "events_window": _events_window_sql(),
+        "boolean_and": duckdb_conjunctive_sql(corpus, QUERY_SET, CFG),
         # minhash_near_dups / simhash_near_dups / lsh_topk: intentionally no
         # SQL oracle (hash-function-defined semantics); pytest verifies them
         # against exact Jaccard / brute-force cosine respectively.

@@ -102,6 +102,51 @@ def naive_bm25(
     )
 
 
+def conjunctive_match(
+    corpus: DataFrame, qterms: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Boolean-AND retrieval: (query_id, docid) for docs containing EVERY
+    analyzed term of the query. Posting-list intersection expressed as a
+    count-match aggregation — one broadcast join + one hash agg; Catalyst
+    turns the per-term lists into a semi-join-shaped plan with map-side
+    partials (no WAND machinery needed for pure conjunctions)."""
+    docs = build_docs_table(corpus, cfg)
+    terms_per_q = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("nq"))
+    hits = (
+        docs.select("docid", F.explode(F.array_distinct(tokenize_expr("content", cfg))).alias("term"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "docid")
+        .agg(F.count(F.lit(1)).alias("nmatch"))
+        .join(F.broadcast(terms_per_q), "query_id")
+        .filter(F.col("nmatch") == F.col("nq"))
+        .select("query_id", "docid")
+    )
+    return hits
+
+
+def duckdb_conjunctive_sql(
+    corpus_sql: str, queries: list[str], cfg: EngineConfig = DEFAULT_CONFIG
+) -> str:
+    qvalues = ", ".join(f"({i}, '{q}')" for i, q in enumerate(queries))
+    return f"""
+WITH ids AS ({duckdb_docid_sql(corpus_sql, cfg)}),
+doc_terms AS (
+  SELECT DISTINCT docid, unnest({duckdb_tok('content', cfg)}) AS term FROM ids
+),
+q AS (
+  SELECT DISTINCT query_id, unnest({duckdb_tok('text', cfg)}) AS term
+  FROM (VALUES {qvalues}) AS queries(query_id, text)
+),
+nq AS (SELECT query_id, count(*) AS n FROM q GROUP BY query_id)
+SELECT d.query_id, d.docid FROM (
+  SELECT q.query_id, dt.docid, count(*) AS nmatch
+  FROM doc_terms dt JOIN q USING (term)
+  GROUP BY q.query_id, dt.docid
+) d JOIN nq USING (query_id)
+WHERE d.nmatch = nq.n
+"""
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracle SQL — the same computation in ANSI SQL over the same corpus
 # relation. Used by __spark_entry__.oracle_sql(); kept here so engine and
