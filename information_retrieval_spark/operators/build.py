@@ -53,18 +53,20 @@ from .docids import admission_filter, assign_docids
 # One row per (term, bucket) per SPIMI flush — a partition-local sorted run.
 # Shuffle row count is ~|vocab| × partitions × flushes, NOT ~|postings|:
 # at 10^12 docs the (term, docid, tf) posting stream is ~10^13 rows, but run
-# rows stay ~10^8. Payloads are opaque BINARY (raw little-endian arrays:
-# docids int64, tfs/dls int32) so the merge shuffle moves memcpy-able blobs —
-# no per-element JVM row conversion anywhere between the two Python stages
-# (SURVEY.md B3/B5 scale note).
+# rows stay ~10^8. Payloads are opaque BINARY, already delta-gap + VByte
+# compressed at flush time (docids as in-run gaps, tfs/dls as plain VByte) —
+# the merge shuffle and both Arrow crossings move ~4× fewer bytes than raw
+# int64/int32 arrays, and the JVM never touches an element (SURVEY.md
+# B3/B5 scale note; this matters because the sandbox profile shows the
+# pipeline is memory-bandwidth-bound, not CPU-bound).
 RUNS_SCHEMA = StructType(
     [
         StructField("term", StringType(), False),
         StructField("bucket", IntegerType(), False),
         StructField("n", IntegerType(), False),
-        StructField("docs_raw", BinaryType(), False),
-        StructField("tfs_raw", BinaryType(), False),
-        StructField("dls_raw", BinaryType(), False),
+        StructField("docs_vb", BinaryType(), False),
+        StructField("tfs_vb", BinaryType(), False),
+        StructField("dls_vb", BinaryType(), False),
     ]
 )
 
@@ -147,18 +149,26 @@ def spimi_emit(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame
         # within a term because bucket = docid high bits)
         cut = np.flatnonzero((c[1:] != c[:-1]) | (b[1:] != b[:-1])) + 1
         starts = np.concatenate(([0], cut))
+        ends = np.append(cut, d.size)
         t = t[c]
-        d_b, tf_b, dl_b = d.tobytes(), tf.tobytes(), dl.tobytes()
-        lo8, hi8 = starts * 8, np.append(cut, d.size) * 8
-        lo4, hi4 = starts * 4, np.append(cut, d.size) * 4
+        # delta-gap with an absolute value at every run start, one VByte pass
+        # over the whole flush, then per-run byte slicing (same byte-plane
+        # trick as codec.encode_blocks — no per-run numpy calls)
+        gaps = np.empty(d.size, dtype=np.int64)
+        gaps[0] = d[0]
+        np.subtract(d[1:], d[:-1], out=gaps[1:])
+        gaps[starts] = d[starts]
+        enc_d, off_d = codec._vbyte_encode_offsets(gaps.astype(np.uint64))
+        enc_t, off_t = codec._vbyte_encode_offsets(tf.astype(np.uint64))
+        enc_l, off_l = codec._vbyte_encode_offsets(dl.astype(np.uint64))
         return pd.DataFrame(
             {
                 "term": t[starts],
                 "bucket": b[starts],
-                "n": (np.append(cut, d.size) - starts).astype(np.int32),
-                "docs_raw": [d_b[l:h] for l, h in zip(lo8, hi8)],
-                "tfs_raw": [tf_b[l:h] for l, h in zip(lo4, hi4)],
-                "dls_raw": [dl_b[l:h] for l, h in zip(lo4, hi4)],
+                "n": (ends - starts).astype(np.int32),
+                "docs_vb": [enc_d[off_d[l]:off_d[h]] for l, h in zip(starts, ends)],
+                "tfs_vb": [enc_t[off_t[l]:off_t[h]] for l, h in zip(starts, ends)],
+                "dls_vb": [enc_l[off_l[l]:off_l[h]] for l, h in zip(starts, ends)],
             }
         )
 
@@ -225,14 +235,14 @@ def spimi_postings(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataF
                 {
                     "term": np.repeat(pdf["term"].to_numpy(object), n),
                     "docid": np.concatenate(
-                        [np.frombuffer(x, "<i8") for x in pdf["docs_raw"]]
+                        [codec.delta_decode(codec.vbyte_decode(x)) for x in pdf["docs_vb"]]
                     ),
                     "bucket": np.repeat(pdf["bucket"].to_numpy(np.int32), n),
                     "tf": np.concatenate(
-                        [np.frombuffer(x, "<i4") for x in pdf["tfs_raw"]]
+                        [codec.vbyte_decode(x).astype(np.int64) for x in pdf["tfs_vb"]]
                     ),
                     "dl": np.concatenate(
-                        [np.frombuffer(x, "<i4") for x in pdf["dls_raw"]]
+                        [codec.vbyte_decode(x).astype(np.int64) for x in pdf["dls_vb"]]
                     ),
                 }
             )
@@ -252,11 +262,12 @@ def encode_postings(
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
         term, bucket = key
-        # k-way merge of this group's sorted runs: concat + one argsort
-        # (docids are globally unique, so a plain sort is an exact merge)
-        d = np.concatenate([np.frombuffer(a, "<i8") for a in pdf["docs_raw"]]).astype(np.int64)
-        t = np.concatenate([np.frombuffer(a, "<i4") for a in pdf["tfs_raw"]]).astype(np.int64)
-        l = np.concatenate([np.frombuffer(a, "<i4") for a in pdf["dls_raw"]]).astype(np.int64)
+        # k-way merge of this group's sorted runs: decode (vectorized per
+        # run) + concat + one argsort (docids are globally unique, so a
+        # plain sort is an exact merge)
+        d = np.concatenate([codec.delta_decode(codec.vbyte_decode(a)) for a in pdf["docs_vb"]])
+        t = np.concatenate([codec.vbyte_decode(a) for a in pdf["tfs_vb"]]).astype(np.int64)
+        l = np.concatenate([codec.vbyte_decode(a) for a in pdf["dls_vb"]]).astype(np.int64)
         order = np.argsort(d, kind="stable")
         d, t, l = d[order], t[order], l[order]
         blocks = codec.encode_blocks(
