@@ -215,6 +215,22 @@ def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(simhash(_documents(spark, sf_dir), CFG), max_hamming=3)
 
 
+def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: parse the events.props JSON payload and
+    aggregate — F.get_json_object stays JVM-side (codegen)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
 def _q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean-AND (conjunctive) retrieval: docs containing every query term."""
     qterms = parse_queries(spark, QUERY_SET, CFG)
@@ -268,6 +284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "events_window": _q_events_window,
         "boolean_and": _q_boolean_and,
+        "events_json": _q_events_json,
     }
 
 
@@ -346,6 +363,13 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         "cosine_topk": duckdb_cosine_topk_sql(ANN_QVEC, TOP_K),
         "events_window": _events_window_sql(),
         "boolean_and": duckdb_conjunctive_sql(corpus, QUERY_SET, CFG),
+        "events_json": """
+SELECT event_type,
+       count(*) AS cnt,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY event_type
+""",
         # minhash_near_dups / simhash_near_dups / lsh_topk: intentionally no
         # SQL oracle (hash-function-defined semantics); pytest verifies them
         # against exact Jaccard / brute-force cosine respectively.

@@ -5,11 +5,14 @@ at ``// TODO FileManager実装から``, /root/reference/index/index.cc:161) as t
 Spark passes (SURVEY.md §3.2):
 
 PASS 1 (B2/B3): ``mapInPandas`` SPIMI emitter over corpus partitions —
-  tokenize (pandas, Arrow-batched), per-doc tf aggregation, flush runs when
-  the in-memory budget exceeds ``spimi_budget_bytes`` (the reference's 40 MB
-  MAX_UPDATE_SPACE contract, /root/reference/index/index.h:27-29).
-  Emits (term, docid, bucket, tf, dl) — mode-2 document-level postings
-  (/root/reference/index/index.h:51-58; SURVEY.md §1.4).
+  tokenize (pandas, Arrow-batched), per-doc tf aggregation (mode-2
+  document-level postings, /root/reference/index/index.h:51-58; SURVEY.md
+  §1.4), flush when the in-memory budget exceeds ``spimi_budget_bytes``
+  (the reference's 40 MB MAX_UPDATE_SPACE contract,
+  /root/reference/index/index.h:27-29). Each flush emits RUN rows —
+  (term, bucket) keyed, docid-sorted, delta-gap+VByte-compressed binary
+  payloads — so the shuffle carries ~|vocab|·partitions rows of compact
+  bytes, never per-posting rows.
 
 PASS 2 (B4/B5, C1-C4): one shuffle keyed by (term, bucket) — the *salted*
   repartitioning that absorbs stopword skew: a term occurring in every doc is
@@ -118,14 +121,15 @@ def build_docs_table(corpus: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> D
 
 def spimi_emit(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
     """PASS 1: (docid, content) → sorted partition-local runs
-    (term, bucket, docids[], tfs[], dls[]).
+    (term, bucket, n, docs_vb, tfs_vb, dls_vb).
 
     Vectorized end-to-end: regex findall over the whole Arrow batch,
-    np.repeat explode, one C-level hash groupby for per-doc tf; postings
-    accumulate until the SPIMI byte budget (the reference's 40 MB
-    MAX_UPDATE_SPACE contract) and each flush emits term-grouped,
-    docid-sorted run rows — array payloads, so the downstream merge
-    shuffle moves ~|vocab|·partitions rows instead of ~|postings| rows.
+    integer-coded run-length tf aggregation, one lexsort per flush, one
+    byte-plane VByte pass per flush; postings accumulate until the SPIMI
+    byte budget (the reference's 40 MB MAX_UPDATE_SPACE contract) and each
+    flush emits term-grouped, docid-sorted, compressed run rows — the
+    downstream merge shuffle moves ~|vocab|·partitions compact binary rows
+    instead of ~|postings| rows.
     """
     budget = cfg.spimi_budget_bytes
     token_cfg = cfg
