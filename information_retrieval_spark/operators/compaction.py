@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import EngineConfig, DEFAULT_CONFIG
 from ..functions import codec
+from ..functions.analyzer import tokenize_expr
 from .build import POSTINGS_SCHEMA, InvertedIndex, build_dictionary
 
 # reference thresholds, /root/reference/index/index.cc:42-43, index.h:96-98
@@ -71,10 +72,16 @@ def gc_stats(spark: SparkSession, index: InvertedIndex, root: str) -> dict:
     if n_deleted_docs == 0 or total_postings == 0:
         dead = 0
     else:
-        # dead postings = postings of deleted docs ≈ sum of their doc lengths
+        # dead postings in the SAME unit as total_postings = sum(df), i.e.
+        # distinct (term, doc) pairs: per deleted doc that is its count of
+        # distinct terms, NOT its token count (sum(doc_len) overestimates by
+        # the average tf and made the 0.40/0.25 thresholds fire early)
+        n_distinct_terms = F.array_size(
+            F.array_distinct(tokenize_expr(F.col("content"), index.cfg))
+        )
         dead = int(
             index.docs.join(F.broadcast(deleted), "docid")
-            .agg(F.sum("doc_len").alias("s"))
+            .agg(F.sum(n_distinct_terms).alias("s"))
             .collect()[0]["s"]
             or 0
         )
@@ -155,8 +162,7 @@ def compact_index(
     affected = sorted(
         r["b"]
         for r in deleted.select(
-            (F.col("docid").bitwiseAND(F.lit(-1)) / F.lit(1 << shift))
-            .cast("long").alias("b")
+            F.shiftright(F.col("docid"), shift).alias("b")
         ).distinct().collect()
     )
     affected = [int(b) for b in affected]

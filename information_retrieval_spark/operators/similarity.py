@@ -54,17 +54,25 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(rank, vec_id, sim) — exact cosine top-k, deterministic tie-break
-    (sim DESC, id ASC). All JVM-side; no Python in the scan."""
+    (sim DESC, id ASC). All JVM-side; no Python in the scan.
+
+    Plan shape (asserted in tests/test_plans.py): ``orderBy(...).limit(k)``
+    compiles to ``TakeOrderedAndProject`` — each partition keeps its own
+    top-k heap and only ≤ k rows per partition reach the driver-side merge.
+    The previous formulation (a global ``row_number`` Window with no
+    partition key) forced *every* scored row through one task; at 10^9
+    vectors that single sort is the whole job. The rank column is assigned
+    afterwards over the ≤ k surviving rows only.
+    """
     q = _qlit(qvec)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     sim = F.round(_dot(v, q) / (_norm(v) * _norm(q)), 6)
     scored = embs.select(F.col(id_col).cast("long").alias("vec_id"), sim.alias("sim"))
+    topk = scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k)
+    # rank over ≤ k rows — the Window here is bounded by the limit above,
+    # never by the input cardinality
     w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "vec_id", "sim")
-    )
+    return topk.withColumn("rank", F.row_number().over(w)).select("rank", "vec_id", "sim")
 
 
 def duckdb_cosine_topk_sql(

@@ -231,16 +231,30 @@ def lsh_near_dup_pairs(
     n_bands: int = 32,
     threshold: float = 0.7,
     max_bucket: int = 1000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Banded LSH over minhash signatures → verified candidate pairs
     (id_a < id_b, est_jaccard >= threshold).
 
     Dataflow: explode signature into n_bands (band, band_hash) rows →
-    shuffle on (band, band_hash) → per-bucket pair emit (bucket size capped:
-    a degenerate bucket of near-identical boilerplate would otherwise emit
-    O(n²) pairs — the cap is this operator's skew guard) → distinct pairs →
+    shuffle on (band, band_hash) → per-bucket pair emit → distinct pairs →
     exact signature-agreement estimate of Jaccard.
+
+    Skew guard WITHOUT recall loss: buckets up to ``max_bucket`` members emit
+    the full O(n²) triangle; a degenerate bucket beyond that (boilerplate
+    replicated across a corpus) switches to a STAR — every member paired with
+    the bucket keeper (min id), O(n) rows. For connected-component dedup the
+    star keeps the whole cluster connected, so no duplicate escapes; only
+    non-keeper-adjacent pair edges are elided. Oversize occurrences are
+    counted into ``stats['oversize_bucket_members']`` (a Spark accumulator —
+    read ``.value`` after an action) so truncation is observable, never
+    silent.
     """
+    if stats is not None:
+        acc = signatures.sparkSession.sparkContext.accumulator(0)
+        stats["oversize_bucket_members"] = acc
+    else:
+        acc = None
     n_hashes = None  # inferred per row
     rows_per_band = F.floor(F.array_size("sig") / n_bands).cast("int")
     banded = signatures.select(
@@ -263,9 +277,14 @@ def lsh_near_dup_pairs(
     )
 
     def emit_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(pdf["id"].to_numpy(np.int64))[:max_bucket]
+        ids = np.unique(pdf["id"].to_numpy(np.int64))
         if ids.size < 2:
             return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
+        if ids.size > max_bucket:
+            # star to the keeper: O(n) edges, cluster stays connected
+            if acc is not None:
+                acc.add(int(ids.size))
+            return pd.DataFrame({"id_a": np.full(ids.size - 1, ids[0]), "id_b": ids[1:]})
         ia, ib = np.triu_indices(ids.size, k=1)
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 

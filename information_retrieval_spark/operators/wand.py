@@ -215,6 +215,24 @@ def bmw_partial(
     )
 
 
+def _collect_small_set(df: DataFrame | None, name: str, cap: int) -> np.ndarray | None:
+    """Collect a (docid) DataFrame under the small-set contract: a capped
+    ``limit(cap + 1)`` collect (one bounded job — never an unbounded pull)
+    that raises with the fold-into-scan alternative when the cap is hit."""
+    if df is None:
+        return None
+    rows = df.select("docid").distinct().limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"wand_topk: '{name}' set exceeds small_set_cap={cap}; this list "
+            "is collected to every cursor, so a corpus-sized set must instead "
+            "be folded into the scan (pre-filter docs / use "
+            "security.secure_semi_join before ranking) or the cap raised "
+            "explicitly"
+        )
+    return np.sort(np.asarray([r["docid"] for r in rows], dtype=np.int64))
+
+
 def wand_topk(
     spark: SparkSession,
     index: InvertedIndex,
@@ -225,6 +243,7 @@ def wand_topk(
     allowed: DataFrame | None = None,
     mode: str = "auto",
     local_block_limit: int = 20_000,
+    small_set_cap: int = 2_000_000,
 ) -> DataFrame:
     """(query_id, rank, docid, score) — full BMW path over the encoded index.
 
@@ -236,22 +255,18 @@ def wand_topk(
     query's candidate blocks fit comfortably in driver memory (one pruned
     scan job, then BMW runs in-process — interactive latency); 'distributed'
     forces the applyInPandas path (the 10^12-doc shape); 'local' forces
-    local."""
+    local.
+
+    ``small_set_cap``: hard bound on the ``deleted``/``allowed`` driver
+    collects. Both are small-set contracts (deletions are bounded by the GC
+    trigger; an ACL keep-list should be folded into the docs scan when it is
+    corpus-sized) — the cap makes a contract violation fail loudly instead
+    of silently OOMing the driver."""
     cfg = cfg or index.cfg
-    del_arr = (
-        np.sort(np.asarray([r["docid"] for r in deleted.select("docid").distinct().collect()],
-                           dtype=np.int64))
-        if deleted is not None
-        else None
-    )
+    del_arr = _collect_small_set(deleted, "deleted", small_set_cap)
     # per-user visibility keep-list (security.py F1). Small-set contract as
     # with deletions; at 10^12 scale fold permissions into the docs scan.
-    allowed_arr = (
-        np.sort(np.asarray([r["docid"] for r in allowed.select("docid").distinct().collect()],
-                           dtype=np.int64))
-        if allowed is not None
-        else None
-    )
+    allowed_arr = _collect_small_set(allowed, "allowed", small_set_cap)
     # per-term idf from the dictionary — query terms are few: collect to a map
     terms = [r["term"] for r in qterms.select("term").distinct().collect()]
     stat_rows = index.dictionary.filter(F.col("term").isin(terms)).select(

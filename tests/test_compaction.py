@@ -81,3 +81,20 @@ def test_gc_stats_and_compact(spark, root):
     # dictionary df shrank for the victim's terms
     total_df = idx2.dictionary.agg(F.sum("df")).collect()[0][0]
     assert total_df < total_df_before
+
+
+def test_wand_small_set_cap_guard(spark, root):
+    """The deleted/allowed driver collect fails loudly past the cap instead
+    of OOMing the driver (ADVICE r1)."""
+    import pytest as _pytest
+    from information_retrieval_spark.operators.query import parse_queries
+    from information_retrieval_spark.operators.wand import wand_topk
+    from information_retrieval_spark.sources.manifest import open_index
+
+    idx = open_index(spark, root)
+    qterms = parse_queries(spark, ["ident_1"], idx.cfg)
+    big = spark.range(10).select(F.col("id").alias("docid"))
+    with _pytest.raises(ValueError, match="small_set_cap"):
+        wand_topk(spark, idx, qterms, 5, idx.cfg, deleted=big, small_set_cap=5)
+    with _pytest.raises(ValueError, match="small_set_cap"):
+        wand_topk(spark, idx, qterms, 5, idx.cfg, allowed=big, small_set_cap=5)

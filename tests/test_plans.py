@@ -69,3 +69,24 @@ def test_postings_scan_prunes_columns(spark, root):
     scan = plan[plan.index("Scan parquet"):]
     read_schema = scan[scan.index("ReadSchema"):].splitlines()[0]
     assert "docs_vb" not in read_schema and "tfs_vb" not in read_schema
+
+
+def test_cosine_topk_is_take_ordered_not_global_window(spark):
+    """Exact cosine top-k must compile to TakeOrderedAndProject (per-partition
+    top-k heaps + driver merge of <= k rows each), NOT a single-task global
+    Window sort of every scored row (VERDICT r1 #2)."""
+    import numpy as np
+    from information_retrieval_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(0)
+    pdf = __import__("pandas").DataFrame(
+        {"vec_id": range(64), "embedding": [rng.standard_normal(8).tolist() for _ in range(64)]}
+    )
+    embs = spark.createDataFrame(pdf)
+    df = cosine_topk(embs, rng.standard_normal(8).tolist(), 5)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    # the only Window in the plan ranks the <= k post-limit rows: it must sit
+    # ABOVE the TakeOrderedAndProject, never below it (driving the full scan)
+    if "Window" in plan:
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan[:800]

@@ -106,3 +106,22 @@ def test_winnow_overlap(spark, docs):
     inter_near = len(fps[0] & fps[2]) / len(fps[0] | fps[2])
     inter_far = len(fps[0] & fps[3]) / max(len(fps[0] | fps[3]), 1)
     assert inter_near > inter_far
+
+
+def test_lsh_oversize_bucket_star_emit(spark):
+    """A degenerate bucket (2,500 identical docs, max_bucket=100) must NOT
+    silently drop members: the star-emit pairs every member with the bucket
+    keeper, so connected-component dedup still collapses the whole cluster,
+    and the truncation accumulator reports it."""
+    n = 2500
+    pdf = pd.DataFrame({"doc_id": range(n), "text": ["same boilerplate text everywhere"] * n})
+    sigs = minhash_signatures(spark.createDataFrame(pdf), CFG, n_hashes=16)
+    stats: dict = {}
+    pairs = lsh_near_dup_pairs(
+        sigs, n_bands=4, threshold=0.9, max_bucket=100, stats=stats
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # every member is connected to keeper 0
+    assert got == {(0, j) for j in range(1, n)}
+    assert all(r["est_jaccard"] == 1.0 for r in pairs)
+    assert stats["oversize_bucket_members"].value > 0
