@@ -176,14 +176,102 @@ def _perm_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingle_hashes(tokens: list, k: int) -> np.ndarray:
-    """Stable uint64 hashes of the k-token shingles of one doc (SipHash via
-    pandas.util.hash_array — deterministic across processes)."""
-    if len(tokens) < k:
-        joined = [" ".join(tokens)] if tokens else [""]
-    else:
-        joined = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
-    return np.unique(pd.util.hash_array(np.asarray(joined, dtype=object)))
+# Horner multiplier for combining per-token hashes into shingle hashes —
+# odd 64-bit golden-ratio constant (splitmix64's increment, public domain).
+_SHINGLE_P = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _token_hashes(toks: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(flat token hashes uint64, per-doc lens) for an Arrow batch.
+
+    ONE ``factorize`` over the flattened tokens + ONE SipHash pass over the
+    *unique* terms (each distinct term hashed once per batch, not once per
+    occurrence): the only object-dtype work in the signature operators.
+    """
+    lens = toks.str.len().to_numpy(np.int64)
+    if lens.sum() == 0:
+        return np.empty(0, dtype=np.uint64), lens
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+    codes, uniques = pd.factorize(flat, sort=False)
+    h_u = pd.util.hash_array(
+        uniques.to_numpy() if hasattr(uniques, "to_numpy")
+        else np.asarray(uniques, dtype=object)
+    )
+    return h_u.astype(np.uint64)[codes], lens
+
+
+def _shingle_hashes_from_tokens(th: np.ndarray, k: int) -> np.ndarray:
+    """uint64 shingle hashes of ONE doc's token-hash array (per-doc reference
+    semantics — the batch path in ``_batch_shingle_hashes`` must stay
+    bit-identical, pinned by tests/test_textproc.py).
+
+    Shingle hash = Horner combine ``((h_0·P + h_1)·P + h_2)...`` over the
+    window's token hashes, wrapping uint64. A doc shorter than ``k`` tokens
+    contributes one shingle over all its tokens; an empty doc the single
+    hash 0.
+    """
+    n = th.size
+    if n == 0:
+        return np.zeros(1, dtype=np.uint64)
+    m = min(k, n)
+    n_win = n - m + 1
+    acc = th[:n_win].copy()
+    for j in range(1, m):
+        acc *= _SHINGLE_P
+        acc += th[j : n_win + j]
+    return acc
+
+
+def _batch_shingle_hashes(toks: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All k-token shingle hashes of an Arrow batch, doc-major, with per-doc
+    counts — no per-document Python loop and NO shingle string construction
+    (VERDICT r1 #3: per-doc join+hash loops dominated signature cost; the
+    Horner combine over token hashes is pure vectorized uint64 arithmetic).
+    """
+    th, lens = _token_hashes(toks)
+    n_docs = lens.size
+    counts = np.where(lens >= k, lens - k + 1, 1)
+    out = np.zeros(int(counts.sum()), dtype=np.uint64)
+    if n_docs == 0 or th.size == 0:
+        return out, counts
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    out_off = np.concatenate(([0], np.cumsum(counts)))
+    long_mask = lens >= k
+
+    if long_mask.any() and th.size >= k:
+        # Horner over k shifted views of the whole flat array; windows that
+        # cross a doc boundary are computed and discarded (k-1 per doc)
+        n_win = th.size - k + 1
+        acc = th[:n_win].copy()
+        for j in range(1, k):
+            acc *= _SHINGLE_P
+            acc += th[j : n_win + j]
+        idx = _ranges(offsets[:-1][long_mask], counts[long_mask])
+        out[_ranges(out_off[:-1][long_mask], counts[long_mask])] = acc[idx]
+
+    # docs with 1..k-1 tokens: group by exact length m, Horner over an
+    # (n_m × m) matrix per length — k-1 vectorized passes, no per-doc work
+    for m in range(1, k):
+        mask_m = lens == m
+        if not mask_m.any():
+            continue
+        mat = th[_ranges(offsets[:-1][mask_m], lens[mask_m])].reshape(-1, m)
+        acc = mat[:, 0].copy()
+        for j in range(1, m):
+            acc *= _SHINGLE_P
+            acc += mat[:, j]
+        out[out_off[:-1][mask_m]] = acc
+    return out, counts
+
+
+def _ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Vectorized concatenation of ``[arange(s, s+c) for s, c in ...]``."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    rep_starts = np.repeat(starts.astype(np.int64), counts)
+    cum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return rep_starts + (np.arange(total, dtype=np.int64) - np.repeat(cum, counts))
 
 
 def minhash_signatures(
@@ -196,9 +284,104 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, sig array<long>[n_hashes]) — vectorized per Arrow batch: one
-    (n_shingles × n_hashes) broadcastless NumPy min-reduce per doc."""
+    """(id, sig array<long>[n_hashes]) — fully batch-vectorized: ONE
+    factorize + ONE SipHash over unique terms, Horner shingle hashes, and
+    chunked ``np.minimum.reduceat`` min-reduces per Arrow batch (flatten +
+    offsets — the same pattern as the SPIMI emitter; no per-document Python
+    loop, no shingle string construction). Duplicate shingles within a doc
+    are left in place: the min over the permuted hashes is unchanged by
+    duplicates, so the output is identical to the per-doc reference
+    formulation (pinned by tests/test_textproc.py)."""
     a, b = _perm_params(n_hashes, seed)
+
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("sig", ArrayType(LongType(), False), False),
+        ]
+    )
+    # doc-aligned chunks sized so the (n_hashes × rows) work buffer stays
+    # L3-resident (~16 MB): measured 25× faster than one huge pass — the
+    # big-temporary formulation spends its time page-faulting fresh 100 MB+
+    # allocations, not computing. Hash-major (transposed) layout makes each
+    # reduceat segment contiguous, ~1.7× faster than shingle-major.
+    chunk_rows = max(64, (1 << 24) // (max(n_hashes, 1) * 8))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            toks = tokenize_series(pdf[text_col], cfg)
+            sig_mat = _minhash_kernel(toks, a, b, shingle_k, chunk_rows)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].astype("int64").to_numpy(), "sig": list(sig_mat)}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def _minhash_kernel(
+    toks: pd.Series, a: np.ndarray, b: np.ndarray, shingle_k: int, chunk_rows: int
+) -> np.ndarray:
+    """Batch minhash: (n_docs × n_hashes) signature matrix (see
+    ``minhash_signatures``)."""
+    n_hashes = a.size
+    h, counts = _batch_shingle_hashes(toks, shingle_k)
+    doc_off = np.concatenate(([0], np.cumsum(counts)))
+    n_docs = counts.size
+    sig_mat = np.empty((n_docs, n_hashes), dtype=np.int64)
+    buf = np.empty((n_hashes, chunk_rows), dtype=np.uint64)
+    M = np.uint64(_MERSENNE)
+    d0 = 0
+    while d0 < n_docs:
+        d1 = d0 + 1
+        while d1 < n_docs and doc_off[d1 + 1] - doc_off[d0] <= chunk_rows:
+            d1 += 1
+        lo, hi = int(doc_off[d0]), int(doc_off[d1])
+        if hi - lo > buf.shape[1]:  # single doc larger than the buffer
+            buf = np.empty((n_hashes, hi - lo), dtype=np.uint64)
+        v = buf[:, : hi - lo]
+        # in-place (a*h + b) mod p — no fresh temporaries. The mod uses the
+        # Mersenne fold (2^61 ≡ 1 mod p, so x mod p = (x & p) + (x >> 61),
+        # one conditional subtract): ~6 cheap SIMD ops instead of a 64-bit
+        # division per element, bit-identical to ``%`` (parity-tested).
+        np.multiply(a[:, None], h[None, lo:hi], out=v)
+        v += b[:, None]
+        hi_bits = v >> np.uint64(61)
+        v &= M
+        v += hi_bits
+        v -= (v >= M).astype(np.uint64) * M
+        starts = (doc_off[d0:d1] - lo).astype(np.int64)
+        sig_mat[d0:d1] = np.minimum.reduceat(v, starts, axis=1).T.astype(np.int64)
+        d0 = d1
+    return sig_mat
+
+
+def oph_signatures(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    n_bins: int = 128,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, sig array<long>[n_bins]) — One-Permutation Hashing MinHash with
+    rotation densification (Li/Owen/Zhang NIPS 2012; Shrivastava & Li ICML
+    2014, public literature).
+
+    The 100 TB-scale signature path: each shingle is hashed ONCE and routed
+    to bin ``top log2(n_bins) bits``; the signature is the per-bin minimum,
+    with empty bins densified by circular borrow + offset. Cost is
+    O(shingles) vs the dense k-permutation O(shingles × n_hashes) of
+    ``minhash_signatures`` — ~n_bins× less arithmetic for the same banding
+    pipeline (``lsh_near_dup_pairs`` consumes either signature kind
+    unchanged). Use dense when per-pair estimator variance on short
+    documents matters; OPH for corpus-scale dedup.
+    """
+    if n_bins & (n_bins - 1):
+        raise ValueError("n_bins must be a power of two")
+    shift = np.uint64(64 - int(np.log2(n_bins)))
 
     schema = StructType(
         [
@@ -212,17 +395,69 @@ def minhash_signatures(
             if pdf.empty:
                 continue
             toks = tokenize_series(pdf[text_col], cfg)
-            sigs = []
-            for tlist in toks:
-                sh = _shingle_hashes(tlist, shingle_k)
-                # (a * h + b) mod p per permutation, min over shingles
-                v = (sh[:, None] * a[None, :] + b[None, :]) % _MERSENNE
-                sigs.append(v.min(axis=0).astype(np.int64))
+            sig = _oph_kernel(toks, n_bins, shift, shingle_k)
             yield pd.DataFrame(
-                {"id": pdf[id_col].astype("int64").to_numpy(), "sig": sigs}
+                {"id": pdf[id_col].astype("int64").to_numpy(), "sig": list(sig)}
             )
 
     return docs.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def _oph_kernel(
+    toks: pd.Series, n_bins: int, shift: np.uint64, shingle_k: int
+) -> np.ndarray:
+    """Batch OPH: (n_docs × n_bins) int64 signature matrix.
+
+    One sort of (doc, bin) keys + one segmented min; densification is
+    vectorized as a circular forward-fill over the doubled bin axis with a
+    distance-keyed offset so borrowed values from different source bins
+    cannot spuriously agree.
+    """
+    h, counts = _batch_shingle_hashes(toks, shingle_k)
+    n_docs = counts.size
+    if n_docs == 0:
+        return np.empty((0, n_bins), dtype=np.int64)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    bins = (h >> shift).astype(np.int64)
+    key = doc_idx * n_bins + bins
+    order = np.argsort(key, kind="stable")
+    ks, hs = key[order], h[order]
+    seg = np.concatenate(([0], np.flatnonzero(ks[1:] != ks[:-1]) + 1))
+    mins = np.minimum.reduceat(hs, seg)
+    slots = ks[seg]
+
+    sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
+    out = np.empty((n_docs, n_bins), dtype=np.int64)
+    # doc-chunked scatter + densification: every temporary stays ~cache-sized
+    # (the whole-batch formulation page-faults hundreds of MB of fresh
+    # temporaries — same lesson as the minhash permute buffer)
+    chunk = max(64, (1 << 22) // (2 * n_bins * 8))
+    col2 = np.arange(2 * n_bins, dtype=np.int64)[None, :]
+    coln = np.arange(n_bins, dtype=np.int64)[None, :]
+    lo_slot = np.searchsorted(slots, np.arange(0, n_docs, chunk) * n_bins)
+    for ci, d0 in enumerate(range(0, n_docs, chunk)):
+        d1 = min(d0 + chunk, n_docs)
+        nc = d1 - d0
+        s0 = lo_slot[ci]
+        s1 = lo_slot[ci + 1] if ci + 1 < lo_slot.size else slots.size
+        sig = np.full((nc, n_bins), sentinel, dtype=np.uint64)
+        sig.reshape(-1)[slots[s0:s1] - d0 * n_bins] = mins[s0:s1]
+        filled = sig != sentinel
+        if not filled.all():
+            # rotation densification: empty bin j borrows from the nearest
+            # filled bin to its left (circular), value offset by distance·P
+            # so borrowed values from different source bins cannot agree
+            dbl_filled = np.concatenate([filled, filled], axis=1)
+            dbl_sig = np.concatenate([sig, sig], axis=1)
+            src = np.where(dbl_filled, col2, -1)
+            src = np.maximum.accumulate(src, axis=1)[:, n_bins:]
+            # every doc has >= 1 filled bin (>= 1 shingle), so src >= 0 here
+            rows = np.arange(nc, dtype=np.int64)[:, None]
+            dist = (coln + n_bins - src).astype(np.uint64)
+            borrowed = dbl_sig[rows, src] + dist * _SHINGLE_P
+            sig = np.where(filled, sig, borrowed)
+        out[d0:d1] = sig.astype(np.int64)
+    return out
 
 
 def lsh_near_dup_pairs(
@@ -354,7 +589,14 @@ def simhash(
     text_col: str = "text",
 ) -> DataFrame:
     """(id, simhash int64): 64-bit SimHash over tf-weighted token hashes.
-    Vectorized: per batch, one token-hash array + bit-matrix accumulate."""
+
+    Fully batch-vectorized: ONE ``factorize`` over the batch's flattened
+    tokens, ONE ``hash_array`` over the *unique* terms only (each term hashed
+    once per batch, not once per doc), then a per-doc ``np.add.reduceat``
+    of ±1 bit rows. Summing ±1 per token occurrence is exactly the per-doc
+    (unique, counts)-weighted sum of the reference formulation — integer
+    sums are order-independent, so outputs are bit-identical (pinned by
+    tests/test_textproc.py)."""
     schema = StructType(
         [
             StructField("id", LongType(), False),
@@ -363,27 +605,64 @@ def simhash(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bit_id = np.arange(64, dtype=np.uint64)
         for pdf in batches:
             if pdf.empty:
                 continue
             toks = tokenize_series(pdf[text_col], cfg)
-            out = np.zeros(len(pdf), dtype=np.int64)
-            for row, tlist in enumerate(toks):
-                if not tlist:
-                    continue
-                vals, counts = np.unique(np.asarray(tlist, dtype=object), return_counts=True)
-                h = pd.util.hash_array(vals)
-                bits = ((h[:, None] >> bit_id[None, :]) & np.uint64(1)).astype(np.int64)
-                acc = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
-                out[row] = np.int64(
-                    np.bitwise_or.reduce(
-                        (acc > 0).astype(np.uint64) << bit_id
-                    ).astype(np.int64)
-                )
+            out = _simhash_kernel(toks)
             yield pd.DataFrame({"id": pdf[id_col].astype("int64").to_numpy(), "simhash": out})
 
     return docs.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def _simhash_kernel(toks: pd.Series) -> np.ndarray:
+    """Batch SimHash: int64 array, one value per doc (see ``simhash``)."""
+    bit_id = np.arange(64, dtype=np.uint64)
+    weights = np.uint64(1) << bit_id
+    lens = toks.str.len().to_numpy(np.int64)
+    out = np.zeros(lens.size, dtype=np.int64)
+    nonempty = np.flatnonzero(lens > 0)
+    if not nonempty.size:
+        return out
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+    codes, uniques = pd.factorize(flat, sort=False)
+    h_u = pd.util.hash_array(
+        uniques.to_numpy() if hasattr(uniques, "to_numpy")
+        else np.asarray(uniques, dtype=object)
+    )
+    # (n_unique × 64) ±1 bit matrix — tiny vs the token stream
+    pm = 2 * ((h_u[:, None] >> bit_id[None, :]) & np.uint64(1)).astype(np.int32) - 1
+    doc_off = np.concatenate(([0], np.cumsum(lens)))
+    starts = doc_off[nonempty]
+    # doc-aligned chunks with a reused cache-sized (~4 MB) take buffer:
+    # fresh 100 MB+ fancy-index temporaries spend their time page-faulting,
+    # not computing (same fix as minhash)
+    chunk_tok = 1 << 14
+    acc = np.empty((nonempty.size, 64), dtype=np.int32)
+    buf = np.empty((chunk_tok, 64), dtype=np.int32)
+    c0 = 0
+    while c0 < nonempty.size:
+        c1 = c0 + 1
+        while (
+            c1 < nonempty.size
+            and doc_off[nonempty[c1] + 1] - starts[c0] <= chunk_tok
+        ):
+            c1 += 1
+        lo = int(starts[c0])
+        hi = int(doc_off[nonempty[c1 - 1] + 1])
+        if hi - lo > buf.shape[0]:  # one doc larger than the buffer
+            buf = np.empty((hi - lo, 64), dtype=np.int32)
+        rows = buf[: hi - lo]
+        np.take(pm, codes[lo:hi], axis=0, out=rows)
+        acc[c0:c1] = np.add.reduceat(
+            rows, (starts[c0:c1] - lo).astype(np.int64), axis=0
+        )
+        c0 = c1
+    packed = ((acc > 0).astype(np.uint64) * weights[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[nonempty] = packed.astype(np.int64)
+    return out
 
 
 def simhash_near_dup_pairs(sim: DataFrame, *, max_hamming: int = 3) -> DataFrame:
@@ -451,18 +730,41 @@ def winnow_fingerprints(
             if pdf.empty:
                 continue
             toks = tokenize_series(pdf[text_col], cfg)
-            fps = []
-            for tlist in toks:
-                if len(tlist) < k:
-                    grams = [" ".join(tlist)] if tlist else [""]
-                else:
-                    grams = [" ".join(tlist[i : i + k]) for i in range(len(tlist) - k + 1)]
-                h = pd.util.hash_array(np.asarray(grams, dtype=object)).astype(np.int64)
-                if h.size <= window:
-                    fps.append(np.unique(h))
-                    continue
-                win = np.lib.stride_tricks.sliding_window_view(h, window)
-                fps.append(np.unique(win.min(axis=1)))
+            # one factorize + unique-term hash + Horner gram hashes for the
+            # whole batch (same pattern as minhash — no per-doc Python loop)
+            gram_h, counts = _batch_shingle_hashes(toks, k)
+            h = gram_h.astype(np.int64)
+            off = np.concatenate(([0], np.cumsum(counts)))
+            n_docs = counts.size
+            deep = counts > window          # docs that take sliding-window mins
+            shallow = ~deep                 # docs whose grams are kept whole
+
+            # window-min values for deep docs: one global sliding min over the
+            # flat hash array, then select only within-doc window starts
+            pool_doc: list[np.ndarray] = []
+            pool_val: list[np.ndarray] = []
+            if deep.any() and h.size >= window:
+                wins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+                idx = _ranges(off[:-1][deep], (counts - window + 1)[deep])
+                pool_doc.append(np.repeat(np.flatnonzero(deep), (counts - window + 1)[deep]))
+                pool_val.append(wins[idx])
+            if shallow.any():
+                idx = _ranges(off[:-1][shallow], counts[shallow])
+                pool_doc.append(np.repeat(np.flatnonzero(shallow), counts[shallow]))
+                pool_val.append(h[idx])
+            docs_arr = np.concatenate(pool_doc) if pool_doc else np.empty(0, np.int64)
+            vals_arr = np.concatenate(pool_val) if pool_val else np.empty(0, np.int64)
+
+            # per-doc sorted dedup, batch-at-once: lexsort on (doc, val) then
+            # keep first occurrences; np.unique per doc becomes one pass
+            order = np.lexsort((vals_arr, docs_arr))
+            d_s, v_s = docs_arr[order], vals_arr[order]
+            keep = np.ones(d_s.size, dtype=bool)
+            keep[1:] = (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])
+            d_k, v_k = d_s[keep], v_s[keep]
+            per_doc = np.bincount(d_k, minlength=n_docs)
+            cuts = np.cumsum(per_doc)[:-1]
+            fps = np.split(v_k, cuts)
             yield pd.DataFrame({"id": pdf[id_col].astype("int64").to_numpy(), "fingerprints": fps})
 
     return docs.select(id_col, text_col).mapInPandas(gen, schema)

@@ -125,3 +125,119 @@ def test_lsh_oversize_bucket_star_emit(spark):
     assert got == {(0, j) for j in range(1, n)}
     assert all(r["est_jaccard"] == 1.0 for r in pairs)
     assert stats["oversize_bucket_members"].value > 0
+
+
+def test_vectorized_signatures_match_per_doc_reference(spark):
+    """The batch-vectorized minhash/simhash/winnowing paths must be
+    bit-identical to the straightforward per-document formulation (the
+    round-1 implementation, reproduced inline here as the semantic pin)."""
+    from information_retrieval_spark.functions.analyzer import tokenize_series
+    from information_retrieval_spark.operators.textproc import (
+        _perm_params,
+        _shingle_hashes_from_tokens,
+        _MERSENNE,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs far away home",
+        "",                       # empty
+        ":::: ////",              # tokenizes to nothing
+        "one two",                # shorter than shingle_k
+        "a a a a a a a a",        # heavy duplicates
+        "x", "y z w",
+        " ".join(f"tok{i % 7}" for i in range(200)),   # long, repetitive
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    toks = tokenize_series(pdf["text"], CFG)
+
+    # ---- minhash ----
+    n_hashes, shingle_k, seed = 32, 3, 1337
+    a, b = _perm_params(n_hashes, seed)
+    got = {
+        r["id"]: np.asarray(r["sig"])
+        for r in minhash_signatures(
+            sdf, CFG, n_hashes=n_hashes, shingle_k=shingle_k, seed=seed
+        ).collect()
+    }
+    for i, tlist in enumerate(toks):
+        th = pd.util.hash_array(np.asarray(list(tlist), dtype=object)).astype(np.uint64)
+        sh = _shingle_hashes_from_tokens(th, shingle_k)
+        want = ((sh[:, None] * a[None, :] + b[None, :]) % _MERSENNE).min(axis=0).astype(np.int64)
+        assert np.array_equal(got[i], want), f"minhash doc {i}"
+
+    # ---- simhash ----
+    got_sh = {r["id"]: r["simhash"] for r in simhash(sdf, CFG).collect()}
+    bit_id = np.arange(64, dtype=np.uint64)
+    for i, tlist in enumerate(toks):
+        if not tlist:
+            assert got_sh[i] == 0
+            continue
+        vals, counts = np.unique(np.asarray(tlist, dtype=object), return_counts=True)
+        h = pd.util.hash_array(vals)
+        bits = ((h[:, None] >> bit_id[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
+        want = np.int64(
+            np.bitwise_or.reduce((acc > 0).astype(np.uint64) << bit_id).astype(np.int64)
+        )
+        assert got_sh[i] == want, f"simhash doc {i}"
+
+    # ---- winnowing ----
+    k, window = 5, 4
+    got_fp = {
+        r["id"]: np.asarray(r["fingerprints"])
+        for r in winnow_fingerprints(sdf, CFG, k=k, window=window).collect()
+    }
+    for i, tlist in enumerate(toks):
+        th = pd.util.hash_array(np.asarray(list(tlist), dtype=object)).astype(np.uint64)
+        h = _shingle_hashes_from_tokens(th, k).astype(np.int64)
+        if h.size <= window:
+            want = np.unique(h)
+        else:
+            want = np.unique(np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1))
+        assert np.array_equal(got_fp[i], want), f"winnow doc {i}"
+
+
+def test_oph_signatures_estimate_jaccard(spark):
+    """OPH (one-permutation, densified) signatures: deterministic, and the
+    banding agreement estimator separates near-dups from unrelated docs just
+    like dense MinHash; empty bins are densified (no sentinel survives)."""
+    from information_retrieval_spark.operators.textproc import oph_signatures
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(800)]
+    base = [words[i] for i in rng.integers(0, 800, size=400)]
+    near = list(base)
+    for p in rng.integers(0, 400, size=20):          # ~5% token edit
+        near[p] = words[int(rng.integers(0, 800))]
+    far = [words[i] for i in rng.integers(0, 800, size=400)]
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "text": [" ".join(base), " ".join(near), " ".join(far), "a b"]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    sigs = {r["id"]: np.asarray(r["sig"]) for r in oph_signatures(sdf, CFG).collect()}
+    # determinism across two runs
+    sigs2 = {r["id"]: np.asarray(r["sig"]) for r in oph_signatures(sdf, CFG).collect()}
+    for i in sigs:
+        assert np.array_equal(sigs[i], sigs2[i])
+    est = lambda a, b: float(np.mean(sigs[a] == sigs[b]))
+    assert est(0, 1) > 0.6            # near-dup pair agrees on most bins
+    assert est(0, 2) < 0.25           # unrelated pair agrees on few
+    assert est(0, 1) > est(0, 2) + 0.3
+    # the tiny doc (1 shingle, 127 densified bins) still yields a full sig
+    assert sigs[3].size == 128
+
+
+def test_lsh_pairs_accept_oph_signatures(spark, docs):
+    """The banding pipeline is signature-kind agnostic: OPH signatures feed
+    lsh_near_dup_pairs unchanged and still find the exact-dup pair."""
+    from information_retrieval_spark.operators.textproc import oph_signatures
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_dup_pairs(
+            oph_signatures(docs, CFG), n_bands=32, threshold=0.9
+        ).collect()
+    }
+    assert (0, 1) in pairs            # exact duplicates
