@@ -304,6 +304,21 @@ def oracle_sql() -> dict[str, str]:
     corpus = DOCUMENTS_AS_CORPUS_SQL
     tok = duckdb_tok("content", CFG)
     bm25 = duckdb_bm25_sql(corpus, QUERY_SET, CFG, k=TOP_K, round_to=4)
+    # Hash-defined entries (minhash/simhash/lsh_topk): the hash stage is
+    # recomputed STANDALONE (per-doc numpy + re, no Spark — see oracles.py)
+    # and exported to parquet; the SQL below re-derives banding, estimation,
+    # thresholds and rerank from those fixtures in pure DuckDB. The driver's
+    # gate runs at sf0.01, which these fixtures are built from.
+    from information_retrieval_spark.oracles import (
+        export_signature_fixtures,
+        lsh_topk_sql,
+        minhash_pairs_sql,
+        simhash_pairs_sql,
+    )
+    from information_retrieval_spark.operators.similarity import query_buckets
+
+    fixtures = export_signature_fixtures("/root/testdata/sf0.01", cfg=CFG)
+    probes = query_buckets(ANN_QVEC, n_planes=6, seed=4242)
     return {
         "docids": f"""
 SELECT docid, bucket, repo, path, "commit", lang
@@ -370,7 +385,9 @@ SELECT event_type,
        round(sum(value), 4) AS total_value
 FROM events GROUP BY event_type
 """,
-        # minhash_near_dups / simhash_near_dups / lsh_topk: intentionally no
-        # SQL oracle (hash-function-defined semantics); pytest verifies them
-        # against exact Jaccard / brute-force cosine respectively.
+        "minhash_near_dups": minhash_pairs_sql(
+            fixtures["minhash_sigs"], n_bands=32, threshold=0.5
+        ),
+        "simhash_near_dups": simhash_pairs_sql(fixtures["simhash"], max_hamming=3),
+        "lsh_topk": lsh_topk_sql(fixtures["lsh_buckets"], ANN_QVEC, probes, TOP_K),
     }

@@ -1,0 +1,196 @@
+"""Standalone oracle fixtures for the hash-defined gate entries.
+
+minhash/simhash/lsh_topk semantics are defined by hash functions (SipHash
+via ``pd.util.hash_array``, Horner shingle combine, Gaussian random
+hyperplanes), which ANSI SQL cannot recompute. What SQL *can* verify is
+everything downstream of the hash values: banding collision semantics,
+signature-agreement Jaccard estimation, thresholds, pair emission, probe
+filtering and exact cosine rerank.
+
+So ``export_signature_fixtures`` computes the hash stage STANDALONE — plain
+``re`` + numpy per-document loops reading parquet via pyarrow; no Spark, no
+Arrow batching, none of the engine's vectorized kernels — and writes the
+results to parquet. The oracle SQL (``minhash_pairs_sql`` etc.) reads those
+fixtures via DuckDB ``read_parquet`` and re-derives the operator output in
+pure SQL. The driver's gate then compares the Spark pipeline end-to-end
+(tokenizer parity, batch kernels, banding joins, dedup, thresholds) against
+this independent reimplementation; only the literal hash definitions are
+shared, by construction.
+
+Reference basis: banded MinHash-LSH per Broder 1997 / MMDS ch.3; sign-LSH
+per Charikar 2002 (public literature; the reference repo has no dedup/ANN
+surface — this extends it per the training-data mandate).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+
+from .config import EngineConfig, DEFAULT_CONFIG
+
+EXPORT_DIR = "/tmp/ir_oracle_export"
+
+
+def _tokenize(text: str, cfg: EngineConfig) -> list[str]:
+    toks = re.findall(cfg.token_pattern, text.lower())
+    if cfg.bigram_indexing:
+        toks = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    return toks
+
+
+def _shingle_hashes_doc(tokens: list[str], k: int) -> np.ndarray:
+    """Per-doc reference shingle hashes: SipHash per token, Horner combine
+    (the textproc definition, reimplemented with an explicit loop)."""
+    P = np.uint64(0x9E3779B97F4A7C15)
+    th = pd.util.hash_array(np.asarray(tokens, dtype=object)).astype(np.uint64)
+    n = th.size
+    if n == 0:
+        return np.zeros(1, dtype=np.uint64)
+    m = min(k, n)
+    out = np.empty(n - m + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the definition
+        for i in range(n - m + 1):
+            acc = th[i]
+            for j in range(1, m):
+                acc = acc * P + th[i + j]
+            out[i] = acc
+    return out
+
+
+def export_signature_fixtures(
+    sf_dir: str,
+    out_dir: str = EXPORT_DIR,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    n_hashes: int = 128,
+    shingle_k: int = 3,
+    seed: int = 1337,
+    ann_n_planes: int = 6,
+    ann_seed: int = 4242,
+) -> dict[str, str]:
+    """Compute minhash signatures, simhashes and sign-LSH buckets for the
+    ``documents``/``embeddings`` tables at ``sf_dir`` with a per-document
+    numpy implementation, write them to parquet, return the paths."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {
+        "minhash_sigs": os.path.join(out_dir, "minhash_sigs.parquet"),
+        "simhash": os.path.join(out_dir, "simhash.parquet"),
+        "lsh_buckets": os.path.join(out_dir, "lsh_buckets.parquet"),
+    }
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    mersenne = (1 << 61) - 1
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, mersenne, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, mersenne, size=n_hashes, dtype=np.int64).astype(np.uint64)
+
+    sig_rows, sim_rows = [], []
+    bit_id = np.arange(64, dtype=np.uint64)
+    for _, row in docs.iterrows():
+        tokens = _tokenize(row["text"], cfg)
+        sh = _shingle_hashes_doc(tokens, shingle_k)
+        v = (sh[:, None] * a[None, :] + b[None, :]) % np.uint64(mersenne)
+        sig_rows.append(v.min(axis=0).astype(np.int64))
+        if tokens:
+            vals, counts = np.unique(np.asarray(tokens, dtype=object), return_counts=True)
+            h = pd.util.hash_array(vals)
+            bits = ((h[:, None] >> bit_id[None, :]) & np.uint64(1)).astype(np.int64)
+            acc = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
+            sim = np.int64(
+                np.bitwise_or.reduce((acc > 0).astype(np.uint64) << bit_id).astype(np.int64)
+            )
+        else:
+            sim = np.int64(0)
+        sim_rows.append(sim)
+
+    ids = docs["doc_id"].astype("int64").to_numpy()
+    pq.write_table(
+        pa.table({"id": ids, "sig": [list(map(int, s)) for s in sig_rows]}),
+        paths["minhash_sigs"],
+    )
+    pq.write_table(pa.table({"id": ids, "simhash": np.asarray(sim_rows)}), paths["simhash"])
+
+    embs = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    mat = np.vstack(embs["embedding"].to_numpy())
+    planes = np.random.default_rng(ann_seed).standard_normal((mat.shape[1], ann_n_planes))
+    bits = (mat @ planes) > 0
+    bucket = (bits @ (1 << np.arange(ann_n_planes, dtype=np.int64))).astype(np.int32)
+    pq.write_table(
+        pa.table({"vec_id": embs["vec_id"].astype("int64").to_numpy(), "bucket": bucket}),
+        paths["lsh_buckets"],
+    )
+    return paths
+
+
+def minhash_pairs_sql(sig_path: str, *, n_bands: int = 32, threshold: float = 0.5) -> str:
+    """Banded-LSH pair emission + signature-agreement Jaccard estimate in
+    pure SQL over the exported signatures: a pair is a candidate iff SOME
+    band's signature slice matches exactly (band-hash equality in the Spark
+    path implies slice equality up to a 2^-64 xxhash collision)."""
+    return f"""
+WITH s AS (
+  SELECT CAST(id AS BIGINT) AS id, sig FROM read_parquet('{sig_path}')
+),
+rp AS (SELECT CAST(floor(len(sig) / {n_bands}) AS INT) AS r FROM s LIMIT 1)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(len(list_filter(range(1, len(a.sig) + 1),
+                             j -> a.sig[j] = b.sig[j])) * 1.0 / len(a.sig), 6)
+         AS est_jaccard
+FROM s a JOIN s b ON a.id < b.id CROSS JOIN rp
+WHERE len(list_filter(range({n_bands}),
+                      i -> a.sig[i * rp.r + 1 : i * rp.r + rp.r]
+                         = b.sig[i * rp.r + 1 : i * rp.r + rp.r])) > 0
+  AND round(len(list_filter(range(1, len(a.sig) + 1),
+                            j -> a.sig[j] = b.sig[j])) * 1.0 / len(a.sig), 6)
+      >= {threshold}
+"""
+
+
+def simhash_pairs_sql(sim_path: str, *, max_hamming: int = 3) -> str:
+    """4×16-bit banded SimHash candidate pairs + exact popcount verify in
+    pure SQL (arithmetic shift + mask equals logical shift + mask)."""
+    return f"""
+WITH s AS (
+  SELECT CAST(id AS BIGINT) AS id, simhash FROM read_parquet('{sim_path}')
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM s a JOIN s b ON a.id < b.id
+  WHERE len(list_filter(range(4),
+            i -> ((a.simhash >> (16 * i)) & 65535)
+               = ((b.simhash >> (16 * i)) & 65535))) > 0
+)
+WHERE hamming <= {max_hamming}
+"""
+
+
+def lsh_topk_sql(
+    bucket_path: str, qvec: list[float], probes: list[int], k: int
+) -> str:
+    """Probe-bucket filter + exact cosine rerank in pure SQL over the
+    exported sign-LSH bucket assignment."""
+    vals = ", ".join(repr(float(v)) for v in qvec)
+    probe_list = ", ".join(str(int(p)) for p in probes)
+    return f"""
+WITH cand AS (
+  SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], [{vals}]), 6) AS sim
+  FROM embeddings e
+  JOIN read_parquet('{bucket_path}') b ON CAST(e.vec_id AS BIGINT) = b.vec_id
+  WHERE b.bucket IN ({probe_list})
+)
+SELECT rank, vec_id, sim FROM (
+  SELECT vec_id, sim,
+         row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM cand
+)
+WHERE rank <= {k}
+"""

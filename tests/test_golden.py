@@ -60,3 +60,11 @@ def test_wand_path_matches_golden(spark, corpus, golden):
     idx = build_index(spark, corpus, cfg)
     qterms = parse_queries(spark, golden["queries"], cfg)
     _check(wand_topk(spark, idx, qterms, golden["k"], cfg).collect(), golden)
+
+
+def test_every_query_entry_has_an_oracle():
+    """Gate completeness: 17/17 — every queries() entry has an oracle_sql()
+    twin (the hash-defined ones via exported standalone fixtures)."""
+    import __spark_entry__ as e
+
+    assert set(e.oracle_sql().keys()) == set(e.queries().keys())
