@@ -123,14 +123,37 @@ def spimi_emit(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame
     """PASS 1: (docid, content) → sorted partition-local runs
     (term, bucket, n, docs_vb, tfs_vb, dls_vb).
 
-    Vectorized end-to-end: regex findall over the whole Arrow batch,
-    integer-coded run-length tf aggregation, one lexsort per flush, one
-    byte-plane VByte pass per flush; postings accumulate until the SPIMI
-    byte budget (the reference's 40 MB MAX_UPDATE_SPACE contract) and each
-    flush emits term-grouped, docid-sorted, compressed run rows — the
-    downstream merge shuffle moves ~|vocab|·partitions compact binary rows
-    instead of ~|postings| rows.
+    Two implementations, pinned output-identical (tests/test_build_and_query
+    ``test_arrow_and_pandas_emitters_identical``):
+
+    - **Arrow fast path** (``mapInArrow`` + pyarrow C++ kernels): lowercase,
+      regex split, dictionary-encode all run inside Arrow — ZERO Python
+      string objects per token. This is the default-config hot path; the
+      round-1 profile showed per-worker tokenize throughput dropping 2.5×
+      under 32-way concurrency from object-allocator pressure, and the
+      Arrow kernel removes exactly that (measured: 3.7× vs 3.2× 8→32
+      process scaling, 1.4× single-core).
+    - **pandas fallback** for configs the complement-split can't express
+      (bigram emission, non-default token patterns).
+
+    Both: integer-coded run-length tf aggregation, one lexsort per flush,
+    one byte-plane VByte pass per flush; postings accumulate until the SPIMI
+    byte budget (the reference's 40 MB MAX_UPDATE_SPACE contract,
+    /root/reference/index/index.h:27-29) and each flush emits term-grouped,
+    docid-sorted, compressed run rows — the downstream merge shuffle moves
+    ~|vocab|·partitions compact binary rows instead of ~|postings| rows.
     """
+    if cfg.token_pattern == "[a-z0-9_]+" and not cfg.bigram_indexing:
+        if cfg.stemming_level != 0:
+            from ..functions.analyzer import _check_stemming
+
+            _check_stemming(cfg)  # raises: parity with the pandas path
+        return _spimi_emit_arrow(docs, cfg)
+    return _spimi_emit_pandas(docs, cfg)
+
+
+def _spimi_emit_pandas(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """pandas/object-dtype SPIMI emitter (general-config fallback)."""
     budget = cfg.spimi_budget_bytes
     token_cfg = cfg
     shift = cfg.doc_bucket_bits
@@ -226,6 +249,141 @@ def spimi_emit(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame
     return docs.select("docid", "content").mapInPandas(emit, RUNS_SCHEMA)
 
 
+def _spimi_emit_arrow(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Arrow-native SPIMI emitter: the whole string pipeline (lowercase →
+    regex complement-split → empty-filter → dictionary-encode) runs in
+    pyarrow C++ kernels; Python only ever touches integer arrays (codes,
+    offsets, tf) and the final VByte byte planes. Run payload binaries are
+    emitted ZERO-COPY as one Arrow BinaryArray over the shared encode buffer
+    (consecutive runs are adjacent slices).
+
+    Tokens are maximal ``[a-z0-9_]+`` runs of the lowered text, obtained as
+    the complement split on ``[^a-z0-9_]+`` with empty fragments dropped —
+    identical output to the pandas/Catalyst analyzers (pinned by
+    tests/test_build_and_query.py and the term_tf driver gate)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    budget = cfg.spimi_budget_bytes
+    shift = cfg.doc_bucket_bits
+    split_pat = "[^a-z0-9_]+"
+    arrow_schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("bucket", pa.int32()),
+            ("n", pa.int32()),
+            ("docs_vb", pa.binary()),
+            ("tfs_vb", pa.binary()),
+            ("dls_vb", pa.binary()),
+        ]
+    )
+
+    def _flush(pending: list[tuple]) -> pa.RecordBatch:
+        if len(pending) == 1:
+            code0, tdict0, d, tf, dl = pending[0]
+            full_term = pc.take(tdict0, pa.array(code0, type=pa.int32()))
+        else:
+            full_term = pa.concat_arrays(
+                [pc.take(td, pa.array(c, type=pa.int32())) for c, td, *_ in pending]
+            )
+            d = np.concatenate([e[2] for e in pending])
+            tf = np.concatenate([e[3] for e in pending])
+            dl = np.concatenate([e[4] for e in pending])
+        de = pc.dictionary_encode(full_term)
+        g = np.asarray(de.indices).astype(np.int64)
+        order = np.lexsort((d, g))
+        g, d, tf, dl = g[order], d[order], tf[order], dl[order]
+        b = (d >> shift).astype(np.int32)
+        cut = np.flatnonzero((g[1:] != g[:-1]) | (b[1:] != b[:-1])) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.append(cut, d.size)
+        # delta-gap + one VByte pass over the flush, per-run byte slicing —
+        # same codec discipline as the pandas path
+        gaps = np.empty(d.size, dtype=np.int64)
+        gaps[0] = d[0]
+        np.subtract(d[1:], d[:-1], out=gaps[1:])
+        gaps[starts] = d[starts]
+        enc_d, off_d = codec._vbyte_encode_offsets(gaps.astype(np.uint64))
+        enc_t, off_t = codec._vbyte_encode_offsets(tf.astype(np.uint64))
+        enc_l, off_l = codec._vbyte_encode_offsets(dl.astype(np.uint64))
+
+        def bin_arr(enc: np.ndarray, off: np.ndarray) -> pa.Array:
+            bounds = np.ascontiguousarray(
+                off[np.append(starts, d.size)].astype(np.int32)
+            )
+            return pa.Array.from_buffers(
+                pa.binary(),
+                starts.size,
+                [None, pa.py_buffer(bounds), pa.py_buffer(np.ascontiguousarray(enc))],
+            )
+
+        return pa.record_batch(
+            [
+                pc.take(de.dictionary, pa.array(g[starts].astype(np.int32))),
+                pa.array(b[starts], type=pa.int32()),
+                pa.array((ends - starts).astype(np.int32), type=pa.int32()),
+                bin_arr(enc_d, off_d),
+                bin_arr(enc_t, off_t),
+                bin_arr(enc_l, off_l),
+            ],
+            schema=arrow_schema,
+        )
+
+    def emit(batches):
+        # one Arrow compute thread per Python worker: Spark already runs one
+        # worker per core, and 32 workers × a default-sized Arrow thread pool
+        # oversubscribes the machine (measured: local[32] SLOWER than
+        # local[8] without this)
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+        pending: list[tuple] = []
+        pending_bytes = 0
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            i_doc = rb.schema.get_field_index("docid")
+            i_con = rb.schema.get_field_index("content")
+            docid_arr = np.asarray(rb.column(i_doc))
+            n = rb.num_rows
+            sp = pc.split_pattern_regex(pc.utf8_lower(rb.column(i_con)), split_pat)
+            lens_all = np.asarray(
+                pc.fill_null(pc.list_value_length(sp), 0)
+            ).astype(np.int64)
+            fl = pc.list_flatten(sp)
+            if len(fl) == 0:
+                continue
+            mask = np.asarray(pc.binary_length(fl)) > 0
+            de = pc.dictionary_encode(fl)
+            codes = np.asarray(de.indices).astype(np.int64)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens_all)
+            if not mask.all():
+                codes, doc_idx = codes[mask], doc_idx[mask]
+            if codes.size == 0:
+                continue
+            dl_per_doc = np.bincount(doc_idx, minlength=n).astype(np.int32)
+            # per-doc tf: integer sort + run-length encode (A1)
+            key = codes * n + doc_idx
+            ks = np.sort(key, kind="stable")
+            cut = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+            starts = np.concatenate(([0], cut))
+            tf = np.diff(np.concatenate((starts, [ks.size]))).astype(np.int32)
+            uk = ks[starts]
+            code_u = (uk // n).astype(np.int32)
+            di = uk % n
+            tdict = de.dictionary
+            pending.append((code_u, tdict, docid_arr[di], tf, dl_per_doc[di]))
+            dict_lens = np.asarray(pc.binary_length(tdict)).astype(np.int64)
+            pending_bytes += int(dict_lens[code_u].sum()) + code_u.nbytes + tf.nbytes + 12 * code_u.size
+            if pending_bytes >= budget:  # SPIMI flush (index.h:27-29 analog)
+                yield _flush(pending)
+                pending, pending_bytes = [], 0
+        if pending:
+            yield _flush(pending)
+
+    return docs.select("docid", "content").mapInArrow(emit, RUNS_SCHEMA)
+
+
 def spimi_postings(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
     """Posting-level view of the SPIMI runs — (term, docid, bucket, tf, dl).
     Oracle/test surface only; the build hot path keeps the binary run form."""
@@ -257,11 +415,161 @@ def spimi_postings(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataF
 def encode_postings(
     runs: DataFrame, avgdl: float, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """PASS 2: group by (term, bucket) → encoded posting blocks.
+    """PASS 2: shuffle runs by (term, bucket) → encoded posting blocks.
+
+    ``mapInArrow`` over a hash repartition — ONE Python call per shuffle
+    partition, not one pandas slice per (term, bucket) group: the previous
+    ``applyInPandas`` formulation paid pandas DataFrame construction + a
+    per-row binary→bytes copy for every one of ~|vocab|·buckets tiny groups
+    (measured: group overhead rivalled the entire tokenize stage at 2M docs).
+    Inside the partition everything is segment-vectorized NumPy: one VByte
+    decode per plane over the zero-copy concatenated payload buffer, one
+    lexsort, reduceat per block, one VByte encode per plane, zero-copy
+    BinaryArray emission (same discipline as the Arrow SPIMI emitter).
 
     block_max is stored idf-free (codec.encode_blocks docstring) so this pass
     needs only the global avgdl scalar — no per-term df join.
+
+    Memory contract: a task materializes its partition's postings
+    (~|postings| / shuffle_partitions × 24 B); size ``shuffle_partitions``
+    so that stays in executor memory — the same knob that bounds every other
+    stage. Groups are processed in group-aligned mega-chunks of ≤ 2^26
+    postings so no temporary exceeds ~1.5 GB even on a skewed partition.
     """
+    block_size, k1, b = cfg.block_size, cfg.k1, cfg.b
+    parts = cfg.shuffle_partitions
+
+    def encode_partition(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if pa.cpu_count() != 1:  # one Arrow thread per worker (see emit)
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+        tables = [pa.Table.from_batches([rb]) for rb in batches]
+        if not tables:
+            return
+        tab = pa.concat_tables(tables).combine_chunks()
+        n_runs = tab.num_rows
+        if n_runs == 0:
+            return
+        tcodes_arr = pc.dictionary_encode(tab.column("term").chunk(0))
+        tdict = tcodes_arr.dictionary
+        tcode_run = np.asarray(tcodes_arr.indices).astype(np.int64)
+        bucket_run = np.asarray(tab.column("bucket")).astype(np.int64)
+        n_run = np.asarray(tab.column("n")).astype(np.int64)
+
+        d_data, _ = _binary_view(tab.column("docs_vb").chunk(0))
+        t_data, _ = _binary_view(tab.column("tfs_vb").chunk(0))
+        l_data, _ = _binary_view(tab.column("dls_vb").chunk(0))
+        gaps = codec.vbyte_decode(d_data).astype(np.int64)
+        tf_all = codec.vbyte_decode(t_data).astype(np.int64)
+        dl_all = codec.vbyte_decode(l_data).astype(np.int64)
+        total = int(n_run.sum())
+        assert gaps.size == total and tf_all.size == total and dl_all.size == total
+
+        # segmented delta→absolute: cumsum minus each run's base
+        starts_val = np.concatenate(([0], np.cumsum(n_run)[:-1]))
+        cs = np.cumsum(gaps)
+        base = np.repeat(cs[starts_val] - gaps[starts_val], n_run)
+        d_all = cs - base
+        tcode_post = np.repeat(tcode_run, n_run)
+        bucket_post = np.repeat(bucket_run, n_run)
+
+        # one sort merges every run of every (term, bucket) group
+        order = np.lexsort((d_all, bucket_post, tcode_post))
+        d_all, tf_all, dl_all = d_all[order], tf_all[order], dl_all[order]
+        tcode_post, bucket_post = tcode_post[order], bucket_post[order]
+
+        group_change = np.empty(total, dtype=bool)
+        group_change[0] = True
+        np.not_equal(tcode_post[1:], tcode_post[:-1], out=group_change[1:])
+        group_change[1:] |= bucket_post[1:] != bucket_post[:-1]
+        group_start_idx = np.flatnonzero(group_change)
+        # chunk at group-aligned boundaries (bounds temporaries on skew):
+        # first group start at-or-after each chunk_target multiple
+        chunk_target = 1 << 26
+        marks = group_start_idx[
+            np.minimum(
+                np.searchsorted(group_start_idx, np.arange(chunk_target, total, chunk_target)),
+                group_start_idx.size - 1,
+            )
+        ] if total > chunk_target else np.empty(0, np.int64)
+        cuts = np.concatenate(([0], np.unique(marks), [total])).astype(np.int64)
+        cuts = np.unique(cuts)
+
+        for lo, hi in zip(cuts[:-1], cuts[1:]):
+            d = d_all[lo:hi]
+            t = tf_all[lo:hi]
+            l = dl_all[lo:hi]
+            gmask = group_change[lo:hi].copy()
+            gmask[0] = True
+            gstarts = np.flatnonzero(gmask)
+            glen = np.diff(np.append(gstarts, d.size))
+            pos_in_group = np.arange(d.size, dtype=np.int64) - np.repeat(gstarts, glen)
+            starts_p = np.flatnonzero(pos_in_group % block_size == 0)
+            ends_p = np.append(starts_p[1:], d.size)
+            n_blk = (ends_p - starts_p).astype(np.int32)
+            blk_id = (pos_in_group[starts_p] // block_size).astype(np.int32)
+
+            gaps_out = np.empty(d.size, dtype=np.int64)
+            gaps_out[0] = d[0]
+            np.subtract(d[1:], d[:-1], out=gaps_out[1:])
+            gaps_out[starts_p] = d[starts_p]
+            enc_d, off_d = codec._vbyte_encode_offsets(gaps_out.astype(np.uint64))
+            enc_t, off_t = codec._vbyte_encode_offsets(t.astype(np.uint64))
+            enc_l, off_l = codec._vbyte_encode_offsets(l.astype(np.uint64))
+            tfnorm = codec.bm25_tfnorm(t, l, avgdl, k1, b)
+            bmax = np.maximum.reduceat(tfnorm, starts_p)
+            block_cf = np.add.reduceat(t, starts_p)
+
+            def bin_arr(enc, off):
+                bounds = np.ascontiguousarray(off[np.append(starts_p, d.size)].astype(np.int32))
+                return pa.Array.from_buffers(
+                    pa.binary(),
+                    starts_p.size,
+                    [None, pa.py_buffer(bounds), pa.py_buffer(np.ascontiguousarray(enc))],
+                )
+
+            yield pa.record_batch(
+                [
+                    pc.take(tdict, pa.array(tcode_post[lo:hi][starts_p].astype(np.int32))),
+                    pa.array(bucket_post[lo:hi][starts_p].astype(np.int32), type=pa.int32()),
+                    pa.array(blk_id, type=pa.int32()),
+                    pa.array(d[starts_p], type=pa.int64()),
+                    pa.array(d[ends_p - 1], type=pa.int64()),
+                    pa.array(n_blk, type=pa.int32()),
+                    pa.array(block_cf.astype(np.int64), type=pa.int64()),
+                    bin_arr(enc_d, off_d),
+                    bin_arr(enc_t, off_t),
+                    bin_arr(enc_l, off_l),
+                    pa.array(bmax, type=pa.float64()),
+                ],
+                names=[f.name for f in POSTINGS_SCHEMA.fields],
+            )
+
+    return runs.repartition(parts, "term", "bucket").mapInArrow(
+        encode_partition, POSTINGS_SCHEMA
+    )
+
+
+def _binary_view(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (data uint8, row offsets int64) view of a pa.BinaryArray —
+    the data slice is exactly the row payloads concatenated in row order."""
+    import numpy as np
+
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return data[off[0] : off[-1]], off - off[0]
+
+
+def _encode_postings_grouped(
+    runs: DataFrame, avgdl: float, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Reference PASS 2 (one applyInPandas slice per (term, bucket) group) —
+    kept as the semantic pin for tests; the production path is the
+    partition-vectorized ``encode_postings`` above."""
     block_size, k1, b = cfg.block_size, cfg.k1, cfg.b
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:

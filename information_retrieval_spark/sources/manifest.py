@@ -84,9 +84,30 @@ def completed_buckets(spark: SparkSession, root: str, stage: str) -> set[int]:
     }
 
 
-def write_meta(root: str, cfg: EngineConfig, stats: dict, consistent: bool) -> None:
+def write_meta(
+    root: str,
+    cfg: EngineConfig,
+    stats: dict,
+    consistent: bool,
+    bucket_counters: dict[int, int] | None = None,
+) -> None:
+    """Atomic meta commit. ``bucket_counters`` maps bucket → next local row
+    id (the docid allocator state, U5): passed explicitly by build/append,
+    or preserved from the existing meta when None — counters never reset
+    (the reference's strictly-ascending allocation, index.h:167-173), even
+    across compactions that delete docs."""
     os.makedirs(root, exist_ok=True)
-    meta = {"config": cfg.to_meta(), "stats": stats, "is_consistent": consistent}
+    if bucket_counters is None:
+        try:
+            bucket_counters = read_meta(root).get("bucket_counters", {})
+        except FileNotFoundError:
+            bucket_counters = {}
+    meta = {
+        "config": cfg.to_meta(),
+        "stats": stats,
+        "is_consistent": consistent,
+        "bucket_counters": {str(k): int(v) for k, v in dict(bucket_counters).items()},
+    }
     tmp = _paths(root)["meta"] + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=2, sort_keys=True)
@@ -205,7 +226,15 @@ def build_index_resumable(
     dictionary = build_dictionary(postings_all)
     dictionary.write.mode("overwrite").parquet(p["dictionary"])
     stats = {"n_docs": n_docs, "avgdl": avgdl, "total_tokens": total_tokens}
-    write_meta(root, cfg, stats, consistent=True)
+    # per-bucket docid allocator state: streamed appends continue each
+    # bucket's local-row counter O(1) from meta — never a docs-table rescan
+    counters = {
+        int(r["bucket"]): int(r["next_local"])
+        for r in docs_all.groupBy("bucket")
+        .agg((F.max(F.col("docid") % F.lit(1 << cfg.doc_bucket_bits)) + 1).alias("next_local"))
+        .collect()
+    }
+    write_meta(root, cfg, stats, consistent=True, bucket_counters=counters)
     return InvertedIndex(
         docs=docs_all,
         postings=postings_all,

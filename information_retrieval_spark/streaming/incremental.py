@@ -9,7 +9,9 @@ rows, ``foreachBatch`` appending SPIMI-encoded posting segments.
 
 Semantics:
 - each micro-batch is an append-only **delta segment**: new docs get docids
-  continuing their bucket's local counter, so within every (term, bucket)
+  continuing their bucket's local counter (read O(1) from the
+  ``bucket_counters`` allocator map in the index meta — never a
+  ``max(docid)`` scan of the docs table), so within every (term, bucket)
   the delta blocks' docid ranges sit strictly above all earlier blocks —
   the WAND cursor (which orders blocks by first_docid) reads base+delta
   segments with no merge step;
@@ -51,18 +53,55 @@ def append_batch(
     cfg: EngineConfig = DEFAULT_CONFIG,
     batch_id: int = -1,
     refresh_dict: bool = True,
+    force: bool = False,
 ) -> dict:
-    """Append one micro-batch of corpus rows to a persisted index."""
+    """Append one micro-batch of corpus rows to a persisted index —
+    idempotent, and O(1) in the size of the existing index.
+
+    - **No docs-table rescan** (ADVICE r1): each bucket's next local row id
+      comes from the ``bucket_counters`` map in ``_index_meta.json``, not
+      from a ``max(docid)`` aggregation over the persisted docs table; the
+      running ``n_docs``/``total_tokens`` stats are likewise advanced
+      incrementally from the batch.
+    - **Idempotent replay** (ADVICE r1: foreachBatch is at-least-once): a
+      batch already recorded ``complete`` in the manifest ledger is skipped
+      outright; a batch replayed after a mid-batch crash rewrites its
+      staging dir (overwrite) and re-promotes files under DETERMINISTIC
+      names (``stream-b{batch}-{i}.parquet``), overwriting the identical
+      files of the failed attempt. Counters/stats/ledger commit LAST, so a
+      replay recomputes the same docids from unchanged counters. Together
+      with the deterministic docid window this makes the sink effectively
+      exactly-once.
+    """
+    import shutil
+
     p = _paths(root)
     meta = read_meta(root)
     avgdl = float(meta["stats"]["avgdl"])
+    tag = f"batch={batch_id}"
     t0 = time.time()
 
+    if not force and batch_id >= 0:
+        from ..sources.manifest import read_manifest
+
+        already = (
+            read_manifest(spark, root)
+            .filter(
+                (F.col("stage") == "stream")
+                & (F.col("status") == "complete")
+                & (F.col("input_snapshot") == tag)
+            )
+            .limit(1)
+            .count()
+        )
+        if already:
+            return {"batch_id": batch_id, "docs_appended": 0, "skipped": True}
+
+    counters = {int(k): int(v) for k, v in meta.get("bucket_counters", {}).items()}
     admitted = admission_filter(batch_df, cfg).withColumn("bucket", bucket_expr(cfg))
-    # continue each bucket's local-row counter: base = max existing local id + 1
-    existing = spark.read.parquet(p["docs"])
-    base = existing.groupBy("bucket").agg(
-        (F.max(F.col("docid") % F.lit(1 << cfg.doc_bucket_bits)) + 1).alias("base_local")
+    base = spark.createDataFrame(
+        [(int(b), int(v)) for b, v in counters.items()] or [(-1, 0)],
+        "bucket int, base_local long",
     )
     w = Window.partitionBy("bucket").orderBy(*KEY_COLS)
     docs_new = (
@@ -87,45 +126,82 @@ def append_batch(
             "content",
         )
     ).persist()
-    n_new = docs_new.count()
+    per_bucket = {
+        int(r["bucket"]): (int(r["n"]), int(r["toks"] or 0))
+        for r in docs_new.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("toks"))
+        .collect()
+    }
+    n_new = sum(n for n, _ in per_bucket.values())
+    toks_new = sum(t for _, t in per_bucket.values())
     if n_new == 0:
         docs_new.unpersist()
         return {"batch_id": batch_id, "docs_appended": 0}
 
-    docs_new.write.mode("append").partitionBy("bucket").parquet(p["docs"])
+    # stage (overwrite → replay-safe), then promote under deterministic names
+    staging = os.path.join(root, "staging", f"batch_{batch_id}")
+    docs_new.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(staging, "docs")
+    )
     postings_new = encode_postings(spimi_emit(docs_new, cfg), avgdl, cfg)
-    postings_new.write.mode("append").partitionBy("bucket").parquet(p["postings"])
+    postings_new.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(staging, "postings")
+    )
+    _promote(os.path.join(staging, "docs"), p["docs"], batch_id)
+    _promote(os.path.join(staging, "postings"), p["postings"], batch_id)
 
     if refresh_dict:
         refresh_dictionary(spark, root)
 
-    row = spark.read.parquet(p["docs"]).agg(
-        F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("toks")
-    ).collect()[0]
+    # COMMIT POINT: counters + stats + ledger row, after all data writes
+    for b, (n, _) in per_bucket.items():
+        counters[b] = counters.get(b, 0) + n
     stats = {
-        "n_docs": int(row["n"]),
+        "n_docs": int(meta["stats"]["n_docs"]) + n_new,
         "avgdl": avgdl,  # pinned baseline (see module docstring)
-        "total_tokens": int(row["toks"] or 0),
+        "total_tokens": int(meta["stats"]["total_tokens"]) + toks_new,
     }
-    write_meta(root, cfg, stats, consistent=True)
+    write_meta(root, cfg, stats, consistent=True, bucket_counters=counters)
 
-    # manifest lineage+metrics row (stage="stream")
     from ..sources.manifest import _append_manifest
 
     elapsed = time.time() - t0
-    toks_new = int(
-        docs_new.agg(F.sum("doc_len").alias("s")).collect()[0]["s"] or 0
-    )
     _append_manifest(
         spark,
         root,
         [(
-            "stream", -1, f"batch={batch_id}", n_new, 0, elapsed,
+            "stream", -1, tag, n_new, 0, elapsed,
             toks_new / max(elapsed, 1e-9), 0.0, 0, "complete", time.time(),
         )],
     )
     docs_new.unpersist()
+    shutil.rmtree(staging, ignore_errors=True)
     return {"batch_id": batch_id, "docs_appended": n_new, "elapsed_sec": round(elapsed, 3)}
+
+
+def _promote(stage_dir: str, dest_dir: str, batch_id: int) -> None:
+    """Copy staged partition files into the live dataset under deterministic
+    names: a replay of the same batch overwrites the same target files
+    instead of appending duplicates."""
+    import shutil
+
+    for part in sorted(os.listdir(stage_dir)):
+        if not part.startswith("bucket="):
+            continue
+        src = os.path.join(stage_dir, part)
+        dst = os.path.join(dest_dir, part)
+        os.makedirs(dst, exist_ok=True)
+        # clear any files a previously crashed attempt of THIS batch left
+        # behind (replay may produce a different part-file count)
+        for old in os.listdir(dst):
+            if old.startswith(f"stream-b{batch_id}-"):
+                os.remove(os.path.join(dst, old))
+        files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+        for i, f in enumerate(files):
+            shutil.copy2(
+                os.path.join(src, f),
+                os.path.join(dst, f"stream-b{batch_id}-{i}.parquet"),
+            )
 
 
 def refresh_dictionary(spark: SparkSession, root: str) -> None:
@@ -153,9 +229,12 @@ def stream_index_updates(
     """Start the incremental indexer over a parquet file-source directory.
 
     New parquet files dropped into ``input_path`` (corpus schema) are
-    discovered by the file source (the /proc/fschange analog), indexed per
-    micro-batch, exactly-once via the streaming checkpoint. Returns the
-    StreamingQuery; ``availableNow`` drains pending input then stops."""
+    discovered by the file source (the /proc/fschange analog) and indexed
+    per micro-batch. ``foreachBatch`` delivery is at-least-once, but the
+    sink is IDEMPOTENT (ledger skip + deterministic staged promotion +
+    commit-last counters — see ``append_batch``), so the composition is
+    effectively exactly-once. Returns the StreamingQuery; ``availableNow``
+    drains pending input then stops."""
     stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(input_path)
 
     def sink(df: DataFrame, batch_id: int) -> None:

@@ -138,3 +138,72 @@ def test_local_and_distributed_wand_identical(spark, corpus, index):
         assert [(d, round(s, 9)) for _, d, s in loc[qid]] == [
             (d, round(s, 9)) for _, d, s in dist[qid]
         ]
+
+
+def test_arrow_and_pandas_emitters_identical(spark):
+    """The Arrow fast-path SPIMI emitter (mapInArrow + pyarrow kernels) must
+    produce the exact same posting multiset (term, docid, tf, dl) as the
+    pandas fallback, including empty docs, punctuation-only docs, and mixed
+    case; docid order within every (term, bucket) run must be preserved."""
+    import pandas as pd
+    from information_retrieval_spark.operators.build import (
+        _spimi_emit_arrow,
+        _spimi_emit_pandas,
+        build_docs_table,
+    )
+    from information_retrieval_spark.functions import codec
+
+    pdf = synthetic_corpus_pdf(150, seed=9)[["repo", "path", "commit", "lang", "content"]]
+    # splice in edge-case rows (admission filter needs >= 8 bytes)
+    pdf.loc[0, "content"] = "PUNCT::: ,,,, ---- ::"
+    pdf.loc[1, "content"] = "MiXeD CaSe Tokens_9 __under__ 123abc"
+    pdf.loc[2, "content"] = ":::::::::::"       # admitted, tokenizes to nothing
+    docs = build_docs_table(spark.createDataFrame(pdf), CFG)
+
+    def decoded(runs_df):
+        rows = []
+        for r in runs_df.collect():
+            d = codec.delta_decode(codec.vbyte_decode(bytes(r["docs_vb"])))
+            t = codec.vbyte_decode(bytes(r["tfs_vb"]))
+            l = codec.vbyte_decode(bytes(r["dls_vb"]))
+            assert np.all(np.diff(d) > 0), "run not docid-sorted"
+            assert (d >> CFG.doc_bucket_bits == r["bucket"]).all()
+            assert len(d) == r["n"]
+            rows += [(r["term"], int(x), int(y), int(z)) for x, y, z in zip(d, t, l)]
+        return sorted(rows)
+
+    a = decoded(_spimi_emit_arrow(docs, CFG))
+    p = decoded(_spimi_emit_pandas(docs, CFG))
+    assert a == p and len(a) > 100
+
+
+def test_partition_and_grouped_encoders_identical(spark):
+    """The partition-vectorized mapInArrow encode pass must emit the exact
+    same block rows (term, bucket, block_id, skip metadata, payload bytes,
+    block_max) as the per-group applyInPandas reference formulation."""
+    from information_retrieval_spark.operators.build import (
+        _encode_postings_grouped,
+        build_docs_table,
+        encode_postings,
+        spimi_emit,
+    )
+
+    pdf = synthetic_corpus_pdf(200, seed=13)[["repo", "path", "commit", "lang", "content"]]
+    docs = build_docs_table(spark.createDataFrame(pdf), CFG).persist()
+    runs = spimi_emit(docs, CFG).persist()
+    runs.count()
+    avgdl = 37.3
+
+    def rows(df):
+        return sorted(
+            (r["term"], r["bucket"], r["block_id"], r["first_docid"], r["last_docid"],
+             r["n"], r["block_cf"], bytes(r["docs_vb"]), bytes(r["tfs_vb"]),
+             bytes(r["dls_vb"]), round(r["block_max_tfnorm"], 12))
+            for r in df.collect()
+        )
+
+    a = rows(encode_postings(runs, avgdl, CFG))
+    g = rows(_encode_postings_grouped(runs, avgdl, CFG))
+    assert a == g and len(a) > 50
+    runs.unpersist()
+    docs.unpersist()

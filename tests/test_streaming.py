@@ -72,3 +72,62 @@ def test_streamed_appends_are_searchable(spark, tmp_path_factory):
     q2 = stream_index_updates(spark, inbox, root, ckpt, CFG, available_now=True)
     q2.awaitTermination(300)
     assert open_index(spark, root).n_docs == n_admitted
+
+
+def test_append_batch_idempotent_and_counter_based(spark, tmp_path_factory):
+    """ADVICE r1: (a) a batch already in the ledger is skipped; (b) a forced
+    replay (crash-before-commit simulation) does not duplicate documents or
+    postings; (c) docid allocation reads the meta counters — it works even
+    when the docs table is not readable, proving no full-table rescan."""
+    import shutil
+    from information_retrieval_spark.sources.manifest import read_meta, _paths
+    from information_retrieval_spark.streaming.incremental import append_batch
+
+    base_dir = tmp_path_factory.mktemp("appendidem")
+    root = str(base_dir / "idx")
+    full = synthetic_corpus_pdf(120, seed=31)[COLS]
+    build_index_resumable(spark, spark.createDataFrame(full.iloc[:80]), root, CFG)
+    idx0 = open_index(spark, root)
+    n0 = idx0.n_docs
+    counters0 = read_meta(root)["bucket_counters"]
+    assert counters0 and sum(int(v) for v in counters0.values()) == n0
+
+    delta = spark.createDataFrame(full.iloc[80:])
+
+    # (c) hide the docs table: counter-based allocation must not touch it
+    p = _paths(root)
+    hidden = p["docs"] + "_hidden"
+    os.rename(p["docs"], hidden)
+    r1 = append_batch(spark, delta, root, CFG, batch_id=7)
+    assert r1["docs_appended"] > 0
+    # merge the hidden base back (new batch files were written to a fresh docs dir)
+    for part in os.listdir(hidden):
+        src = os.path.join(hidden, part)
+        if not os.path.isdir(src):
+            continue
+        dst = os.path.join(p["docs"], part)
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(src):
+            shutil.move(os.path.join(src, f), os.path.join(dst, f))
+    shutil.rmtree(hidden)
+
+    idx1 = open_index(spark, root)
+    n1 = idx1.n_docs
+    assert n1 == n0 + r1["docs_appended"]
+    assert idx1.docs.count() == n1
+    assert idx1.docs.select("docid").distinct().count() == n1  # ids continued
+
+    # (a) ledger skip
+    r2 = append_batch(spark, delta, root, CFG, batch_id=7)
+    assert r2 == {"batch_id": 7, "docs_appended": 0, "skipped": True}
+    assert open_index(spark, root).docs.count() == n1
+
+    # (b) forced replay of the same batch (as if the ledger row was lost):
+    # deterministic staged promotion overwrites, never duplicates
+    n_postings_before = idx1.postings.count()
+    r3 = append_batch(spark, delta, root, CFG, batch_id=7, force=True)
+    assert r3["docs_appended"] == r1["docs_appended"]
+    idx2 = open_index(spark, root)
+    assert idx2.docs.count() == n1
+    assert idx2.docs.select("docid").distinct().count() == n1
+    assert idx2.postings.count() == n_postings_before
