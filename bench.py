@@ -34,7 +34,7 @@ from pyspark.sql import SparkSession, functions as F
 from information_retrieval_spark.config import EngineConfig
 from information_retrieval_spark.corpus import corpus_from_documents
 from information_retrieval_spark.operators.build import build_index
-from information_retrieval_spark.operators.query import parse_queries
+from information_retrieval_spark.operators.query import parse_query_terms
 from information_retrieval_spark.operators.wand import wand_topk
 
 from __spark_entry__ import QUERY_SET, TOP_K
@@ -249,15 +249,37 @@ def main() -> None:
     idx.dictionary = idx.dictionary.persist()
     idx.dictionary.count()
 
-    # warm-up (JIT, Python worker spin-up) then per-query timing
-    qterms_all = parse_queries(spark, QUERY_SET, cfg)
-    wand_topk(spark, idx, qterms_all, TOP_K, cfg).count()
+    # warm-up (JIT, Python worker spin-up) then per-query timing — queries
+    # parse driver-side (parse_query_terms: zero Spark jobs) so a query
+    # costs exactly ONE Spark job (the pruned block fetch) + the local loop
+    wand_topk(spark, idx, parse_query_terms(QUERY_SET, cfg), TOP_K, cfg).count()
     query_secs: dict[str, float] = {}
     for i, q in enumerate(QUERY_SET):
-        qt = parse_queries(spark, [q], cfg)
+        qt = parse_query_terms([q], cfg)
         t0 = time.time()
         wand_topk(spark, idx, qt, TOP_K, cfg).count()
         query_secs[f"q{i}"] = round(time.time() - t0, 4)
+
+    # Spark-free interactive path (the reference's query-daemon analog):
+    # persist the index once, then per-query pyarrow fetch + in-process BMW
+    from information_retrieval_spark.operators.local_query import (
+        LocalIndex,
+        query_index_local,
+    )
+    from information_retrieval_spark.sources.manifest import build_index_resumable
+
+    idx_root = f"/tmp/ir_bench_idx_{os.path.basename(SF_DIR.rstrip('/'))}"
+    import shutil
+
+    shutil.rmtree(idx_root, ignore_errors=True)
+    build_index_resumable(spark, corpus, idx_root, cfg)
+    li = LocalIndex(idx_root)
+    query_index_local(li, QUERY_SET, k=TOP_K)  # warm
+    local_secs: dict[str, float] = {}
+    for i, q in enumerate(QUERY_SET):
+        t0 = time.time()
+        query_index_local(li, [q], k=TOP_K)
+        local_secs[f"q{i}"] = round(time.time() - t0, 4)
 
     out = {
         "metric": "index-build + BM25 block-max-WAND top-k wall time",
@@ -269,6 +291,7 @@ def main() -> None:
         "build_sec": round(build_sec, 3),
         "docs_per_sec": round(docs_per_sec, 1),
         "queries": query_secs,
+        "queries_pyarrow_local": local_secs,
     }
     spark.stop()
 

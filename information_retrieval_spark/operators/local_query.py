@@ -1,0 +1,89 @@
+"""Spark-free interactive query path over a persisted index.
+
+The reference declares a resident query daemon on a TCP port
+(/root/reference/index/index.h:43-45) — a long-lived process answering
+queries against the on-disk index with no batch-engine round trip. This is
+its analog: ``query_index_local`` reads the persisted index directory with
+pyarrow datasets (``term IN`` pushed to Parquet row-group statistics — the
+same C3 storage-level skip the Spark scan gets) and runs the identical
+block-max WAND loop in-process. No SparkSession, no job scheduling:
+millisecond-class latency for interactive use, while ``wand_topk`` remains
+the distributed path for corpus-scale candidate sets.
+
+Rank-identity with the Spark paths is pinned by tests/test_resume.py
+(same blocks, same ``bmw_over_blocks`` loop, same tie-break).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from ..config import EngineConfig
+from ..functions import codec
+from .query import parse_query_terms
+from .wand import bmw_over_blocks
+
+_BLOCK_COLS = [
+    "term", "bucket", "first_docid", "last_docid",
+    "block_max_tfnorm", "docs_vb", "tfs_vb", "dls_vb", "n",
+]
+
+
+class LocalIndex:
+    """A persisted index opened for Spark-free querying. Holds the meta
+    scalars and a pyarrow dataset handle; block fetches are per-query and
+    pushdown-pruned, so opening is O(1)."""
+
+    def __init__(self, root: str):
+        import pyarrow.dataset as ds
+
+        from ..sources.manifest import read_meta
+
+        meta = read_meta(root)
+        if not meta.get("is_consistent", False):
+            raise RuntimeError(f"index at {root} is not consistent; rebuild required")
+        self.cfg = EngineConfig(
+            **{
+                k: v
+                for k, v in meta["config"].items()
+                if k in EngineConfig.__dataclass_fields__ and k != "extras"
+            }
+        )
+        self.n_docs = int(meta["stats"]["n_docs"])
+        self.avgdl = float(meta["stats"]["avgdl"])
+        self.dataset = ds.dataset(
+            os.path.join(root, "postings"), partitioning="hive", format="parquet"
+        )
+
+    def fetch_blocks(self, terms: list[str]) -> pd.DataFrame:
+        import pyarrow.dataset as ds
+
+        if not terms:
+            return pd.DataFrame(columns=_BLOCK_COLS)
+        tab = self.dataset.to_table(
+            filter=ds.field("term").isin(terms), columns=_BLOCK_COLS
+        )
+        return tab.to_pandas()
+
+
+def query_index_local(
+    index: "LocalIndex | str",
+    queries: list[str],
+    k: int = 10,
+) -> pd.DataFrame:
+    """(query_id, rank, docid, score) pandas DataFrame — block-max WAND over
+    the persisted index, entirely in-process."""
+    idx = LocalIndex(index) if isinstance(index, str) else index
+    q_pairs = parse_query_terms(queries, idx.cfg)
+    terms = sorted({t for _, t in q_pairs})
+    blocks = idx.fetch_blocks(terms)
+    idf = {
+        t: float(codec.bm25_idf(float(df_t), float(idx.n_docs)))
+        for t, df_t in blocks.groupby("term")["n"].sum().items()
+    }
+    rows = bmw_over_blocks(
+        blocks, q_pairs, k, idf, idx.avgdl, float(idx.cfg.k1), float(idx.cfg.b)
+    )
+    return pd.DataFrame(rows, columns=["query_id", "rank", "docid", "score"])

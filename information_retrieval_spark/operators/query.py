@@ -41,6 +41,22 @@ def parse_queries(
     )
 
 
+def parse_query_terms(
+    queries: list[str], cfg: EngineConfig = DEFAULT_CONFIG
+) -> list[tuple[int, str]]:
+    """Driver-side query parse: [(query_id, term)] with distinct terms per
+    query — zero Spark jobs, for interactive latency. Uses the pandas
+    analyzer, which is pinned output-identical to the Catalyst
+    ``tokenize_expr`` that ``parse_queries`` uses (tests/test_analyzer.py),
+    so both entry points satisfy the same-analyzer contract (Q1)."""
+    import pandas as pd
+
+    from ..functions.analyzer import tokenize_series
+
+    toks = tokenize_series(pd.Series(queries, dtype=object), cfg)
+    return [(i, t) for i, ts in enumerate(toks) for t in sorted(set(ts))]
+
+
 def naive_bm25(
     corpus: DataFrame,
     qterms: DataFrame,

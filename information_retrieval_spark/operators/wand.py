@@ -236,7 +236,7 @@ def _collect_small_set(df: DataFrame | None, name: str, cap: int) -> np.ndarray 
 def wand_topk(
     spark: SparkSession,
     index: InvertedIndex,
-    qterms: DataFrame,
+    qterms: DataFrame | list[tuple[int, str]],
     k: int,
     cfg: EngineConfig | None = None,
     deleted: DataFrame | None = None,
@@ -267,26 +267,55 @@ def wand_topk(
     # per-user visibility keep-list (security.py F1). Small-set contract as
     # with deletions; at 10^12 scale fold permissions into the docs scan.
     allowed_arr = _collect_small_set(allowed, "allowed", small_set_cap)
-    # per-term idf from the dictionary — query terms are few: collect to a map
-    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    avgdl, k1, b = float(index.avgdl), float(cfg.k1), float(cfg.b)
+
+    # query terms: a plain [(query_id, term)] list (parse_query_terms — zero
+    # Spark jobs, the interactive path) or a (query_id, term) DataFrame
+    if isinstance(qterms, list):
+        q_pairs = [(int(q), str(t)) for q, t in qterms]
+    else:
+        qp = qterms.select("query_id", "term").toPandas()
+        q_pairs = list(zip(qp["query_id"].astype(int), qp["term"]))
+    terms = sorted({t for _, t in q_pairs})
+    if not terms:
+        return spark.createDataFrame([], "query_id int, rank int, docid long, score double")
+
+    if mode in ("local", "auto"):
+        # interactive fast path: ONE Spark job — the pruned block fetch.
+        # Per-term df (for idf) is recomputed from the fetched blocks
+        # themselves (df = Σ n over the term's blocks — the same identity
+        # build_dictionary uses), so no dictionary collect; n_docs/avgdl are
+        # index-object scalars. The extra +1 row detects block sets too
+        # large for the driver, falling through to the distributed path.
+        cols = ["term", "bucket", "first_docid", "last_docid",
+                "block_max_tfnorm", "docs_vb", "tfs_vb", "dls_vb", "n"]
+        fetch = index.postings.filter(F.col("term").isin(terms)).select(*cols)
+        if mode == "auto":
+            fetch = fetch.limit(local_block_limit + 1)
+        blocks = fetch.toPandas()
+        if mode == "local" or len(blocks) <= local_block_limit:
+            idf = {
+                t: float(codec.bm25_idf(float(df_t), float(index.n_docs)))
+                for t, df_t in blocks.groupby("term")["n"].sum().items()
+            }
+            return _wand_topk_local(spark, blocks, q_pairs, k, idf, avgdl,
+                                    k1, b, del_arr, allowed_arr)
+
+    # distributed path: per-term idf from the dictionary (one bounded
+    # collect over |query terms| rows)
     stat_rows = index.dictionary.filter(F.col("term").isin(terms)).select(
-        "term", "df", "n_blocks"
+        "term", "df"
     ).collect()
     idf = {
         r["term"]: float(codec.bm25_idf(float(r["df"]), float(index.n_docs)))
         for r in stat_rows
     }
-    avgdl, k1, b = float(index.avgdl), float(cfg.k1), float(cfg.b)
-    est_blocks = sum(int(r["n_blocks"]) for r in stat_rows)
-    if mode == "local" or (mode == "auto" and est_blocks <= local_block_limit):
-        return _wand_topk_local(spark, index, qterms, k, idf, avgdl, k1, b,
-                                terms, del_arr, allowed_arr)
-
+    if isinstance(qterms, list):
+        qterms = spark.createDataFrame(q_pairs, "query_id int, term string")
     # static IN-filter BEFORE the join: the term set is already known
-    # driver-side (collected for idf), so Catalyst pushes it into the
-    # Parquet scan — row-group min/max stats prune everything but the
-    # queried terms' blocks (C3 "skip pointers" at the storage layer;
-    # verified by tests/test_plans.py)
+    # driver-side, so Catalyst pushes it into the Parquet scan — row-group
+    # min/max stats prune everything but the queried terms' blocks (C3
+    # "skip pointers" at the storage layer; verified by tests/test_plans.py)
     joined = index.postings.filter(F.col("term").isin(terms)).join(
         F.broadcast(qterms), "term"
     )
@@ -304,22 +333,22 @@ def wand_topk(
     )
 
 
-def _wand_topk_local(
-    spark, index, qterms, k, idf, avgdl, k1, b, terms, del_arr, allowed_arr=None
-) -> pd.DataFrame:
-    """Driver-local BMW (SURVEY.md §3.3): one pruned block-fetch job, then
-    the WAND loop in-process. Identical semantics to the distributed path —
-    per-bucket partials merged under the same (score DESC, docid ASC) rank."""
-    blocks = (
-        index.postings.filter(F.col("term").isin(terms))
-        .select("term", "bucket", "first_docid", "last_docid",
-                "block_max_tfnorm", "docs_vb", "tfs_vb", "dls_vb")
-        .toPandas()
-    )
-    q_pdf = qterms.toPandas()
-    rows = []
-    for qid, qgroup in q_pdf.groupby("query_id", sort=True):
-        tset = set(qgroup["term"]) & set(idf)
+def bmw_over_blocks(
+    blocks: pd.DataFrame, q_pairs: list[tuple[int, str]], k: int,
+    idf: dict[str, float], avgdl: float, k1: float, b: float,
+    del_arr=None, allowed_arr=None,
+) -> list[tuple[int, int, int, float]]:
+    """In-process BMW over pre-fetched block rows → [(query_id, rank, docid,
+    score)]. Pure pandas/NumPy — shared by the Spark driver-local path and
+    the Spark-free ``local_query`` path. Identical semantics to the
+    distributed path: per-bucket partials merged under the same
+    (score DESC, docid ASC) rank."""
+    by_qid: dict[int, list[str]] = {}
+    for qid, t in q_pairs:
+        by_qid.setdefault(qid, []).append(t)
+    rows: list[tuple[int, int, int, float]] = []
+    for qid in sorted(by_qid):
+        tset = set(by_qid[qid]) & set(idf)
         qblocks = blocks[blocks["term"].isin(tset)]
         if qblocks.empty:
             continue
@@ -335,6 +364,15 @@ def _wand_topk_local(
         collected.sort(key=lambda ds: (-ds[1], ds[0]))
         for rank, (docid, score) in enumerate(collected[:k], start=1):
             rows.append((int(qid), rank, int(docid), float(score)))
-    out = pd.DataFrame(rows, columns=["query_id", "rank", "docid", "score"])
+    return rows
+
+
+def _wand_topk_local(
+    spark, blocks: pd.DataFrame, q_pairs: list[tuple[int, str]], k, idf,
+    avgdl, k1, b, del_arr, allowed_arr=None
+):
+    """Driver-local BMW (SURVEY.md §3.3) over pre-fetched block rows: the
+    WAND loop runs in-process, zero further Spark jobs."""
+    rows = bmw_over_blocks(blocks, q_pairs, k, idf, avgdl, k1, b, del_arr, allowed_arr)
     schema = "query_id int, rank int, docid long, score double"
-    return spark.createDataFrame(out, schema=schema)
+    return spark.createDataFrame(rows, schema=schema)

@@ -96,3 +96,37 @@ def test_open_inconsistent_refuses(spark, corpus, tmp_path_factory):
     mf.write_meta(root, CFG, idx.stats(), consistent=False)
     with pytest.raises(RuntimeError, match="not consistent"):
         mf.open_index(spark, root)
+
+
+def test_local_query_matches_spark_wand(spark, tmp_path_factory):
+    """The Spark-free pyarrow query path (local_query) must be rank- and
+    score-identical to wand_topk over the same persisted index."""
+    import time
+    from information_retrieval_spark.operators.local_query import (
+        LocalIndex,
+        query_index_local,
+    )
+    from information_retrieval_spark.operators.query import parse_queries
+    from information_retrieval_spark.operators.wand import wand_topk
+
+    root = str(tmp_path_factory.mktemp("localq") / "idx")
+    cols = ["repo", "path", "commit", "lang", "content"]
+    pdf = synthetic_corpus_pdf(150, seed=17)[cols]
+    idx = mf.build_index_resumable(spark, spark.createDataFrame(pdf), root, CFG)
+    queries = ["ident_1 ident_2", "ident_3", "the a", "absent_zzz", "::: //"]
+
+    spark_rows = sorted(
+        (r["query_id"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in wand_topk(spark, idx, parse_queries(spark, queries, CFG), 5, CFG).collect()
+    )
+    li = LocalIndex(root)
+    out = query_index_local(li, queries, k=5)
+    local_rows = sorted(
+        (int(q), int(rk), int(d), round(float(s), 9))
+        for q, rk, d, s in out.itertuples(index=False)
+    )
+    assert local_rows == spark_rows and len(local_rows) > 0
+    # latency sanity: warm repeat answers in well under 100 ms
+    t0 = time.time()
+    query_index_local(li, ["ident_1 ident_2"], k=5)
+    assert time.time() - t0 < 0.5
