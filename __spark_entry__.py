@@ -259,6 +259,28 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard_pairs(docs, pairs, CFG, shingle_k=2)
 
 
+PHRASES = [
+    "table hash",           # frequent bigram
+    "part filter",          # frequent bigram
+    "slow key scan",        # trigram
+    "table zzz_absent",     # no match
+]
+
+
+def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode-1 positional index + quoted-phrase retrieval (reference
+    DOCUMENT_LEVEL_INDEXING mode 1, index.h:51-58): positions table from the
+    same docid assignment, Catalyst-only adjacency verification."""
+    from information_retrieval_spark.operators.positional import (
+        phrase_match,
+        positional_postings,
+    )
+
+    docs = build_docs_table(_corpus(spark, sf_dir), CFG)
+    pp = positional_postings(docs, CFG)
+    return phrase_match(pp, PHRASES, CFG)
+
+
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH approximate top-k (no SQL oracle — recall vs brute force is
     pytest-verified; returns the probed-bucket rerank)."""
@@ -285,12 +307,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _q_events_window,
         "boolean_and": _q_boolean_and,
         "events_json": _q_events_json,
+        "phrase_match": _q_phrase_match,
     }
 
 
 # --------------------------------------------------------------------------
 # oracle_sql: ANSI SQL (DuckDB) equivalents over the pre-registered views
 # --------------------------------------------------------------------------
+
+def _phrase_sql() -> str:
+    from information_retrieval_spark.operators.positional import duckdb_phrase_sql
+
+    return duckdb_phrase_sql(
+        DOCUMENTS_AS_CORPUS_SQL,
+        duckdb_docid_sql(DOCUMENTS_AS_CORPUS_SQL, CFG),
+        PHRASES,
+        CFG,
+    )
+
 
 def _events_window_sql() -> str:
     from information_retrieval_spark.streaming.windows import (
@@ -385,6 +419,7 @@ SELECT event_type,
        round(sum(value), 4) AS total_value
 FROM events GROUP BY event_type
 """,
+        "phrase_match": _phrase_sql(),
         "minhash_near_dups": minhash_pairs_sql(
             fixtures["minhash_sigs"], n_bands=32, threshold=0.5
         ),

@@ -1,0 +1,189 @@
+"""Positional postings (mode 1) + phrase matching.
+
+The reference declares DOCUMENT_LEVEL_INDEXING granularity mode 1 — "word
+positions are indexed" (/root/reference/index/index.h:51-58) — but ships no
+implementation; the engine's main index is mode 2 (document-level postings,
+SURVEY.md §1.4). This module adds the mode-1 plane as a SEPARATE positional
+table plus a phrase-query operator over it:
+
+- ``positional_postings``: (term, bucket, docid, tf, positions array<int>)
+  — one row per (term, doc), positions = ascending 0-based token offsets.
+  Spark-first representation: the position list is a parquet-native
+  ``array<int>`` (columnar list encoding + dictionary/RLE does the
+  compression the reference's hand-rolled byte format would), partitioned
+  by the same docid bucket as the main index so phrase scans prune both by
+  ``term IN`` (row-group stats) and bucket.
+- ``phrase_match``: '"quoted phrase"' conjunctive-adjacency retrieval.
+  Candidate pruning and the adjacency check are pure Catalyst: per-doc
+  pivot of the phrase terms' position arrays, then a chained
+  ``array_intersect(transform(pos_i, p -> p - i))`` — a doc matches iff a
+  start position p exists with term_i at p+i for every i. No Python in the
+  match path.
+
+Scale shape: the scan is pruned to the phrase's terms; the only shuffle is
+the per-doc pivot aggregation keyed by docid (map-side partial, no skew —
+docids are unique); adjacency runs in codegen on arrays whose total size is
+the pruned postings. A phrase of stopwords degrades to the terms' full
+posting lists — the same worst case every positional index has.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+from ..functions.analyzer import tokenize_series
+
+POSITIONAL_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("bucket", IntegerType(), False),
+        StructField("docid", LongType(), False),
+        StructField("tf", IntegerType(), False),
+        StructField("positions", ArrayType(IntegerType(), False), False),
+    ]
+)
+
+
+def positional_postings(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(term, bucket, docid, tf, positions) — mode-1 emit, batch-vectorized
+    (flatten + integer key sort + np.split; no per-document Python loop)."""
+    shift = cfg.doc_bucket_bits
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            toks = tokenize_series(pdf["content"], cfg)
+            lens = toks.str.len().to_numpy(np.int64)
+            if lens.sum() == 0:
+                continue
+            n = len(pdf)
+            flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            codes, uniques = pd.factorize(flat, sort=False)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            doc_off = np.concatenate(([0], np.cumsum(lens)))
+            pos = np.arange(flat.size, dtype=np.int64) - np.repeat(doc_off[:-1], lens)
+            # stable sort by (term, doc): token order within a doc is
+            # preserved, so each group's positions come out ascending
+            key = codes.astype(np.int64) * n + doc_idx
+            order = np.argsort(key, kind="stable")
+            ks, ps = key[order], pos[order]
+            cut = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+            starts = np.concatenate(([0], cut))
+            tf = np.diff(np.append(starts, ks.size)).astype(np.int32)
+            uk = ks[starts]
+            code_u = uk // n
+            di = uk % n
+            docids = pdf["docid"].to_numpy(np.int64)[di]
+            uniq = (
+                uniques.to_numpy() if hasattr(uniques, "to_numpy")
+                else np.asarray(uniques, dtype=object)
+            )
+            yield pd.DataFrame(
+                {
+                    "term": uniq[code_u],
+                    "bucket": (docids >> shift).astype(np.int32),
+                    "docid": docids,
+                    "tf": tf,
+                    "positions": np.split(ps.astype(np.int32), cut),
+                }
+            )
+
+    return docs.select("docid", "content").mapInPandas(emit, POSITIONAL_SCHEMA)
+
+
+def parse_phrases(phrases: list[str], cfg: EngineConfig = DEFAULT_CONFIG) -> list[list[str]]:
+    """Token sequences per phrase (duplicates and order preserved) — same
+    analyzer as indexing (Q1 contract)."""
+    toks = tokenize_series(pd.Series(phrases, dtype=object), cfg)
+    return [list(t) for t in toks]
+
+
+def phrase_match(
+    positional: DataFrame,
+    phrases: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """(query_id, docid) — docs containing each quoted phrase as a
+    consecutive token sequence. Catalyst-only matching (see module doc)."""
+    seqs = parse_phrases(phrases, cfg)
+    spark = positional.sparkSession
+    out = None
+    for qid, seq in enumerate(seqs):
+        if not seq:
+            continue
+        terms = sorted(set(seq))
+        pruned = positional.filter(F.col("term").isin(terms))
+        # per-doc pivot: one position-array column per distinct phrase term
+        agg = pruned.groupBy("docid").agg(
+            *[
+                F.first(F.when(F.col("term") == t, F.col("positions")), ignorenulls=True)
+                .alias(f"p_{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+        tcol = {t: f"p_{i}" for i, t in enumerate(terms)}
+        # all terms present ...
+        cond = None
+        for t in terms:
+            c = F.col(tcol[t]).isNotNull()
+            cond = c if cond is None else (cond & c)
+        cand = agg.filter(cond)
+        # ... and a common start position: intersect pos(term_i) shifted by -i
+        common = F.col(tcol[seq[0]])
+        for i, t in enumerate(seq[1:], start=1):
+            # NB: a two-arg lambda would make F.transform pass the ARRAY
+            # INDEX as the second argument, shadowing the phrase offset —
+            # bind the offset via a closure over a one-arg lambda
+            shift = (lambda off: (lambda p: p - F.lit(off)))(i)
+            common = F.array_intersect(common, F.transform(F.col(tcol[t]), shift))
+        matched = cand.filter(F.size(common) > 0).select(
+            F.lit(qid).alias("query_id"), "docid"
+        )
+        out = matched if out is None else out.unionAll(matched)
+    if out is None:
+        return spark.createDataFrame([], "query_id int, docid long")
+    return out
+
+
+def duckdb_phrase_sql(
+    corpus_sql: str, docid_sql: str, phrases: list[str], cfg: EngineConfig = DEFAULT_CONFIG
+) -> str:
+    """Oracle: token-sequence containment == substring match on the
+    space-joined token stream with space guards (tokens contain no spaces),
+    entirely independent of the positional-index machinery."""
+    from ..functions.analyzer import duckdb_tokenize_sql
+
+    tok = duckdb_tokenize_sql("content", cfg)
+    parts = []
+    seqs = parse_phrases(phrases, cfg)
+    for qid, seq in enumerate(seqs):
+        if not seq:
+            continue
+        needle = " " + " ".join(seq) + " "
+        parts.append(
+            f"SELECT {qid} AS query_id, docid FROM toks "
+            f"WHERE position('{needle}' IN padded) > 0"
+        )
+    body = " UNION ALL ".join(parts) if parts else "SELECT 0 AS query_id, CAST(NULL AS BIGINT) AS docid WHERE FALSE"
+    return f"""
+WITH ids AS ({docid_sql}),
+toks AS (
+  SELECT docid, ' ' || array_to_string({tok}, ' ') || ' ' AS padded
+  FROM ids
+)
+{body}
+"""

@@ -1,0 +1,89 @@
+"""Positional (mode-1) index + phrase query tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.operators.positional import (
+    phrase_match,
+    positional_postings,
+)
+
+CFG = EngineConfig(n_doc_buckets=4)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "alpha beta gamma alpha beta"),
+        (1, "beta alpha beta gamma"),
+        (2, "gamma gamma gamma"),
+        (3, "alpha x beta y gamma"),
+        (1 << 41, "alpha beta gamma"),   # different bucket
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["docid", "content"])
+    )
+
+
+def test_positions_are_token_offsets(spark, docs):
+    pp = {
+        (r["term"], r["docid"]): (r["tf"], list(r["positions"]))
+        for r in positional_postings(docs, CFG).collect()
+    }
+    assert pp[("alpha", 0)] == (2, [0, 3])
+    assert pp[("beta", 0)] == (2, [1, 4])
+    assert pp[("gamma", 2)] == (3, [0, 1, 2])
+    assert pp[("beta", 1)] == (2, [0, 2])
+    # bucket column = docid high bits
+    r = [x for x in positional_postings(docs, CFG).collect() if x["docid"] == (1 << 41)]
+    assert all(x["bucket"] == (1 << 41) >> CFG.doc_bucket_bits for x in r)
+
+
+def test_phrase_match_semantics(spark, docs):
+    pp = positional_postings(docs, CFG).persist()
+    got = {
+        (r["query_id"], r["docid"])
+        for r in phrase_match(
+            pp,
+            [
+                "alpha beta",          # q0: docs 0, 1(pos1-2), 2^41
+                "beta gamma",          # q1: docs 1, 2^41 (doc 0 has beta@4 end)
+                "gamma gamma",         # q2: repeated-token phrase, doc 2 only
+                "alpha beta gamma",    # q3: trigram, docs 1(no: beta alpha beta gamma -> alpha@1 beta@2 gamma@3 yes!), 2^41
+                "alpha gamma",         # q4: never adjacent
+                ":::",                 # q5: tokenizes to nothing -> no rows
+            ],
+            CFG,
+        ).collect()
+    }
+    assert {d for q, d in got if q == 0} == {0, 1, 1 << 41}
+    assert {d for q, d in got if q == 1} == {0, 1, 1 << 41}
+    assert {d for q, d in got if q == 2} == {2}
+    assert {d for q, d in got if q == 3} == {0, 1, 1 << 41}
+    assert not any(q == 4 for q, _ in got)
+    assert not any(q == 5 for q, _ in got)
+    pp.unpersist()
+
+
+def test_single_term_phrase_is_containment(spark, docs):
+    pp = positional_postings(docs, CFG)
+    got = {r["docid"] for r in phrase_match(pp, ["gamma"], CFG).collect()}
+    assert got == {0, 1, 2, 3, 1 << 41}
+
+
+def test_positional_scan_pushes_term_filter(spark, docs, tmp_path_factory):
+    """Persisted positional table: the phrase terms reach the Parquet scan
+    as PushedFilters (same storage-level skip as the main index)."""
+    out = str(tmp_path_factory.mktemp("pos") / "pp")
+    positional_postings(docs, CFG).write.partitionBy("bucket").parquet(out)
+    pp = spark.read.parquet(out)
+    df = phrase_match(pp, ["alpha beta"], CFG)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    scan = plan[plan.index("Scan parquet"):]
+    pushed = scan[: scan.index("ReadSchema")]
+    assert "In(term" in pushed, pushed[:400]
