@@ -162,6 +162,33 @@ def _q_term_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spimi_postings(docs, CFG).select("term", "docid", F.col("tf").cast("long").alias("tf"))
 
 
+CFG_STEM = EngineConfig(stemming_level=1)
+# inflected suffix appended per doc so the stemmer has real work on the
+# driver vocabulary (which contains no plurals); doc_id-keyed so different
+# docs exercise different rules — mirrored EXACTLY in the oracle SQL
+_STEM_SUFFIXES = ["tables queries", "ponies boxes", "scans hashes", "goes misses"]
+
+
+def _q_term_tf_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: the same SPIMI pipeline with stemming level 1 (plural S-stemmer)
+    — stemmed terms verified end-to-end against the DuckDB regex chain."""
+    docs4 = _documents(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit(" "),
+            F.element_at(
+                F.array(*[F.lit(s) for s in _STEM_SUFFIXES]),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+        ),
+    )
+    docs = build_docs_table(corpus_from_documents(docs4), CFG_STEM)
+    return spimi_postings(docs, CFG_STEM).select(
+        "term", "docid", F.col("tf").cast("long").alias("tf")
+    )
+
+
 def _q_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 via the FULL encode pipeline: df/cf recomputed from encoded
     posting-block rows (C1-C4) — proves the codec preserved every posting."""
@@ -281,6 +308,16 @@ def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match(pp, PHRASES, CFG)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component dedup clustering (large-star/pointer-jumping
+    iteration) over the exact-Jaccard pair graph — the step that turns
+    pairwise near-dup candidates into per-cluster keeper decisions."""
+    from information_retrieval_spark.operators.textproc import dedup_clusters
+
+    pairs = _q_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.08)
+    return dedup_clusters(pairs.select("id_a", "id_b"))
+
+
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH approximate top-k (no SQL oracle — recall vs brute force is
     pytest-verified; returns the probed-bucket rerank)."""
@@ -294,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sha256_invariant": _q_sha256,
         "collection_stats": _q_collection_stats,
         "term_tf": _q_term_tf,
+        "term_tf_stemmed": _q_term_tf_stemmed,
         "dictionary": _q_dictionary,
         "bm25_topk_naive": _q_bm25_naive,
         "bm25_topk_wand": _q_bm25_wand,
@@ -308,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_and": _q_boolean_and,
         "events_json": _q_events_json,
         "phrase_match": _q_phrase_match,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 
@@ -353,6 +392,28 @@ def oracle_sql() -> dict[str, str]:
 
     fixtures = export_signature_fixtures("/root/testdata/sf0.01", cfg=CFG)
     probes = query_buckets(ANN_QVEC, n_planes=6, seed=4242)
+    ngram_sql = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+  FROM documents WHERE doc_id < 40
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1])) END)
+           AS shingles
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+             / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+"""
+    from information_retrieval_spark.operators.textproc import duckdb_dedup_clusters_sql
+
+    dedup_clusters_sql = duckdb_dedup_clusters_sql(
+        f"SELECT id_a, id_b FROM ({ngram_sql}) WHERE jaccard >= 0.08"
+    )
     return {
         "docids": f"""
 SELECT docid, bucket, repo, path, "commit", lang
@@ -378,6 +439,21 @@ SELECT term, docid, count(*) AS tf
 FROM (SELECT docid, unnest({tok}) AS term FROM ids)
 GROUP BY term, docid
 """,
+        "term_tf_stemmed": f"""
+WITH corpus_stem AS (
+  SELECT source AS repo,
+         'doc/' || CAST(doc_id AS VARCHAR) AS path,
+         md5('c' || CAST(doc_id AS VARCHAR)) AS "commit",
+         lang,
+         text || ' ' || (['tables queries', 'ponies boxes', 'scans hashes',
+                          'goes misses'])[CAST(doc_id % 4 AS INT) + 1] AS content
+  FROM documents
+),
+ids AS ({duckdb_docid_sql("SELECT * FROM corpus_stem", CFG)})
+SELECT term, docid, count(*) AS tf
+FROM (SELECT docid, unnest({duckdb_tok("content", CFG_STEM)}) AS term FROM ids)
+GROUP BY term, docid
+""",
         "dictionary": f"""
 WITH ids AS ({duckdb_docid_sql(corpus, CFG)}),
 tf AS (
@@ -391,23 +467,8 @@ FROM tf GROUP BY term
         "bm25_topk_naive": bm25,
         "bm25_topk_wand": bm25,
         "dedup_exact": duckdb_exact_dedup_sql(),
-        "ngram_jaccard": """
-WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
-  FROM documents WHERE doc_id < 40
-),
-sh AS (
-  SELECT doc_id,
-         list_distinct(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
-              ELSE list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1])) END)
-           AS shingles
-  FROM toks
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.shingles, b.shingles)) * 1.0
-             / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-""",
+        "ngram_jaccard": ngram_sql,
+        "dedup_clusters": dedup_clusters_sql,
         "text_stats": duckdb_text_stats_sql(CFG),
         "cosine_topk": duckdb_cosine_topk_sql(ANN_QVEC, TOP_K),
         "events_window": _events_window_sql(),

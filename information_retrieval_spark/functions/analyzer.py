@@ -28,16 +28,44 @@ from pyspark.sql import functions as F
 from ..config import EngineConfig, DEFAULT_CONFIG
 
 
+# Stemming levels (reference surface /root/reference/index/index.h:35-37,
+# default 0 = off, index.cc:34; the reference never defines the rules, so
+# these are OUR documented semantics, implemented identically in all three
+# engines — Catalyst, pandas, DuckDB — and pinned by tests/test_analyzer.py):
+#
+# level 1 — plural S-stemmer (after Harman 1991), one rule per token,
+#   sequential application is single-rule by construction:
+#     r1  (.+[^ae])ies$   -> \1y      (ponies->pony; aies/eies untouched)
+#     r2  (.+[^aeio])es$  -> \1e      (boxes->boxe... no: matches->matche? —
+#                                      'es' collapses to 'e'; aes/ees/oes and
+#                                      surviving -ies forms untouched)
+#     r3  (.+[^use])s$    -> \1       (cats->cat; us/ss kept; the extra 'e'
+#                                      exclusion implements Harman's
+#                                      stop-after-excluded-rule semantics)
+# level 2 — level 1 plus one derivational strip:
+#     r4  (.{3,})(ing|ed|ly)$ -> \1   (running->runn — a stemmer, not a
+#                                      lemmatizer)
+_STEM_RULES_L1: list[tuple[str, str, str]] = [
+    # (pattern, java_replacement, re2_replacement)
+    (r"(.+[^ae])ies$", "$1y", r"\1y"),
+    (r"(.+[^aeio])es$", "$1e", r"\1e"),
+    (r"(.+[^use])s$", "$1", r"\1"),
+]
+_STEM_RULES_L2 = _STEM_RULES_L1 + [(r"(.{3,}?)(ing|ed|ly)$", "$1", r"\1")]
+
+
+def _stem_rules(cfg: EngineConfig) -> list[tuple[str, str, str]]:
+    if cfg.stemming_level == 0:
+        return []
+    if cfg.stemming_level == 1:
+        return _STEM_RULES_L1
+    if cfg.stemming_level == 2:
+        return _STEM_RULES_L2
+    raise ValueError(f"stemming_level={cfg.stemming_level} not in 0..2")
+
+
 def _check_stemming(cfg: EngineConfig) -> None:
-    if cfg.stemming_level != 0:
-        # Reference default is 0 = off (/root/reference/index/index.cc:34);
-        # levels 1-2 are declared surface only (index/index.h:35-37) and an
-        # explicit extension point here — both analyzer paths refuse rather
-        # than silently diverge between index- and query-time.
-        raise NotImplementedError(
-            f"stemming_level={cfg.stemming_level} is an extension point; v1 "
-            "implements level 0 (identity), the reference default"
-        )
+    _stem_rules(cfg)  # validates the level
 
 
 def tokenize_expr(col: Column | str, cfg: EngineConfig = DEFAULT_CONFIG) -> Column:
@@ -47,6 +75,14 @@ def tokenize_expr(col: Column | str, cfg: EngineConfig = DEFAULT_CONFIG) -> Colu
     _check_stemming(cfg)
     c = F.col(col) if isinstance(col, str) else col
     toks = F.regexp_extract_all(F.lower(c), F.lit(f"({cfg.token_pattern})"), 1)
+    rules = _stem_rules(cfg)
+    if rules:
+        def _stem_one(t):
+            for pat, rep, _ in rules:
+                t = F.regexp_replace(t, pat, rep)
+            return t
+
+        toks = F.transform(toks, _stem_one)
     if not cfg.bigram_indexing:
         return toks
     # T8: unigrams followed by "w1 w2" pair terms (same order as the pandas
@@ -78,6 +114,22 @@ def tokenize_series(content: pd.Series, cfg: EngineConfig = DEFAULT_CONFIG) -> p
     """
     _check_stemming(cfg)
     toks = content.str.lower().str.findall(cfg.token_pattern)
+    rules = _stem_rules(cfg)
+    if rules:
+        # vectorized: flatten → C-speed str.replace chain → regroup
+        import numpy as np
+
+        lens = toks.str.len().to_numpy("int64")
+        if lens.sum():
+            flat = pd.Series(
+                np.concatenate([np.asarray(t, dtype=object) for t in toks]),
+                dtype=object,
+            )
+            for pat, _, rep in rules:
+                flat = flat.str.replace(pat, rep, regex=True)
+            cut = np.cumsum(lens)[:-1]
+            parts = np.split(flat.to_numpy(dtype=object), cut)
+            toks = pd.Series([list(p) for p in parts], index=toks.index)
     if cfg.bigram_indexing:
         # T8: emit "w1 w2" pair terms alongside unigrams
         toks = toks.map(lambda ts: ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])])
@@ -87,4 +139,11 @@ def tokenize_series(content: pd.Series, cfg: EngineConfig = DEFAULT_CONFIG) -> p
 # DuckDB-side equivalent of tokenize_expr, for oracle_sql() construction.
 # Keeping both in one module makes drift between engine and oracle visible.
 def duckdb_tokenize_sql(col_sql: str, cfg: EngineConfig = DEFAULT_CONFIG) -> str:
-    return f"regexp_extract_all(lower({col_sql}), '{cfg.token_pattern}')"
+    base = f"regexp_extract_all(lower({col_sql}), '{cfg.token_pattern}')"
+    rules = _stem_rules(cfg)
+    if not rules:
+        return base
+    t = "t"
+    for pat, _, rep in rules:
+        t = f"regexp_replace({t}, '{pat}', '{rep}')"
+    return f"list_transform({base}, t -> {t})"

@@ -144,10 +144,6 @@ def spimi_emit(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame
     ~|vocab|·partitions compact binary rows instead of ~|postings| rows.
     """
     if cfg.token_pattern == "[a-z0-9_]+" and not cfg.bigram_indexing:
-        if cfg.stemming_level != 0:
-            from ..functions.analyzer import _check_stemming
-
-            _check_stemming(cfg)  # raises: parity with the pandas path
         return _spimi_emit_arrow(docs, cfg)
     return _spimi_emit_pandas(docs, cfg)
 
@@ -264,9 +260,12 @@ def _spimi_emit_arrow(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> Da
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    from ..functions.analyzer import _stem_rules
+
     budget = cfg.spimi_budget_bytes
     shift = cfg.doc_bucket_bits
     split_pat = "[^a-z0-9_]+"
+    stem_rules = _stem_rules(cfg)  # [(pattern, java_rep, re2_rep)]
     arrow_schema = pa.schema(
         [
             ("term", pa.string()),
@@ -354,6 +353,8 @@ def _spimi_emit_arrow(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> Da
             if len(fl) == 0:
                 continue
             mask = np.asarray(pc.binary_length(fl)) > 0
+            for pat, _, rep in stem_rules:  # T7 — RE2 kernels, still C++
+                fl = pc.replace_substring_regex(fl, pattern=pat, replacement=rep)
             de = pc.dictionary_encode(fl)
             codes = np.asarray(de.indices).astype(np.int64)
             doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens_all)

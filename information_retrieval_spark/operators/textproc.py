@@ -578,6 +578,94 @@ def exact_jaccard_pairs(
 
 
 # --------------------------------------------------------------------------
+# Connected-component dedup clustering
+# --------------------------------------------------------------------------
+
+def dedup_clusters(pairs: DataFrame, *, max_iters: int = 50) -> DataFrame:
+    """(id, keeper_id) — connected components over a near-duplicate pair
+    graph: every document labeled with the MIN id of its duplicate cluster
+    (the cluster keeper). This is the step that turns pairwise candidates
+    (LSH/simhash/jaccard output) into actual dedup decisions — pair lists
+    alone under-remove when duplicates form chains (A~B, B~C but A!~C).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014 — public
+    literature): each round is two hash-join + aggregation passes keyed by
+    node id; converges in O(log n) rounds on any graph, each round a
+    bounded Spark shuffle (no driver-side graph state, works at 10^9-edge
+    scale). Iteration stops when the label sum is a fixpoint.
+
+    Input: (id_a, id_b) columns (any extra columns ignored). Output covers
+    every id that appears in some pair; singleton docs (no pairs) are their
+    own keepers by definition and need no row.
+    """
+    edges = pairs.select(
+        F.col("id_a").cast("long").alias("a"), F.col("id_b").cast("long").alias("b")
+    ).distinct()
+    # label(v) = current component candidate, init = min(v, min neighbor)
+    sym = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = sym.groupBy("a").agg(F.min("b").alias("mb")).select(
+        F.col("a").alias("id"), F.least(F.col("a"), F.col("mb")).alias("lbl")
+    )
+    prev_sig = None
+    cached: list = []
+    for _ in range(max_iters):
+        # propagate: lbl(v) <- min(lbl(v), min over neighbors u of lbl(u))
+        l_b = labels.select(F.col("id").alias("b"), F.col("lbl").alias("nbr_lbl"))
+        prop = (
+            sym.join(l_b, "b")
+            .groupBy("a")
+            .agg(F.min("nbr_lbl").alias("min_nbr"))
+            .select(F.col("a").alias("id"), "min_nbr")
+        )
+        labels = (
+            labels.join(prop, "id", "left")
+            .select("id", F.least("lbl", F.coalesce("min_nbr", "lbl")).alias("lbl"))
+        ).persist()
+        cached.append(labels)
+        row = labels.agg(F.sum("lbl"), F.count(F.lit(1))).collect()[0]
+        sig = (int(row[0]), int(row[1]))
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+        # pointer jumping: lbl(v) <- lbl(lbl(v)) — O(log n) convergence
+        l_self = labels.select(F.col("id").alias("lbl"), F.col("lbl").alias("lbl2"))
+        labels = (
+            labels.join(l_self, "lbl", "left")
+            .select("id", F.least("lbl", F.coalesce("lbl2", "lbl")).alias("lbl"))
+        )
+    out = labels.select("id", F.col("lbl").alias("keeper_id"))
+    out = out.localCheckpoint(eager=True)  # cut the iterative lineage
+    for df in cached:
+        df.unpersist()
+    sym.unpersist()
+    return out
+
+
+def duckdb_dedup_clusters_sql(pairs_sql: str) -> str:
+    """Oracle: exact connected components via a recursive CTE (min reachable
+    id per node) — independent of the iterative Spark formulation."""
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs_sql}),
+edges AS (
+  SELECT CAST(id_a AS BIGINT) AS a, CAST(id_b AS BIGINT) AS b FROM pairs
+  UNION
+  SELECT CAST(id_b AS BIGINT) AS a, CAST(id_a AS BIGINT) AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS id, least(a, min(b)) AS keeper_id
+FROM reach GROUP BY a
+"""
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

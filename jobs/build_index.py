@@ -27,7 +27,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from information_retrieval_spark.config import EngineConfig
-from information_retrieval_spark.corpus import corpus_from_documents, load_corpus
+from information_retrieval_spark.corpus import (
+    capture_snapshot_id,
+    corpus_from_documents,
+    load_corpus,
+)
 from information_retrieval_spark.session import make_session
 from information_retrieval_spark.sources.manifest import build_index_resumable
 
@@ -64,7 +68,10 @@ def main(argv: list[str] | None = None) -> None:
     if args.from_documents:
         corpus = corpus_from_documents(corpus)
 
-    idx = build_index_resumable(spark, corpus, args.output, cfg, input_snapshot=args.snapshot)
+    # lineage: explicit --snapshot wins; otherwise captured from the input
+    # (Iceberg current snapshot id / parquet listing fingerprint)
+    snapshot = args.snapshot or capture_snapshot_id(spark, args.input)
+    idx = build_index_resumable(spark, corpus, args.output, cfg, input_snapshot=snapshot)
     print(json.dumps({"index_root": args.output, **idx.stats()}))
     spark.stop()
 

@@ -69,14 +69,58 @@ def test_bigram_parity_between_paths(spark):
     assert pandas_out[0] == ["foo", "bar", "baz", "foo bar", "bar baz"]
 
 
-def test_stemming_levels_refused(spark):
+def test_stemming_levels_three_engines_agree(spark):
+    """T7: levels 1-2 must produce identical tokens from the Catalyst,
+    pandas, and DuckDB analyzers (the STEMMING_LEVEL read-back contract —
+    index- and query-time must never diverge), with the documented rule
+    outcomes pinned."""
+    import duckdb
     import pandas as pd
-    import pytest
     from information_retrieval_spark.config import EngineConfig
-    from information_retrieval_spark.functions.analyzer import tokenize_expr, tokenize_series
+    from information_retrieval_spark.functions.analyzer import (
+        duckdb_tokenize_sql,
+        tokenize_expr,
+        tokenize_series,
+    )
 
-    cfg = EngineConfig(stemming_level=1)
-    with pytest.raises(NotImplementedError):
-        tokenize_expr("text", cfg)
-    with pytest.raises(NotImplementedError):
-        tokenize_series(pd.Series(["x"]), cfg)
+    text = ("ponies boxes matches cats dogs goes trees toes bus miss is "
+            "running speeded amazingly sling ties us ss s es ies analysis")
+    for level, pinned in [
+        (1, {"ponies": "pony", "boxes": "boxe", "cats": "cat", "goes": "goes",
+             "trees": "trees", "toes": "toes", "bus": "bus", "miss": "miss",
+             "ties": "ties", "running": "running", "analysis": "analysi"}),
+        (2, {"running": "runn", "speeded": "speed", "amazingly": "amazing",
+             "sling": "sling", "ponies": "pony"}),
+    ]:
+        cfg = EngineConfig(stemming_level=level)
+        p_out = list(tokenize_series(pd.Series([text]), cfg)[0])
+        df = spark.createDataFrame([(text,)], "text string")
+        s_out = df.select(tokenize_expr("text", cfg).alias("t")).collect()[0]["t"]
+        d_out = duckdb.sql(
+            f"SELECT {duckdb_tokenize_sql(repr(text), cfg)} AS t"
+        ).fetchone()[0]
+        assert p_out == s_out == list(d_out), f"level {level}"
+        got = dict(zip(text.split(), p_out))
+        for w, want in pinned.items():
+            assert got[w] == want, f"level {level}: {w} -> {got[w]} != {want}"
+
+
+def test_stemmed_spimi_arrow_matches_pandas(spark):
+    """The Arrow emitter's RE2 stemming must match the pandas fallback."""
+    from information_retrieval_spark.config import EngineConfig
+    from information_retrieval_spark.corpus import synthetic_corpus_pdf
+    from information_retrieval_spark.operators.build import (
+        _spimi_emit_arrow,
+        _spimi_emit_pandas,
+        build_docs_table,
+    )
+
+    cfg = EngineConfig(stemming_level=2, n_doc_buckets=4)
+    pdf = synthetic_corpus_pdf(60, seed=3)[["repo", "path", "commit", "lang", "content"]]
+    pdf.loc[0, "content"] = "ponies running boxes goes amazingly cats cats"
+    docs = build_docs_table(spark.createDataFrame(pdf), cfg)
+
+    def rows(df):
+        return sorted((r["term"], r["bucket"], r["n"]) for r in df.collect())
+
+    assert rows(_spimi_emit_arrow(docs, cfg)) == rows(_spimi_emit_pandas(docs, cfg))

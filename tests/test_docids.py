@@ -66,3 +66,31 @@ def test_docid_disjoint_bucket_ranges(spark):
         base = r["bucket"] << CFG.doc_bucket_bits
         assert r["lo"] == base
         assert r["hi"] == base + r["n"] - 1  # dense, ascending, bucket-local
+
+
+def test_capture_snapshot_id_iceberg_and_parquet(tmp_path):
+    """Lineage auto-capture: Iceberg current snapshot via .snapshots SQL
+    (stubbed), parquet via a deterministic listing fingerprint."""
+    from information_retrieval_spark.corpus import capture_snapshot_id
+
+    class _Rows:
+        def collect(self):
+            return [{"snapshot_id": 987654321}]
+
+    class _FakeSpark:
+        def sql(self, q):
+            assert ".snapshots" in q and "ORDER BY committed_at DESC" in q
+            return _Rows()
+
+    assert capture_snapshot_id(_FakeSpark(), "catalog.db.tbl") == "987654321"
+
+    d = tmp_path / "pq"
+    d.mkdir()
+    (d / "part-0001.parquet").write_bytes(b"x" * 10)
+    (d / "_SUCCESS").write_bytes(b"")
+    a = capture_snapshot_id(None, str(d))
+    assert a.startswith("parquet:")
+    assert capture_snapshot_id(None, str(d)) == a          # stable
+    (d / "part-0002.parquet").write_bytes(b"y" * 20)
+    assert capture_snapshot_id(None, str(d)) != a          # content-sensitive
+    assert capture_snapshot_id(None, str(tmp_path / "absent")) == ""

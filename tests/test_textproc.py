@@ -241,3 +241,19 @@ def test_lsh_pairs_accept_oph_signatures(spark, docs):
         ).collect()
     }
     assert (0, 1) in pairs            # exact duplicates
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Chained duplicates must collapse to one keeper per component —
+    including a 20-node path (exercises >1 propagation round) and a star."""
+    from information_retrieval_spark.operators.textproc import dedup_clusters
+
+    chain = [(i, i + 1) for i in range(100, 119)]           # path of 20
+    star = [(7, j) for j in (8, 9, 12, 15)]                 # star keeper 7
+    extra = [(3, 5), (50, 60), (60, 55)]
+    pairs = spark.createDataFrame(chain + star + extra, "id_a long, id_b long")
+    got = {r["id"]: r["keeper_id"] for r in dedup_clusters(pairs).collect()}
+    assert all(got[i] == 100 for i in range(100, 120))
+    assert all(got[j] == 7 for j in (7, 8, 9, 12, 15))
+    assert got[3] == 3 and got[5] == 3
+    assert got[50] == 50 and got[55] == 50 and got[60] == 50
