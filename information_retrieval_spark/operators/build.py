@@ -414,7 +414,10 @@ def spimi_postings(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataF
 
 
 def encode_postings(
-    runs: DataFrame, avgdl: float, cfg: EngineConfig = DEFAULT_CONFIG
+    runs: DataFrame,
+    avgdl: float,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    drop_docids: np.ndarray | None = None,
 ) -> DataFrame:
     """PASS 2: shuffle runs by (term, bucket) → encoded posting blocks.
 
@@ -439,6 +442,14 @@ def encode_postings(
     """
     block_size, k1, b = cfg.block_size, cfg.k1, cfg.b
     parts = cfg.shuffle_partitions
+    # optional tombstone filter (compaction reuses this pass: encoded blocks
+    # ARE run-shaped rows, so GC = re-encode with a drop list; small-set
+    # contract — the GC trigger bounds it, same as the WAND decode filter)
+    drop = (
+        np.sort(np.asarray(drop_docids, dtype=np.int64))
+        if drop_docids is not None and len(drop_docids)
+        else None
+    )
 
     def encode_partition(batches):
         import pyarrow as pa
@@ -476,6 +487,14 @@ def encode_postings(
         d_all = cs - base
         tcode_post = np.repeat(tcode_run, n_run)
         bucket_post = np.repeat(bucket_run, n_run)
+
+        if drop is not None:
+            keep = ~np.isin(d_all, drop, assume_unique=False)
+            d_all, tf_all, dl_all = d_all[keep], tf_all[keep], dl_all[keep]
+            tcode_post, bucket_post = tcode_post[keep], bucket_post[keep]
+            if d_all.size == 0:
+                return
+            total = d_all.size
 
         # one sort merges every run of every (term, bucket) group
         order = np.lexsort((d_all, bucket_post, tcode_post))

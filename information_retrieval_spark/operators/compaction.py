@@ -28,13 +28,11 @@ import time
 from typing import Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import EngineConfig, DEFAULT_CONFIG
-from ..functions import codec
 from ..functions.analyzer import tokenize_expr
-from .build import POSTINGS_SCHEMA, InvertedIndex, build_dictionary
+from .build import InvertedIndex, build_dictionary
 
 # reference thresholds, /root/reference/index/index.cc:42-43, index.h:96-98
 GC_THRESHOLD = 0.40
@@ -102,44 +100,22 @@ def compact_postings(
     avgdl: float,
     cfg: EngineConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
-    """Decode blocks → drop deleted docids → re-encode (vectorized).
+    """Re-encode posting blocks minus deleted docids.
 
-    One ``applyInPandas`` per (term, bucket) group, same grouping and codec
-    as the build's PASS 2; avgdl is kept UNCHANGED by design so surviving
-    docs' scores (and block maxima) stay bit-identical to a from-scratch
-    build with the same avgdl baseline — compaction must not silently
-    re-rank (tested in tests/test_compaction.py).
+    Delegates to the build's partition-vectorized PASS 2: encoded block rows
+    are run-shaped (term, bucket, n, payload planes), so compaction is
+    exactly ``encode_postings`` with a tombstone drop list — same codec,
+    same plan shape (one mapInArrow call per shuffle partition, no per-group
+    pandas slicing). avgdl is kept UNCHANGED by design so surviving docs'
+    scores (and block maxima) stay bit-identical to a from-scratch build
+    with the same avgdl baseline — compaction must not silently re-rank
+    (tested in tests/test_compaction.py).
     """
-    block_size, k1, b = cfg.block_size, cfg.k1, cfg.b
-    del_ids = np.sort(
-        np.asarray([r["docid"] for r in deleted.collect()], dtype=np.int64)
-    )
+    from .build import encode_postings
 
-    def rewrite(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, bucket = key
-        d = np.concatenate(
-            [codec.delta_decode(codec.vbyte_decode(x)) for x in pdf["docs_vb"]]
-        )
-        t = np.concatenate([codec.vbyte_decode(x) for x in pdf["tfs_vb"]]).astype(np.int64)
-        l = np.concatenate([codec.vbyte_decode(x) for x in pdf["dls_vb"]]).astype(np.int64)
-        order = np.argsort(d, kind="stable")
-        d, t, l = d[order], t[order], l[order]
-        keep = ~np.isin(d, del_ids, assume_unique=False)
-        d, t, l = d[keep], t[keep], l[keep]
-        rows = []
-        if d.size:
-            tf_cum = np.concatenate([[0], np.cumsum(t)])
-            for blk, first, last, n, dvb, tvb, lvb, bmax in codec.encode_blocks(
-                d, t, l, block_size=block_size, avgdl=avgdl, k1=k1, b=b
-            ):
-                lo = blk * block_size
-                rows.append(
-                    (term, int(bucket), blk, first, last, n,
-                     int(tf_cum[lo + n] - tf_cum[lo]), dvb, tvb, lvb, bmax)
-                )
-        return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
-
-    return postings.groupBy("term", "bucket").applyInPandas(rewrite, POSTINGS_SCHEMA)
+    del_ids = np.asarray([r["docid"] for r in deleted.collect()], dtype=np.int64)
+    runs = postings.select("term", "bucket", "n", "docs_vb", "tfs_vb", "dls_vb")
+    return encode_postings(runs, avgdl, cfg, drop_docids=del_ids)
 
 
 def compact_index(
