@@ -4,23 +4,29 @@ Re-creates the reference's planned build pipeline (the C++ constructor stops
 at ``// TODO FileManager実装から``, /root/reference/index/index.cc:161) as two
 Spark passes (SURVEY.md §3.2):
 
-PASS 1 (B2/B3): ``mapInPandas`` SPIMI emitter over corpus partitions —
-  tokenize (pandas, Arrow-batched), per-doc tf aggregation (mode-2
-  document-level postings, /root/reference/index/index.h:51-58; SURVEY.md
-  §1.4), flush when the in-memory budget exceeds ``spimi_budget_bytes``
-  (the reference's 40 MB MAX_UPDATE_SPACE contract,
-  /root/reference/index/index.h:27-29). Each flush emits RUN rows —
-  (term, bucket) keyed, docid-sorted, delta-gap+VByte-compressed binary
-  payloads — so the shuffle carries ~|vocab|·partitions rows of compact
-  bytes, never per-posting rows.
+PASS 1 (B2/B3): ``mapInArrow`` SPIMI emitter over corpus partitions —
+  tokenize entirely in pyarrow C++ kernels (lowercase → regex
+  complement-split → dictionary-encode; zero Python string objects), per-doc
+  tf aggregation on integer codes (mode-2 document-level postings,
+  /root/reference/index/index.h:51-58; SURVEY.md §1.4), flush when the
+  in-memory budget exceeds ``spimi_budget_bytes`` (the reference's 40 MB
+  MAX_UPDATE_SPACE contract, /root/reference/index/index.h:27-29). Each
+  flush emits RUN rows — (term, bucket) keyed, docid-sorted,
+  delta-gap+VByte-compressed binary payloads written as ZERO-COPY Arrow
+  BinaryArrays — so the shuffle carries ~|vocab|·partitions rows of compact
+  bytes, never per-posting rows. (A pandas emitter remains for bigram /
+  non-default-pattern configs, output-identical by test.)
 
 PASS 2 (B4/B5, C1-C4): one shuffle keyed by (term, bucket) — the *salted*
   repartitioning that absorbs stopword skew: a term occurring in every doc is
   split over n_doc_buckets groups, each bounded by the bucket's doc count.
-  Because docIDs are bucket-local-ascending (docids.py), per-(term,bucket)
-  blocks are globally docID-ordered once sorted by bucket — the stage-2 merge
-  is an ordered concat that never runs: blocks stay bucket-scoped and the
-  query layer iterates them in (first_docid) order (SURVEY.md B5).
+  The encode runs as ONE ``mapInArrow`` call per shuffle partition
+  (segment-vectorized decode/merge/block-encode — no per-group pandas
+  slicing). Because docIDs are bucket-local-ascending (docids.py),
+  per-(term,bucket) blocks are globally docID-ordered once sorted by
+  bucket — the stage-2 merge is an ordered concat that never runs: blocks
+  stay bucket-scoped and the query layer iterates them in (first_docid)
+  order (SURVEY.md B5).
 
 Scale notes (100 TB / 10^12 docs):
 - the only wide shuffle is the (term,bucket) repartition; size n_doc_buckets

@@ -4,6 +4,11 @@ Usage:
     spark-submit --py-files dist/information_retrieval_spark.zip \
         jobs/query.py --index /path/to/index --k 10 "hash join" "btree split"
 
+``--engine local`` answers without starting a SparkSession at all (the
+pyarrow query-daemon path, operators/local_query.py) — millisecond-class
+interactive latency; docid→(repo, path) resolution reads the docs dataset
+column-pruned.
+
 Prints one JSON line per query: {"query": ..., "hits": [{rank, docid, score,
 repo, path}, ...]}. The analyzer settings are read back from the index
 metadata so query-side analysis always matches the build
@@ -32,8 +37,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--index", required=True)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--master", default=None)
+    p.add_argument("--engine", choices=["spark", "local"], default="spark")
     p.add_argument("queries", nargs="+")
     args = p.parse_args(argv)
+
+    if args.engine == "local":
+        _main_local(args)
+        return
 
     spark = make_session(args.master, "ir-query")
     spark.sparkContext.setLogLevel("WARN")
@@ -56,6 +66,40 @@ def main(argv: list[str] | None = None) -> None:
     for i, q in enumerate(args.queries):
         print(json.dumps({"query": q, "hits": by_q.get(i, [])}))
     spark.stop()
+
+
+def _main_local(args) -> None:
+    """Spark-free path: pyarrow block fetch + in-process BMW + pruned docs
+    resolve. No JVM, no job scheduling."""
+    import pyarrow.dataset as ds
+
+    from information_retrieval_spark.operators.local_query import (
+        LocalIndex,
+        query_index_local,
+    )
+
+    li = LocalIndex(args.index)
+    out = query_index_local(li, args.queries, k=args.k)
+    docs = ds.dataset(os.path.join(args.index, "docs"), partitioning="hive",
+                      format="parquet")
+    ids = [int(d) for d in out["docid"].unique()] if len(out) else []
+    resolve = {}
+    if ids:
+        tab = docs.to_table(filter=ds.field("docid").isin(ids),
+                            columns=["docid", "repo", "path"])
+        resolve = {
+            int(d): (r, p)
+            for d, r, p in zip(*[tab.column(c).to_pylist() for c in ("docid", "repo", "path")])
+        }
+    for i, q in enumerate(args.queries):
+        hits = [
+            {"rank": int(rk), "docid": int(d), "score": round(float(s), 4),
+             "repo": resolve.get(int(d), ("?", "?"))[0],
+             "path": resolve.get(int(d), ("?", "?"))[1]}
+            for qid, rk, d, s in out.itertuples(index=False)
+            if qid == i
+        ]
+        print(json.dumps({"query": q, "hits": hits}))
 
 
 if __name__ == "__main__":
