@@ -118,45 +118,56 @@ def phrase_match(
     cfg: EngineConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
     """(query_id, docid) — docs containing each quoted phrase as a
-    consecutive token sequence. Catalyst-only matching (see module doc)."""
+    consecutive token sequence. Catalyst-only matching (see module doc).
+
+    ONE pass for the whole phrase batch: a single pruned scan + per-doc
+    pivot over the union of all phrase terms, then every phrase's adjacency
+    verdict is evaluated as a projected boolean and exploded — P phrases
+    cost one shuffle, not P.
+    """
     seqs = parse_phrases(phrases, cfg)
     spark = positional.sparkSession
-    out = None
-    for qid, seq in enumerate(seqs):
-        if not seq:
-            continue
-        terms = sorted(set(seq))
-        pruned = positional.filter(F.col("term").isin(terms))
-        # per-doc pivot: one position-array column per distinct phrase term
-        agg = pruned.groupBy("docid").agg(
-            *[
-                F.first(F.when(F.col("term") == t, F.col("positions")), ignorenulls=True)
-                .alias(f"p_{i}")
-                for i, t in enumerate(terms)
-            ]
-        )
-        tcol = {t: f"p_{i}" for i, t in enumerate(terms)}
-        # all terms present ...
-        cond = None
-        for t in terms:
+    live = [(qid, seq) for qid, seq in enumerate(seqs) if seq]
+    if not live:
+        return spark.createDataFrame([], "query_id int, docid long")
+    all_terms = sorted({t for _, seq in live for t in seq})
+    tcol = {t: f"p_{i}" for i, t in enumerate(all_terms)}
+    pruned = positional.filter(F.col("term").isin(all_terms))
+    # per-doc pivot: one position-array column per distinct term in the batch
+    agg = pruned.groupBy("docid").agg(
+        *[
+            F.first(F.when(F.col("term") == t, F.col("positions")), ignorenulls=True)
+            .alias(tcol[t])
+            for t in all_terms
+        ]
+    )
+
+    def verdict(seq: list[str]):
+        present = None
+        for t in set(seq):
             c = F.col(tcol[t]).isNotNull()
-            cond = c if cond is None else (cond & c)
-        cand = agg.filter(cond)
-        # ... and a common start position: intersect pos(term_i) shifted by -i
+            present = c if present is None else (present & c)
+        # common start position: intersect pos(term_i) shifted by -i.
+        # NB: a two-arg lambda would make F.transform pass the ARRAY INDEX
+        # as the second argument, shadowing the phrase offset — bind the
+        # offset via a closure over a one-arg lambda.
         common = F.col(tcol[seq[0]])
         for i, t in enumerate(seq[1:], start=1):
-            # NB: a two-arg lambda would make F.transform pass the ARRAY
-            # INDEX as the second argument, shadowing the phrase offset —
-            # bind the offset via a closure over a one-arg lambda
             shift = (lambda off: (lambda p: p - F.lit(off)))(i)
             common = F.array_intersect(common, F.transform(F.col(tcol[t]), shift))
-        matched = cand.filter(F.size(common) > 0).select(
-            F.lit(qid).alias("query_id"), "docid"
-        )
-        out = matched if out is None else out.unionAll(matched)
-    if out is None:
-        return spark.createDataFrame([], "query_id int, docid long")
-    return out
+        return present & (F.size(common) > 0)
+
+    verdicts = F.array(
+        *[
+            F.struct(F.lit(qid).alias("query_id"), verdict(seq).alias("hit"))
+            for qid, seq in live
+        ]
+    )
+    return (
+        agg.select("docid", F.explode(verdicts).alias("v"))
+        .filter(F.col("v.hit"))
+        .select(F.col("v.query_id").alias("query_id"), "docid")
+    )
 
 
 def duckdb_phrase_sql(
