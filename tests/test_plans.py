@@ -90,3 +90,27 @@ def test_cosine_topk_is_take_ordered_not_global_window(spark):
     # ABOVE the TakeOrderedAndProject, never below it (driving the full scan)
     if "Window" in plan:
         assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan[:800]
+
+
+def test_build_pipeline_has_exactly_two_shuffles(spark):
+    """The whole build dataflow contains exactly TWO wide shuffles: the
+    per-bucket docID-assignment window and the (term, bucket) repartition
+    feeding the encode pass. Any extra Exchange in emit→encode is a scale
+    regression."""
+    from information_retrieval_spark.operators.build import (
+        build_docs_table,
+        encode_postings,
+        spimi_emit,
+    )
+
+    pdf = synthetic_corpus_pdf(80, seed=2)[["repo", "path", "commit", "lang", "content"]]
+    docs = build_docs_table(spark.createDataFrame(pdf), CFG)
+    enc = encode_postings(spimi_emit(docs, CFG), 40.0, CFG)
+    plan = _plan(enc)
+    # count Exchange operator nodes in the formatted tree (node lines only,
+    # excluding the detail section reprints)
+    tree = plan.split("\n\n")[0]
+    n_exchange = sum(
+        1 for line in tree.splitlines() if "Exchange" in line and "Reused" not in line
+    )
+    assert n_exchange == 2, tree
