@@ -1,0 +1,104 @@
+"""Streaming exact-dedup with cross-batch state (applyInPandasWithState).
+
+The batch `textproc.exact_dedup` answers "which docs share content" within
+one static table. A training-data INGEST pipeline needs the streaming form:
+as documents arrive over time, each one must be flagged against everything
+seen SO FAR — state that lives across micro-batches. This is the engine's
+custom stateful streaming operator (driver mandate; Spark's built-in
+`dropDuplicates` on a stream keeps state too but exposes no keeper id or
+duplicate accounting).
+
+Dataflow: stream of (doc_id, text) → group by ``sha2(text)`` →
+``applyInPandasWithState``; per content-hash group the state holds
+``(keeper_id, n_seen)``. Every input row is emitted with its verdict:
+
+    (doc_id, content_sha256, keeper_id, is_duplicate, dup_index)
+
+- the FIRST document ever seen with a hash becomes the keeper
+  (is_duplicate = false, dup_index = 0);
+- later arrivals point at the keeper (is_duplicate = true, dup_index =
+  1, 2, ... in arrival order within the stream's processing order).
+
+Scale: state is one tiny row per DISTINCT content hash, hash-partitioned by
+the grouping key across executors (Spark's state store); per micro-batch
+work is one shuffle on the (uniform) hash key. State never needs timeout
+for the dedup semantic (a duplicate a year later is still a duplicate); a
+TTL variant would set ``GroupStateTimeout.ProcessingTimeTimeout``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("content_sha256", StringType(), False),
+        StructField("keeper_id", LongType(), False),
+        StructField("is_duplicate", BooleanType(), False),
+        StructField("dup_index", IntegerType(), False),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("keeper_id", LongType(), False),
+        StructField("n_seen", IntegerType(), False),
+    ]
+)
+
+
+def _dedup_group(
+    key: Tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """One content-hash group of one micro-batch. Rows are processed in
+    (doc_id) order so output is deterministic for a given batch content."""
+    sha = key[0]
+    if state.exists:
+        keeper_id, n_seen = state.get
+    else:
+        keeper_id, n_seen = None, 0
+    out = []
+    for pdf in pdfs:
+        for doc_id in sorted(int(x) for x in pdf["doc_id"]):
+            if keeper_id is None:
+                keeper_id = doc_id
+            out.append((doc_id, sha, keeper_id, n_seen > 0, n_seen))
+            n_seen += 1
+    state.update((int(keeper_id), int(n_seen)))
+    yield pd.DataFrame(
+        [(d, s, k, bool(dup), i) for (d, s, k, dup, i) in out],
+        columns=[f.name for f in OUTPUT_SCHEMA.fields],
+    )
+
+
+def stream_dedup(docs_stream: DataFrame) -> DataFrame:
+    """Streaming DataFrame (doc_id, text) → stateful dedup verdicts (see
+    module docstring). Works identically on a batch DataFrame for tests via
+    ``applyInPandasWithState`` on a grouped stream only — for batch input
+    use ``textproc.exact_dedup``."""
+    hashed = docs_stream.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+    )
+    return hashed.groupBy("content_sha256").applyInPandasWithState(
+        _dedup_group,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -131,3 +131,49 @@ def test_append_batch_idempotent_and_counter_based(spark, tmp_path_factory):
     assert idx2.docs.count() == n1
     assert idx2.docs.select("docid").distinct().count() == n1
     assert idx2.postings.count() == n_postings_before
+
+
+def test_stateful_stream_dedup(spark, tmp_path_factory):
+    """applyInPandasWithState dedup: state survives across micro-batches —
+    a document whose content first appeared in batch 1 is flagged duplicate
+    in batch 2, pointing at the original keeper."""
+    import pandas as pd
+    from information_retrieval_spark.streaming.stateful_dedup import stream_dedup
+
+    base = tmp_path_factory.mktemp("sdedup")
+    inbox = str(base / "inbox")
+    ckpt = str(base / "ckpt")
+    outdir = str(base / "out")
+    os.makedirs(inbox)
+
+    b1 = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": ["aaa", "bbb", "aaa", "ccc"]})
+    b2 = pd.DataFrame({"doc_id": [5, 6, 7], "text": ["aaa", "ddd", "bbb"]})
+
+    def run_batch(pdf):
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(inbox)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(inbox)
+        q = (
+            stream_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_batch(b1)
+    run_batch(b2)
+    rows = {r["doc_id"]: r for r in spark.read.parquet(outdir).collect()}
+    assert len(rows) == 7
+    # batch 1: 1 is keeper of "aaa", 3 its duplicate
+    assert rows[1]["is_duplicate"] is False and rows[1]["keeper_id"] == 1
+    assert rows[3]["is_duplicate"] is True and rows[3]["keeper_id"] == 1
+    assert rows[3]["dup_index"] == 1
+    # batch 2: 5 repeats "aaa" from batch 1 — cross-batch state
+    assert rows[5]["is_duplicate"] is True and rows[5]["keeper_id"] == 1
+    assert rows[5]["dup_index"] == 2
+    assert rows[7]["is_duplicate"] is True and rows[7]["keeper_id"] == 2
+    # fresh content stays keeper
+    assert rows[6]["is_duplicate"] is False and rows[6]["keeper_id"] == 6
