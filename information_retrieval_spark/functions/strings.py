@@ -1,0 +1,94 @@
+"""Reference string utilities re-expressed (SURVEY.md T4/T5).
+
+- ``collapse_path`` — the reference's ``collapsePath``
+  (/root/reference/utils/utils.cc:21-69): canonicalize ``//``, ``/./`` and
+  ``a/b/../`` segments. Catalog keys here are ``(repo, path, commit)``
+  verbatim, so this is an ingest-normalization helper, offered in both a
+  driver-side form and a Catalyst expression (bounded-pass regex chain).
+- ``simple_hash`` — the reference's ``simpleHashFunction``
+  (/root/reference/utils/utils.cc:80-85): ``h = h*127 + byte`` folded in
+  unsigned 32-bit, used there for config buckets and directory sort keys.
+  Provided bit-identical in NumPy (vectorized over a Series) and as a
+  Catalyst fold, pinned equal by tests/test_strings.py.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, functions as F
+
+_DOUBLE = re.compile(r"//+")
+_DOT = re.compile(r"/\./")
+_PARENT = re.compile(r"/(?!\.\./)[^/]+/\.\./")
+
+
+def collapse_path(path: str) -> str:
+    """Canonical path: collapse ``//``, ``/./`` and ``segment/../`` (applied
+    to fixpoint). Leading ``../`` that cannot be resolved is preserved."""
+    prev = None
+    while prev != path:
+        prev = path
+        path = _DOUBLE.sub("/", path)
+        path = _DOT.sub("/", path)
+        path = _PARENT.sub("/", path)
+    return path
+
+
+def collapse_path_expr(col: Column | str, max_depth: int = 8) -> Column:
+    """Catalyst version: a bounded chain of ``regexp_replace`` passes —
+    resolves up to ``max_depth`` levels of nesting (a fixpoint loop is not
+    expressible in one Catalyst expression; 8 covers any sane path)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _ in range(max_depth):
+        c = F.regexp_replace(c, r"//+", "/")
+        c = F.regexp_replace(c, r"/\./", "/")
+        c = F.regexp_replace(c, r"/(?!\.\./)[^/]+/\.\./", "/")
+    return c
+
+
+def simple_hash_series(s: pd.Series) -> np.ndarray:
+    """uint32 ``h = h*127 + byte`` fold over UTF-8 bytes — the reference's
+    exact semantics (unsigned 32-bit wraparound). Horner → polynomial form
+    per string: ``h = Σ byte_j · 127^(n−1−j) (mod 2^32)``, computed with
+    wrapping uint32 cumprod/sum — no per-byte Python loop."""
+    out = np.empty(len(s), dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        for i, v in enumerate(s.astype(str)):
+            bs = np.frombuffer(v.encode("utf-8"), dtype=np.uint8).astype(np.uint32)
+            n = bs.size
+            if n == 0:
+                out[i] = 0
+                continue
+            powers = np.concatenate(
+                ([np.uint32(1)],
+                 np.cumprod(np.full(n - 1, 127, dtype=np.uint32), dtype=np.uint32))
+            )
+            out[i] = np.sum(bs * powers[::-1], dtype=np.uint32)
+    return out
+
+
+def simple_hash_expr(col: Column | str) -> Column:
+    """Catalyst fold of the same hash: aggregate over the UTF-8 bytes
+    (extracted via hex — Catalyst has no binary indexing), mod 2^32 each
+    step — bit-identical to the NumPy twin (pinned by tests). For
+    reference-parity needs only; salting inside the engine uses the cheaper
+    built-in hash/xxhash64."""
+    c = F.col(col) if isinstance(col, str) else col
+    hx = F.hex(F.encode(c, "utf-8"))
+    n_bytes = (F.length(hx) / 2).cast("int")
+    # NB: F.sequence(0, -1) counts DOWN — guard the empty string explicitly
+    idx = F.when(n_bytes > 0, F.sequence(F.lit(0), n_bytes - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bytes_arr = F.transform(
+        idx, lambda i: F.conv(hx.substr(i * 2 + 1, F.lit(2)), 16, 10).cast("long")
+    )
+    folded = F.aggregate(
+        bytes_arr,
+        F.lit(0).cast("long"),
+        lambda h, b: (h * 127 + b) % F.lit(4294967296),
+    )
+    return folded.cast("long")

@@ -1,0 +1,59 @@
+"""Reference string-utility parity tests (SURVEY.md T4/T5)."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from information_retrieval_spark.functions.strings import (
+    collapse_path,
+    collapse_path_expr,
+    simple_hash_expr,
+    simple_hash_series,
+)
+
+PATHS = [
+    "/a//b///c",
+    "/a/./b/./c/",
+    "/a/b/../c",
+    "/a/b/c/../../d",
+    "/a/./b//..//c/./",
+    "a/b/../../..",
+    "/../a",
+    "//",
+    "/plain/path",
+]
+
+
+def test_collapse_path_python_and_catalyst_agree(spark):
+    py = [collapse_path(p) for p in PATHS]
+    df = spark.createDataFrame([(p,) for p in PATHS], "p string")
+    sql = [r["c"] for r in df.select(collapse_path_expr("p").alias("c")).collect()]
+    assert py == sql
+    # pinned canonical outcomes for the regex formulation
+    got = dict(zip(PATHS, py))
+    assert got["/a//b///c"] == "/a/b/c"
+    assert got["/a/./b/./c/"] == "/a/b/c/"
+    assert got["/a/b/../c"] == "/a/c"
+    assert got["/a/b/c/../../d"] == "/a/d"
+    assert got["/../a"] == "/../a"          # unresolvable parent preserved
+    assert got["/plain/path"] == "/plain/path"
+
+
+def test_simple_hash_bit_identical_to_reference_fold(spark):
+    """h = h*127 + byte in unsigned 32-bit — NumPy twin, Catalyst fold, and
+    an explicit per-byte Python loop must all agree (incl. multi-byte UTF-8
+    and the empty string)."""
+    vals = ["", "a", "abc", "hello_world", "ü over", "日本語", "x" * 300]
+
+    def loop(v: str) -> int:
+        h = 0
+        for b in v.encode("utf-8"):
+            h = (h * 127 + b) % (1 << 32)
+        return h
+
+    want = [loop(v) for v in vals]
+    got_np = simple_hash_series(pd.Series(vals)).tolist()
+    assert got_np == want
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got_sql = [r["h"] for r in df.select(simple_hash_expr("s").alias("h")).collect()]
+    assert got_sql == want
