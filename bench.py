@@ -43,7 +43,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING = os.environ.get("IR_BENCH_SCALING", "1") != "0"
 AMP = int(os.environ.get("IR_BENCH_AMP", "400"))   # scaling-corpus amplification
-REPS = int(os.environ.get("IR_BENCH_REPS", "3"))   # timed reps per scaling arm
+REPS = int(os.environ.get("IR_BENCH_REPS", "2"))   # timed reps per scaling arm
 # At 10^12-doc scale n_doc_buckets would be ~2^16 (SURVEY.md B1); it is the
 # parallelism floor of the whole pipeline (docID window, SPIMI input, encode
 # groups are all bucket-keyed), so the bench uses a cluster-sized value.
@@ -307,7 +307,8 @@ def main() -> None:
         n_docs_arm = 0
         import subprocess
 
-        for _round in range(2):  # interleave arms: decorrelate host drift
+        for _round in range(3):  # fine-grained interleave: host noise comes in
+            # multi-minute windows, so more alternations beat more reps per arm
             for cores in (8, 32):
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--arm",
