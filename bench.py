@@ -307,7 +307,7 @@ def main() -> None:
         n_docs_arm = 0
         import subprocess
 
-        for _round in range(3):  # fine-grained interleave: host noise comes in
+        for _round in range(4):  # fine-grained interleave: host noise comes in
             # multi-minute windows, so more alternations beat more reps per arm
             for cores in (8, 32):
                 r = subprocess.run(

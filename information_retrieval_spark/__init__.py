@@ -1,0 +1,72 @@
+"""PySpark-native full-text indexing + retrieval engine (see README.md).
+
+Public API — the surface a user of the reference engine switches to:
+
+Build / persist:
+    ``build_index`` (in-memory), ``build_index_resumable`` / ``open_index``
+    (persisted, per-bucket checkpoints), ``compact_index`` (GC),
+    ``stream_index_updates`` (incremental appends).
+Query:
+    ``wand_topk`` (block-max WAND; distributed or one-job driver-local),
+    ``naive_bm25`` (oracle path), ``conjunctive_match`` (boolean AND),
+    ``phrase_match`` + ``positional_postings`` (mode-1 phrases),
+    ``LocalIndex`` / ``query_index_local`` (Spark-free interactive path),
+    ``parse_queries`` / ``parse_query_terms``.
+Training-data operators:
+    ``exact_dedup``, ``minhash_signatures`` / ``oph_signatures`` /
+    ``lsh_near_dup_pairs`` / ``exact_jaccard_pairs`` / ``dedup_clusters``,
+    ``simhash`` / ``simhash_near_dup_pairs``, ``winnow_fingerprints``,
+    ``text_stats``, ``cosine_topk`` / ``lsh_bucketize`` / ``lsh_topk`` /
+    ``embedding_near_dup_pairs``, ``stream_dedup`` (stateful streaming).
+"""
+
+from .config import EngineConfig, DEFAULT_CONFIG
+from .corpus import capture_snapshot_id, corpus_from_documents, load_corpus
+from .operators.build import build_index, spimi_postings
+from .operators.compaction import compact_index, gc_stats, record_deletions
+from .operators.local_query import LocalIndex, query_index_local
+from .operators.positional import phrase_match, positional_postings
+from .operators.query import (
+    conjunctive_match,
+    naive_bm25,
+    parse_queries,
+    parse_query_terms,
+)
+from .operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketize,
+    lsh_topk,
+)
+from .operators.textproc import (
+    dedup_clusters,
+    exact_dedup,
+    exact_jaccard_pairs,
+    lsh_near_dup_pairs,
+    minhash_signatures,
+    oph_signatures,
+    simhash,
+    simhash_near_dup_pairs,
+    text_stats,
+    winnow_fingerprints,
+)
+from .operators.wand import wand_topk
+from .sources.manifest import build_index_resumable, open_index
+from .streaming.incremental import append_batch, stream_index_updates
+from .streaming.stateful_dedup import stream_dedup
+
+__all__ = [
+    "EngineConfig", "DEFAULT_CONFIG",
+    "load_corpus", "corpus_from_documents", "capture_snapshot_id",
+    "build_index", "spimi_postings", "build_index_resumable", "open_index",
+    "compact_index", "gc_stats", "record_deletions",
+    "append_batch", "stream_index_updates", "stream_dedup",
+    "wand_topk", "naive_bm25", "conjunctive_match",
+    "parse_queries", "parse_query_terms",
+    "positional_postings", "phrase_match",
+    "LocalIndex", "query_index_local",
+    "exact_dedup", "minhash_signatures", "oph_signatures",
+    "lsh_near_dup_pairs", "exact_jaccard_pairs", "dedup_clusters",
+    "simhash", "simhash_near_dup_pairs", "winnow_fingerprints", "text_stats",
+    "cosine_topk", "lsh_bucketize", "lsh_topk", "embedding_near_dup_pairs",
+]

@@ -68,3 +68,12 @@ def test_every_query_entry_has_an_oracle():
     import __spark_entry__ as e
 
     assert set(e.oracle_sql().keys()) == set(e.queries().keys())
+
+
+def test_public_api_surface_importable():
+    """The package root exports the documented engine API (the surface a
+    reference user switches to) — every __all__ name resolves."""
+    import information_retrieval_spark as ir
+
+    assert not [n for n in ir.__all__ if not hasattr(ir, n)]
+    assert len(ir.__all__) >= 30
