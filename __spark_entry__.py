@@ -308,6 +308,28 @@ def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match(pp, PHRASES, CFG)
 
 
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003), exploded to rows —
+    gram hashes come from the standalone fixture; window-min selection and
+    dedup are re-derived in pure SQL."""
+    from information_retrieval_spark.operators.textproc import winnow_fingerprints
+
+    fps = winnow_fingerprints(_documents(spark, sf_dir), CFG, k=5, window=4)
+    return fps.select("id", F.explode("fingerprints").alias("fp"))
+
+
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via same-bucket sign-LSH join
+    + exact verification (dedup-by-meaning)."""
+    from information_retrieval_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    bucketized = lsh_bucketize(embs, dim=64, n_planes=6)
+    return embedding_near_dup_pairs(bucketized, min_sim=0.25)
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-component dedup clustering (large-star/pointer-jumping
     iteration) over the exact-Jaccard pair graph — the step that turns
@@ -347,6 +369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _q_events_json,
         "phrase_match": _q_phrase_match,
         "dedup_clusters": _q_dedup_clusters,
+        "winnow_fingerprints": _q_winnow,
+        "embedding_near_dups": _q_embedding_near_dups,
     }
 
 
@@ -486,4 +510,30 @@ FROM events GROUP BY event_type
         ),
         "simhash_near_dups": simhash_pairs_sql(fixtures["simhash"], max_hamming=3),
         "lsh_topk": lsh_topk_sql(fixtures["lsh_buckets"], ANN_QVEC, probes, TOP_K),
+        "winnow_fingerprints": f"""
+WITH g AS (
+  SELECT CAST(id AS BIGINT) AS id, grams FROM read_parquet('{fixtures["winnow_grams"]}')
+),
+fps AS (
+  SELECT id,
+         CASE WHEN len(grams) <= 4 THEN list_distinct(grams)
+              ELSE list_distinct(list_transform(
+                     range(1, len(grams) - 2),
+                     i -> list_min(grams[i : i + 3])))
+         END AS f
+  FROM g
+)
+SELECT id, unnest(f) AS fp FROM fps
+""",
+        "embedding_near_dups": f"""
+WITH b AS (SELECT vec_id, bucket FROM read_parquet('{fixtures["lsh_buckets"]}')),
+e AS (
+  SELECT CAST(em.vec_id AS BIGINT) AS vec_id, em.embedding, b.bucket
+  FROM embeddings em JOIN b ON CAST(em.vec_id AS BIGINT) = b.vec_id
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+FROM e a JOIN e c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) >= 0.25
+""",
     }

@@ -83,6 +83,7 @@ def export_signature_fixtures(
         "minhash_sigs": os.path.join(out_dir, "minhash_sigs.parquet"),
         "simhash": os.path.join(out_dir, "simhash.parquet"),
         "lsh_buckets": os.path.join(out_dir, "lsh_buckets.parquet"),
+        "winnow_grams": os.path.join(out_dir, "winnow_grams.parquet"),
     }
 
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
@@ -91,13 +92,18 @@ def export_signature_fixtures(
     a = rng.integers(1, mersenne, size=n_hashes, dtype=np.int64).astype(np.uint64)
     b = rng.integers(0, mersenne, size=n_hashes, dtype=np.int64).astype(np.uint64)
 
-    sig_rows, sim_rows = [], []
+    sig_rows, sim_rows, gram_rows = [], [], []
     bit_id = np.arange(64, dtype=np.uint64)
     for _, row in docs.iterrows():
         tokens = _tokenize(row["text"], cfg)
         sh = _shingle_hashes_doc(tokens, shingle_k)
         v = (sh[:, None] * a[None, :] + b[None, :]) % np.uint64(mersenne)
         sig_rows.append(v.min(axis=0).astype(np.int64))
+        # ordered 5-gram hashes for the winnowing oracle (fingerprint
+        # selection — sliding min + dedup — is re-derived in pure SQL)
+        gram_rows.append(
+            _shingle_hashes_doc(tokens, 5).astype(np.int64)
+        )
         if tokens:
             vals, counts = np.unique(np.asarray(tokens, dtype=object), return_counts=True)
             h = pd.util.hash_array(vals)
@@ -116,6 +122,10 @@ def export_signature_fixtures(
         paths["minhash_sigs"],
     )
     pq.write_table(pa.table({"id": ids, "simhash": np.asarray(sim_rows)}), paths["simhash"])
+    pq.write_table(
+        pa.table({"id": ids, "grams": [list(map(int, g)) for g in gram_rows]}),
+        paths["winnow_grams"],
+    )
 
     embs = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
     mat = np.vstack(embs["embedding"].to_numpy())
