@@ -308,6 +308,22 @@ def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match(pp, PHRASES, CFG)
 
 
+PROX_PAIRS = [("table", "hash", 3), ("key", "scan", 5), ("value", "zzz_absent", 4)]
+
+
+def _q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity retrieval (terms within N tokens) over the positional
+    index; oracle recomputes positions from the token stream in SQL."""
+    from information_retrieval_spark.operators.positional import (
+        positional_postings,
+        proximity_match,
+    )
+
+    docs = build_docs_table(_corpus(spark, sf_dir), CFG)
+    pp = positional_postings(docs, CFG)
+    return proximity_match(pp, PROX_PAIRS, CFG)
+
+
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al. 2003), exploded to rows —
     gram hashes come from the standalone fixture; window-min selection and
@@ -371,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "winnow_fingerprints": _q_winnow,
         "embedding_near_dups": _q_embedding_near_dups,
+        "proximity_match": _q_proximity,
     }
 
 
@@ -386,6 +403,14 @@ def _phrase_sql() -> str:
         duckdb_docid_sql(DOCUMENTS_AS_CORPUS_SQL, CFG),
         PHRASES,
         CFG,
+    )
+
+
+def _proximity_sql() -> str:
+    from information_retrieval_spark.operators.positional import duckdb_proximity_sql
+
+    return duckdb_proximity_sql(
+        duckdb_docid_sql(DOCUMENTS_AS_CORPUS_SQL, CFG), PROX_PAIRS, CFG
     )
 
 
@@ -505,6 +530,7 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """,
         "phrase_match": _phrase_sql(),
+        "proximity_match": _proximity_sql(),
         "minhash_near_dups": minhash_pairs_sql(
             fixtures["minhash_sigs"], n_bands=32, threshold=0.5
         ),

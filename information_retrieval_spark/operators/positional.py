@@ -170,6 +170,107 @@ def phrase_match(
     )
 
 
+def proximity_match(
+    positional: DataFrame,
+    term_pairs: list[tuple[str, str, int]],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """(query_id, docid, min_dist) — docs where the two query terms occur
+    within ``window`` tokens of each other (proximity retrieval over the
+    mode-1 positional index). ``term_pairs`` = [(term_a, term_b, window)].
+
+    Same one-pass shape as ``phrase_match``: single pruned scan + per-doc
+    pivot over the union of queried terms, every pair's verdict projected
+    and exploded. The per-doc distance is the min over the cross product of
+    the two position lists — bounded by tf_a·tf_b per doc, the standard
+    proximity cost (a stopword×stopword pair is the worst case, as in any
+    positional engine).
+    """
+    spark = positional.sparkSession
+    norm: list[tuple[int, str, str, int]] = []
+    for qid, (ta, tb, w) in enumerate(term_pairs):
+        a = parse_phrases([ta], cfg)[0]
+        b = parse_phrases([tb], cfg)[0]
+        if len(a) == 1 and len(b) == 1:
+            norm.append((qid, a[0], b[0], int(w)))
+    if not norm:
+        return spark.createDataFrame([], "query_id int, docid long, min_dist int")
+    all_terms = sorted({t for _, a, b, _ in norm for t in (a, b)})
+    tcol = {t: f"p_{i}" for i, t in enumerate(all_terms)}
+    agg = positional.filter(F.col("term").isin(all_terms)).groupBy("docid").agg(
+        *[
+            F.first(F.when(F.col("term") == t, F.col("positions")), ignorenulls=True)
+            .alias(tcol[t])
+            for t in all_terms
+        ]
+    )
+
+    def min_dist(a: str, b: str):
+        pa, pb = F.col(tcol[a]), F.col(tcol[b])
+        return F.array_min(
+            F.flatten(F.transform(pa, lambda x: F.transform(pb, lambda y: F.abs(x - y))))
+        )
+
+    verdicts = F.array(
+        *[
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.when(
+                    F.col(tcol[a]).isNotNull() & F.col(tcol[b]).isNotNull(),
+                    min_dist(a, b),
+                ).alias("min_dist"),
+                F.lit(w).alias("w"),
+            )
+            for qid, a, b, w in norm
+        ]
+    )
+    return (
+        agg.select("docid", F.explode(verdicts).alias("v"))
+        .filter(F.col("v.min_dist") <= F.col("v.w"))
+        .select(
+            F.col("v.query_id").alias("query_id"),
+            "docid",
+            F.col("v.min_dist").cast("int").alias("min_dist"),
+        )
+    )
+
+
+def duckdb_proximity_sql(
+    docid_sql: str,
+    term_pairs: list[tuple[str, str, int]],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> str:
+    """Oracle: positions recomputed from the token stream with list
+    comprehension SQL; min cross-distance per doc — independent of the
+    positional-index machinery."""
+    from ..functions.analyzer import duckdb_tokenize_sql
+
+    tok = duckdb_tokenize_sql("content", cfg)
+    parts = []
+    for qid, (ta, tb, w) in enumerate(term_pairs):
+        a = parse_phrases([ta], cfg)[0]
+        b = parse_phrases([tb], cfg)[0]
+        if not (len(a) == 1 and len(b) == 1):
+            continue
+        pa = f"list_filter(range(1, len(toks) + 1), i -> toks[i] = '{a[0]}')"
+        pb = f"list_filter(range(1, len(toks) + 1), i -> toks[i] = '{b[0]}')"
+        parts.append(f"""
+SELECT {qid} AS query_id, docid,
+       CAST(list_min(flatten(list_transform({pa},
+            x -> list_transform({pb}, y -> abs(x - y))))) AS INT) AS min_dist
+FROM t
+WHERE len({pa}) > 0 AND len({pb}) > 0
+  AND list_min(flatten(list_transform({pa},
+        x -> list_transform({pb}, y -> abs(x - y))))) <= {w}
+""")
+    body = " UNION ALL ".join(parts)
+    return f"""
+WITH ids AS ({docid_sql}),
+t AS (SELECT docid, {tok} AS toks FROM ids)
+{body}
+"""
+
+
 def duckdb_phrase_sql(
     corpus_sql: str, docid_sql: str, phrases: list[str], cfg: EngineConfig = DEFAULT_CONFIG
 ) -> str:

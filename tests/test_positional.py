@@ -87,3 +87,30 @@ def test_positional_scan_pushes_term_filter(spark, docs, tmp_path_factory):
     scan = plan[plan.index("Scan parquet"):]
     pushed = scan[: scan.index("ReadSchema")]
     assert "In(term" in pushed, pushed[:400]
+
+
+def test_proximity_match(spark, docs):
+    """Two-term proximity: min position distance within the window;
+    cross-occurrence minimum; missing term -> no row."""
+    from information_retrieval_spark.operators.positional import proximity_match
+
+    pp = positional_postings(docs, CFG)
+    got = {
+        (r["query_id"], r["docid"]): r["min_dist"]
+        for r in proximity_match(
+            pp,
+            [
+                ("alpha", "gamma", 2),   # doc0: alpha@{0,3} gamma@{2} -> min 1
+                ("alpha", "gamma", 1),   # doc3: alpha@0 gamma@4 -> dist 4 > 1
+                ("beta", "zzz", 5),      # absent term -> nothing
+            ],
+            CFG,
+        ).collect()
+    }
+    assert got[(0, 0)] == 1                      # alpha@{0,3}, gamma@{2}: |3-2|
+    assert got[(0, 1)] == 2                      # beta alpha beta gamma: |1-3|
+    assert got[(0, 1 << 41)] == 2                # alpha beta gamma: |0-2|
+    assert (0, 3) not in got                     # alpha@0, gamma@4: dist 4 > 2
+    assert got[(1, 0)] == 1                      # window 1 still admits dist 1
+    assert (1, 1) not in got                     # dist 2 > window 1
+    assert not any(q == 2 for q, _ in got)
