@@ -550,6 +550,19 @@ def encode_postings(
             block_cf = np.add.reduceat(t, starts_p)
 
             def bin_arr(enc, off):
+                if int(off[-1]) > np.iinfo(np.int32).max:
+                    # chunk cuts are GROUP-aligned, so one skewed (term,
+                    # bucket) group whose encoded payload exceeds 2^31 bytes
+                    # (~2^29 postings) cannot be split further; a silent
+                    # int32 cast would wrap offsets and emit corrupt blocks.
+                    # Fail loudly: the fix is more doc buckets (B5 salting
+                    # spreads any term over n_doc_buckets groups).
+                    raise OverflowError(
+                        f"encoded payload for one chunk is {int(off[-1])} bytes "
+                        "(> int32 offset space). A single (term, bucket) group "
+                        "is too large — raise cfg.n_doc_buckets so the B5 "
+                        "salting bounds per-group postings."
+                    )
                 bounds = np.ascontiguousarray(off[np.append(starts_p, d.size)].astype(np.int32))
                 return pa.Array.from_buffers(
                     pa.binary(),

@@ -90,23 +90,36 @@ def write_meta(
     stats: dict,
     consistent: bool,
     bucket_counters: dict[int, int] | None = None,
+    stream_batches: list[str] | None = None,
 ) -> None:
     """Atomic meta commit. ``bucket_counters`` maps bucket → next local row
     id (the docid allocator state, U5): passed explicitly by build/append,
     or preserved from the existing meta when None — counters never reset
     (the reference's strictly-ascending allocation, index.h:167-173), even
-    across compactions that delete docs."""
+    across compactions that delete docs.
+
+    ``stream_batches`` — completed streaming-batch tags. Carrying them in
+    THIS file makes the single ``os.replace`` the one atomic commit point
+    for counters + stats + batch completion together: a crash between this
+    write and the (informational) manifest-metrics append can no longer
+    leave a replayed batch double-counting n_docs/total_tokens. Preserved
+    from the existing meta when None, like the counters."""
     os.makedirs(root, exist_ok=True)
-    if bucket_counters is None:
+    if bucket_counters is None or stream_batches is None:
         try:
-            bucket_counters = read_meta(root).get("bucket_counters", {})
+            prev = read_meta(root)
         except FileNotFoundError:
-            bucket_counters = {}
+            prev = {}
+        if bucket_counters is None:
+            bucket_counters = prev.get("bucket_counters", {})
+        if stream_batches is None:
+            stream_batches = prev.get("stream_batches", [])
     meta = {
         "config": cfg.to_meta(),
         "stats": stats,
         "is_consistent": consistent,
         "bucket_counters": {str(k): int(v) for k, v in dict(bucket_counters).items()},
+        "stream_batches": sorted(set(stream_batches)),
     }
     tmp = _paths(root)["meta"] + ".tmp"
     with open(tmp, "w") as f:

@@ -360,11 +360,17 @@ def audio_features(assets: DataFrame) -> DataFrame:
                 x, sr = decode_audio(bytes(payload))
                 mono = x if x.ndim == 1 else x.mean(axis=1)
                 n = mono.size
-                rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
+                if n == 0:
+                    # a zero-frame WAV is a VALID payload: short-circuit
+                    # before the FFT (np.fft.rfft([]) raises and would fail
+                    # the whole Arrow batch) and emit zeroed features
+                    rows.append((int(aid), sr, 0, 0, 0.0, 0.0, 0.0))
+                    continue
+                rms = float(np.sqrt(np.mean(mono**2)))
                 zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
                 spec = np.abs(np.fft.rfft(mono))
                 spec[0] = 0.0  # ignore DC
-                dom = float(np.argmax(spec) * sr / n) if n else 0.0
+                dom = float(np.argmax(spec) * sr / n)
                 rows.append((int(aid), sr, n, int(round(1000 * n / sr)), rms, zcr, dom))
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 

@@ -84,20 +84,54 @@ def append_batch(
     if not force and batch_id >= 0:
         from ..sources.manifest import read_manifest
 
-        already = (
-            read_manifest(spark, root)
-            .filter(
-                (F.col("stage") == "stream")
-                & (F.col("status") == "complete")
-                & (F.col("input_snapshot") == tag)
+        # COMMIT RECORD is the meta file (one atomic os.replace carrying
+        # counters + stats + completed batch tags together); the manifest
+        # ledger row is informational metrics, appended after. Checking the
+        # meta tag first means a crash between the meta commit and the
+        # manifest append cannot replay the batch with already-advanced
+        # counters (which would double-count n_docs/total_tokens and skew
+        # idf). The manifest check stays for indexes written before the
+        # stream_batches meta field existed.
+        already = tag in set(meta.get("stream_batches", []))
+        if not already:
+            already = (
+                read_manifest(spark, root)
+                .filter(
+                    (F.col("stage") == "stream")
+                    & (F.col("status") == "complete")
+                    & (F.col("input_snapshot") == tag)
+                )
+                .limit(1)
+                .count()
             )
-            .limit(1)
-            .count()
-        )
         if already:
             return {"batch_id": batch_id, "docs_appended": 0, "skipped": True}
 
     counters = {int(k): int(v) for k, v in meta.get("bucket_counters", {}).items()}
+    if not counters and int(meta["stats"].get("n_docs", 0)) > 0:
+        # meta predates the allocator-counter format but the index is
+        # non-empty: a silent {} default would restart every bucket's local
+        # id at 0 and collide new docids with existing ones. Recover the
+        # counters ONCE with the legacy max(docid) scan (and persist them at
+        # the commit point below) instead of corrupting the address space.
+        import warnings
+
+        warnings.warn(
+            f"index at {root} has no bucket_counters in meta; recovering the "
+            "docid allocator with a one-off max(docid) scan of the docs table",
+            RuntimeWarning,
+        )
+        counters = {
+            int(r["bucket"]): int(r["next_local"])
+            for r in spark.read.parquet(p["docs"])
+            .groupBy("bucket")
+            .agg(
+                (F.max(F.col("docid") % F.lit(1 << cfg.doc_bucket_bits)) + 1).alias(
+                    "next_local"
+                )
+            )
+            .collect()
+        }
     admitted = admission_filter(batch_df, cfg).withColumn("bucket", bucket_expr(cfg))
     base = spark.createDataFrame(
         [(int(b), int(v)) for b, v in counters.items()] or [(-1, 0)],
@@ -151,9 +185,18 @@ def append_batch(
     _promote(os.path.join(staging, "postings"), p["postings"], batch_id)
 
     if refresh_dict:
-        refresh_dictionary(spark, root)
+        # INCREMENTAL merge: df/cf/n_blocks are additive over posting
+        # segments and max_tfnorm is a max, so only the delta segment's
+        # block rows are aggregated and outer-merged into the persisted
+        # dictionary — O(|delta| + |vocab|) per batch, never a rescan of
+        # pre-existing posting segments (asserted by tests/test_streaming).
+        merge_dictionary(
+            spark, root, spark.read.parquet(os.path.join(staging, "postings")), tag
+        )
 
-    # COMMIT POINT: counters + stats + ledger row, after all data writes
+    # COMMIT POINT: counters + stats + batch tag in ONE atomic meta write,
+    # after all data writes; the manifest metrics row follows and is purely
+    # informational (replay detection reads the meta tag, above)
     for b, (n, _) in per_bucket.items():
         counters[b] = counters.get(b, 0) + n
     stats = {
@@ -161,7 +204,14 @@ def append_batch(
         "avgdl": avgdl,  # pinned baseline (see module docstring)
         "total_tokens": int(meta["stats"]["total_tokens"]) + toks_new,
     }
-    write_meta(root, cfg, stats, consistent=True, bucket_counters=counters)
+    write_meta(
+        root,
+        cfg,
+        stats,
+        consistent=True,
+        bucket_counters=counters,
+        stream_batches=list(meta.get("stream_batches", [])) + ([tag] if batch_id >= 0 else []),
+    )
 
     from ..sources.manifest import _append_manifest
 
@@ -204,10 +254,69 @@ def _promote(stage_dir: str, dest_dir: str, batch_id: int) -> None:
             )
 
 
+_DELTA_TAGS_KEEP = 64  # crash-protection window; only recent tags matter
+
+
+def merge_dictionary(
+    spark: SparkSession, root: str, delta_postings: DataFrame, tag: str
+) -> bool:
+    """Merge ONE delta segment's dictionary aggregate into the persisted
+    dictionary (full-outer join on term; df/cf/n_blocks summed, max_tfnorm
+    maxed). Touches only the delta's block rows + the |vocab|-sized
+    dictionary — the per-batch full-index recompute is gone.
+
+    Replay safety: the merge is NOT naturally idempotent (summing a delta
+    twice double-counts df), and it runs BEFORE the batch's meta commit —
+    so applied batch tags ride inside the dictionary directory itself
+    (``_delta_tags.json``, invisible to parquet readers) and swap atomically
+    WITH the merged data via ``os.replace``. A replayed batch whose merge
+    already landed is skipped here even though its meta commit never
+    happened. Returns True when the merge was applied."""
+    import json as _json
+    import shutil
+
+    p = _paths(root)
+    tags_path = os.path.join(p["dictionary"], "_delta_tags.json")
+    try:
+        with open(tags_path) as f:
+            done = _json.load(f)
+    except FileNotFoundError:
+        done = []
+    if tag in done:
+        return False
+    delta = build_dictionary(delta_postings).select(
+        "term",
+        F.col("df").alias("d_df"),
+        F.col("cf").alias("d_cf"),
+        F.col("n_blocks").alias("d_nb"),
+        F.col("max_tfnorm").alias("d_mt"),
+    )
+    old = spark.read.parquet(p["dictionary"])
+    merged = old.join(delta, "term", "full_outer").select(
+        "term",
+        (F.coalesce("df", F.lit(0)) + F.coalesce("d_df", F.lit(0))).alias("df"),
+        (F.coalesce("cf", F.lit(0)) + F.coalesce("d_cf", F.lit(0))).alias("cf"),
+        (F.coalesce("n_blocks", F.lit(0)) + F.coalesce("d_nb", F.lit(0)))
+        .cast("int")
+        .alias("n_blocks"),
+        F.greatest(
+            F.coalesce("max_tfnorm", F.lit(0.0)), F.coalesce("d_mt", F.lit(0.0))
+        ).alias("max_tfnorm"),
+    )
+    dict_tmp = p["dictionary"] + "__tmp"
+    merged.write.mode("overwrite").parquet(dict_tmp)  # materializes old+delta
+    with open(os.path.join(dict_tmp, "_delta_tags.json"), "w") as f:
+        _json.dump((done + [tag])[-_DELTA_TAGS_KEEP:], f)
+    shutil.rmtree(p["dictionary"], ignore_errors=True)
+    os.replace(dict_tmp, p["dictionary"])
+    return True
+
+
 def refresh_dictionary(spark: SparkSession, root: str) -> None:
-    """Recompute df/cf/n_blocks from all posting segments (base + deltas).
-    At scale, run periodically instead of per batch — the dictionary is a
-    pure aggregation of block rows, ~|vocab| output."""
+    """FULL recompute of df/cf/n_blocks from all posting segments (base +
+    deltas) — the periodic canonicalization pass. Per-batch maintenance is
+    ``merge_dictionary`` (incremental); run this on a schedule (or at
+    compaction, which does it implicitly) to reset the merge lineage."""
     p = _paths(root)
     dict_tmp = p["dictionary"] + "__tmp"
     build_dictionary(spark.read.parquet(p["postings"])).write.mode("overwrite").parquet(dict_tmp)
