@@ -154,6 +154,50 @@ def spimi_emit(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame
     return _spimi_emit_pandas(docs, cfg)
 
 
+def _pack_rows_to_runs(df: pd.DataFrame, shift: int) -> pd.DataFrame:
+    """Pack posting rows (term, docid, tf, dl) into compressed run rows
+    (RUNS_SCHEMA) — the SPIMI flush kernel, shared by the pandas emitter
+    and ``pack_posting_rows``."""
+    # group by (term, docid-order) via integer codes — object-dtype string
+    # sorting never happens in the hot path; term order across runs is
+    # irrelevant (the merge groups by key), docid order within a run is
+    # what matters
+    codes, uniques = pd.factorize(df["term"], sort=False)
+    order = np.lexsort((df["docid"].to_numpy(np.int64), codes))
+    t = uniques.to_numpy() if hasattr(uniques, "to_numpy") else np.asarray(uniques, object)
+    c = codes[order]
+    d = df["docid"].to_numpy("<i8")[order]
+    tf = df["tf"].to_numpy("<i4")[order]
+    dl = df["dl"].to_numpy("<i4")[order]
+    b = (d >> shift).astype(np.int32)
+    # run boundary where term or bucket changes (buckets are contiguous
+    # within a term because bucket = docid high bits)
+    cut = np.flatnonzero((c[1:] != c[:-1]) | (b[1:] != b[:-1])) + 1
+    starts = np.concatenate(([0], cut))
+    ends = np.append(cut, d.size)
+    t = t[c]
+    # delta-gap with an absolute value at every run start, one VByte pass
+    # over the whole flush, then per-run byte slicing (same byte-plane
+    # trick as codec.encode_blocks — no per-run numpy calls)
+    gaps = np.empty(d.size, dtype=np.int64)
+    gaps[0] = d[0]
+    np.subtract(d[1:], d[:-1], out=gaps[1:])
+    gaps[starts] = d[starts]
+    enc_d, off_d = codec._vbyte_encode_offsets(gaps.astype(np.uint64))
+    enc_t, off_t = codec._vbyte_encode_offsets(tf.astype(np.uint64))
+    enc_l, off_l = codec._vbyte_encode_offsets(dl.astype(np.uint64))
+    return pd.DataFrame(
+        {
+            "term": t[starts],
+            "bucket": b[starts],
+            "n": (ends - starts).astype(np.int32),
+            "docs_vb": [enc_d[off_d[l]:off_d[h]] for l, h in zip(starts, ends)],
+            "tfs_vb": [enc_t[off_t[l]:off_t[h]] for l, h in zip(starts, ends)],
+            "dls_vb": [enc_l[off_l[l]:off_l[h]] for l, h in zip(starts, ends)],
+        }
+    )
+
+
 def _spimi_emit_pandas(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
     """pandas/object-dtype SPIMI emitter (general-config fallback)."""
     budget = cfg.spimi_budget_bytes
@@ -162,44 +206,7 @@ def _spimi_emit_pandas(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> D
 
     def _flush(pending: list[pd.DataFrame]) -> pd.DataFrame:
         df = pd.concat(pending, ignore_index=True) if len(pending) > 1 else pending[0]
-        # group by (term, docid-order) via integer codes — object-dtype string
-        # sorting never happens in the hot path; term order across runs is
-        # irrelevant (the merge groups by key), docid order within a run is
-        # what matters
-        codes, uniques = pd.factorize(df["term"], sort=False)
-        order = np.lexsort((df["docid"].to_numpy(np.int64), codes))
-        t = uniques.to_numpy() if hasattr(uniques, "to_numpy") else np.asarray(uniques, object)
-        c = codes[order]
-        d = df["docid"].to_numpy("<i8")[order]
-        tf = df["tf"].to_numpy("<i4")[order]
-        dl = df["dl"].to_numpy("<i4")[order]
-        b = (d >> shift).astype(np.int32)
-        # run boundary where term or bucket changes (buckets are contiguous
-        # within a term because bucket = docid high bits)
-        cut = np.flatnonzero((c[1:] != c[:-1]) | (b[1:] != b[:-1])) + 1
-        starts = np.concatenate(([0], cut))
-        ends = np.append(cut, d.size)
-        t = t[c]
-        # delta-gap with an absolute value at every run start, one VByte pass
-        # over the whole flush, then per-run byte slicing (same byte-plane
-        # trick as codec.encode_blocks — no per-run numpy calls)
-        gaps = np.empty(d.size, dtype=np.int64)
-        gaps[0] = d[0]
-        np.subtract(d[1:], d[:-1], out=gaps[1:])
-        gaps[starts] = d[starts]
-        enc_d, off_d = codec._vbyte_encode_offsets(gaps.astype(np.uint64))
-        enc_t, off_t = codec._vbyte_encode_offsets(tf.astype(np.uint64))
-        enc_l, off_l = codec._vbyte_encode_offsets(dl.astype(np.uint64))
-        return pd.DataFrame(
-            {
-                "term": t[starts],
-                "bucket": b[starts],
-                "n": (ends - starts).astype(np.int32),
-                "docs_vb": [enc_d[off_d[l]:off_d[h]] for l, h in zip(starts, ends)],
-                "tfs_vb": [enc_t[off_t[l]:off_t[h]] for l, h in zip(starts, ends)],
-                "dls_vb": [enc_l[off_l[l]:off_l[h]] for l, h in zip(starts, ends)],
-            }
-        )
+        return _pack_rows_to_runs(df, shift)
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pending: list[pd.DataFrame] = []
@@ -391,9 +398,11 @@ def _spimi_emit_arrow(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> Da
     return docs.select("docid", "content").mapInArrow(emit, RUNS_SCHEMA)
 
 
-def spimi_postings(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """Posting-level view of the SPIMI runs — (term, docid, bucket, tf, dl).
-    Oracle/test surface only; the build hot path keeps the binary run form."""
+def decode_posting_rows(payload_rows: DataFrame) -> DataFrame:
+    """(term, docid, bucket, tf, dl) rows decoded from any payload-shaped
+    relation carrying (term, bucket, n, docs_vb, tfs_vb, dls_vb) — SPIMI
+    runs and encoded posting blocks both qualify. Used by the oracle/test
+    surface and by the distributed (over-cap) compaction fallback."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -416,7 +425,31 @@ def spimi_postings(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataF
                 }
             )
 
-    return spimi_emit(docs, cfg).mapInPandas(decode, POSTING_ROWS_SCHEMA)
+    return payload_rows.select(
+        "term", "bucket", "n", "docs_vb", "tfs_vb", "dls_vb"
+    ).mapInPandas(decode, POSTING_ROWS_SCHEMA)
+
+
+def pack_posting_rows(rows: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Inverse of ``decode_posting_rows``: per-partition repack of posting
+    rows (term, docid, tf, dl) into compressed run rows — the
+    ``encode_postings`` input contract. No shuffle; runs are partition-local
+    (exactly like a SPIMI flush) and the encode pass merges them."""
+    shift = cfg.doc_bucket_bits
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield _pack_rows_to_runs(pdf, shift)
+
+    return rows.select("term", "docid", "tf", "dl").mapInPandas(pack, RUNS_SCHEMA)
+
+
+def spimi_postings(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Posting-level view of the SPIMI runs — (term, docid, bucket, tf, dl).
+    Oracle/test surface only; the build hot path keeps the binary run form."""
+    return decode_posting_rows(spimi_emit(docs, cfg))
 
 
 def encode_postings(

@@ -74,6 +74,31 @@ def test_wand_respects_acl(spark, idx, perms):
     assert [r["rank"] for r in restricted] == list(range(1, len(restricted) + 1))
 
 
+def test_over_cap_allowed_falls_back_to_semi_join(spark, idx, perms):
+    """Judge r2 #9: an allowed list past small_set_cap must auto-route to
+    the pre-rank semi-join fallback with results identical to the cursor
+    keep-list path — same docs, same ranks, bit-identical scores (the
+    fallback accumulates idf·tfnorm in the same ascending-term order)."""
+    qterms = parse_queries(spark, ["ident_1 ident_2 ident_0", "ident_3"], CFG).cache()
+    allowed = allowed_docids(perms, NOBODY)
+    want = wand_topk(spark, idx, qterms, 10, CFG, allowed=allowed).collect()
+    got = wand_topk(spark, idx, qterms, 10, CFG, allowed=allowed, small_set_cap=3).collect()
+    key = lambda rows: [(r["query_id"], r["rank"], r["docid"], r["score"]) for r in rows]
+    assert key(sorted(got, key=lambda r: (r["query_id"], r["rank"]))) == key(
+        sorted(want, key=lambda r: (r["query_id"], r["rank"]))
+    )
+    # deleted composes with the fallback path too
+    victim = want[0]["docid"]
+    deleted = spark.createDataFrame([(victim,)], "docid long")
+    want2 = wand_topk(spark, idx, qterms, 10, CFG, allowed=allowed, deleted=deleted).collect()
+    got2 = wand_topk(
+        spark, idx, qterms, 10, CFG, allowed=allowed, deleted=deleted, small_set_cap=3
+    ).collect()
+    assert key(sorted(got2, key=lambda r: (r["query_id"], r["rank"]))) == key(
+        sorted(want2, key=lambda r: (r["query_id"], r["rank"]))
+    )
+
+
 def test_secure_semi_join(spark, idx, perms):
     scored = idx.docs.select("docid")
     out = secure_semi_join(scored, perms, NOBODY)
