@@ -107,6 +107,30 @@ def _index(spark: SparkSession, sf_dir: str):
     return _INDEX_CACHE[sf_dir]
 
 
+CFG_POS = EngineConfig(positional=True)
+_PERSISTED_CACHE: dict = {}
+
+
+def _persisted_index(spark: SparkSession, sf_dir: str):
+    """Persisted on-disk index INCLUDING the mode-1 positional plane, built
+    once per process per sf_dir (build_index_resumable with
+    cfg.positional=True). The phrase/proximity gate entries read the
+    persisted ``positional/`` table — mode 1 is part of the index lifecycle
+    (build/append/GC), never an ad-hoc per-query corpus re-tokenize
+    (reference index.h:51-58 coupling)."""
+    if sf_dir not in _PERSISTED_CACHE:
+        import tempfile
+
+        from information_retrieval_spark.sources.manifest import (
+            build_index_resumable,
+        )
+
+        root = tempfile.mkdtemp(prefix="ir_entry_idx_")
+        idx = build_index_resumable(spark, _corpus(spark, sf_dir), root, CFG_POS)
+        _PERSISTED_CACHE[sf_dir] = (root, idx)
+    return _PERSISTED_CACHE[sf_dir]
+
+
 # --------------------------------------------------------------------------
 # entry: flagship — build the encoded index on sf0.001 and answer the query
 # set via block-max WAND, resolving winners back to (repo, path).
@@ -296,32 +320,26 @@ PHRASES = [
 
 def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mode-1 positional index + quoted-phrase retrieval (reference
-    DOCUMENT_LEVEL_INDEXING mode 1, index.h:51-58): positions table from the
-    same docid assignment, Catalyst-only adjacency verification."""
-    from information_retrieval_spark.operators.positional import (
-        phrase_match,
-        positional_postings,
-    )
+    DOCUMENT_LEVEL_INDEXING mode 1, index.h:51-58): the query reads the
+    PERSISTED positional/ plane of the on-disk index (pruned parquet scan),
+    Catalyst-only adjacency verification."""
+    from information_retrieval_spark.operators.positional import phrase_match
 
-    docs = build_docs_table(_corpus(spark, sf_dir), CFG)
-    pp = positional_postings(docs, CFG)
-    return phrase_match(pp, PHRASES, CFG)
+    _, idx = _persisted_index(spark, sf_dir)
+    return phrase_match(idx.positional, PHRASES, CFG)
 
 
 PROX_PAIRS = [("table", "hash", 3), ("key", "scan", 5), ("value", "zzz_absent", 4)]
 
 
 def _q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Proximity retrieval (terms within N tokens) over the positional
-    index; oracle recomputes positions from the token stream in SQL."""
-    from information_retrieval_spark.operators.positional import (
-        positional_postings,
-        proximity_match,
-    )
+    """Proximity retrieval (terms within N tokens) over the PERSISTED
+    positional plane; oracle recomputes positions from the token stream in
+    SQL — fully independent of the plane's storage."""
+    from information_retrieval_spark.operators.positional import proximity_match
 
-    docs = build_docs_table(_corpus(spark, sf_dir), CFG)
-    pp = positional_postings(docs, CFG)
-    return proximity_match(pp, PROX_PAIRS, CFG)
+    _, idx = _persisted_index(spark, sf_dir)
+    return proximity_match(idx.positional, PROX_PAIRS, CFG)
 
 
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:

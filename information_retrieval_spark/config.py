@@ -55,6 +55,11 @@ class EngineConfig:
     token_pattern: str = "[a-z0-9_]+"
     stemming_level: int = 0
     bigram_indexing: bool = False
+    # DOCUMENT_LEVEL_INDEXING granularity (/root/reference/index/index.h:51-58):
+    # mode 2 = document-level postings (always built); mode 1 additionally
+    # persists word positions. positional=True maintains the mode-1 plane
+    # through the whole index lifecycle (build / streamed append / GC).
+    positional: bool = False
 
     # --- admission filter (S2) -----------------------------------------
     min_file_size: int = 8
@@ -109,6 +114,7 @@ class EngineConfig:
             "b": ("IR_BM25_B", float),
             "stemming_level": ("IR_STEMMING_LEVEL", int),
             "shuffle_partitions": ("IR_SHUFFLE_PARTITIONS", int),
+            "positional": ("IR_POSITIONAL", lambda v: v not in ("0", "false", "")),
         }
         kwargs = {}
         for key, (env, conv) in env_map.items():

@@ -695,7 +695,9 @@ def build_dictionary(postings: DataFrame) -> DataFrame:
 @dataclass
 class InvertedIndex:
     """One index dataset (SURVEY.md §1.1 'Index'): docs + postings +
-    dictionary + collection stats, plus the config that built it."""
+    dictionary + collection stats, plus the config that built it.
+    ``positional`` is the persisted mode-1 plane (None when the index was
+    built with cfg.positional=False)."""
 
     docs: DataFrame
     postings: DataFrame
@@ -704,6 +706,7 @@ class InvertedIndex:
     avgdl: float
     total_tokens: int
     cfg: EngineConfig
+    positional: DataFrame | None = None
 
     def stats(self) -> dict:
         return {

@@ -176,6 +176,16 @@ def compact_index(
     docs_kept = docs_sub.join(del_side, "docid", "left_anti")
     docs_kept.write.mode("overwrite").partitionBy("bucket").parquet(p["docs"])
 
+    # positional (mode-1) plane: GC'd with the same bucket granularity —
+    # rows are (term, docid)-keyed, so the drop is a plain anti-join
+    if index.positional is not None:
+        pos_kept = index.positional.filter(F.col("bucket").isin(affected)).join(
+            del_side, "docid", "left_anti"
+        )
+        pos_kept.select("term", "docid", "tf", "positions", "bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(p["positional"])
+
     # refresh dictionary + stats from the full (post-rewrite) tables
     postings_all = spark.read.parquet(p["postings"])
     build_dictionary(postings_all).write.mode("overwrite").parquet(p["dictionary"])

@@ -74,6 +74,36 @@ class LocalIndex:
                 self.deleted = arr if arr.size else None
             except Exception:
                 self.deleted = None
+        # persisted mode-1 positional plane (present when the index was
+        # built/appended with cfg.positional) — phrase/proximity queries are
+        # served from THIS table, never by re-tokenizing the corpus
+        pos_dir = os.path.join(root, "positional")
+        self.positional = (
+            ds.dataset(pos_dir, partitioning="hive", format="parquet")
+            if os.path.isdir(pos_dir)
+            else None
+        )
+
+    def fetch_positions(self, terms: list[str]) -> pd.DataFrame:
+        """(term, docid, positions) rows for the given terms, pushdown-pruned
+        at the Parquet row-group level; deleted docs masked."""
+        import pyarrow.dataset as ds
+
+        if self.positional is None:
+            raise RuntimeError(
+                "index has no positional/ plane; build with cfg.positional=True"
+            )
+        if not terms:
+            return pd.DataFrame(columns=["term", "docid", "positions"])
+        tab = self.positional.to_table(
+            filter=ds.field("term").isin(terms), columns=["term", "docid", "positions"]
+        )
+        pdf = tab.to_pandas()
+        if self.deleted is not None and len(pdf):
+            import numpy as np
+
+            pdf = pdf[~np.isin(pdf["docid"].to_numpy("int64"), self.deleted)]
+        return pdf
 
     def fetch_blocks(self, terms: list[str]) -> pd.DataFrame:
         import pyarrow.dataset as ds
@@ -106,3 +136,75 @@ def query_index_local(
         del_arr=idx.deleted,
     )
     return pd.DataFrame(rows, columns=["query_id", "rank", "docid", "score"])
+
+
+def _positions_by_term(idx: "LocalIndex", terms: list[str]) -> dict:
+    """{term: {docid: ndarray positions}} from the persisted plane."""
+    import numpy as np
+
+    pdf = idx.fetch_positions(sorted(set(terms)))
+    out: dict = {}
+    for term, docid, pos in zip(pdf["term"], pdf["docid"], pdf["positions"]):
+        out.setdefault(term, {})[int(docid)] = np.asarray(pos, dtype=np.int64)
+    return out
+
+
+def phrase_match_local(
+    index: "LocalIndex | str", phrases: list[str]
+) -> pd.DataFrame:
+    """(query_id, docid) — quoted-phrase retrieval over the PERSISTED mode-1
+    plane, Spark-free (the query-daemon analog of operators.positional.
+    phrase_match; same adjacency semantics: a doc matches iff some start
+    position p has term_i at p+i for every i). Deletions masked."""
+    from .positional import parse_phrases
+
+    idx = LocalIndex(index) if isinstance(index, str) else index
+    seqs = parse_phrases(phrases, idx.cfg)
+    by_term = _positions_by_term(idx, [t for s in seqs for t in s])
+    rows: list[tuple[int, int]] = []
+    for qid, seq in enumerate(seqs):
+        if not seq or any(t not in by_term for t in seq):
+            continue
+        docs = set(by_term[seq[0]])
+        for t in seq[1:]:
+            docs &= set(by_term[t])
+        for d in sorted(docs):
+            common = set(by_term[seq[0]][d].tolist())
+            for i, t in enumerate(seq[1:], start=1):
+                common &= {int(p) - i for p in by_term[t][d]}
+                if not common:
+                    break
+            if common:
+                rows.append((qid, d))
+    return pd.DataFrame(rows, columns=["query_id", "docid"]).astype(
+        {"query_id": "int32", "docid": "int64"}
+    )
+
+
+def proximity_match_local(
+    index: "LocalIndex | str", term_pairs: list[tuple[str, str, int]]
+) -> pd.DataFrame:
+    """(query_id, docid, min_dist) — proximity retrieval over the persisted
+    plane, Spark-free twin of operators.positional.proximity_match."""
+    import numpy as np
+
+    from .positional import parse_phrases
+
+    idx = LocalIndex(index) if isinstance(index, str) else index
+    norm: list[tuple[int, str, str, int]] = []
+    for qid, (ta, tb, w) in enumerate(term_pairs):
+        a = parse_phrases([ta], idx.cfg)[0]
+        b = parse_phrases([tb], idx.cfg)[0]
+        if len(a) == 1 and len(b) == 1:
+            norm.append((qid, a[0], b[0], int(w)))
+    by_term = _positions_by_term(idx, [t for _, a, b, _ in norm for t in (a, b)])
+    rows: list[tuple[int, int, int]] = []
+    for qid, a, b, w in norm:
+        pa, pb = by_term.get(a, {}), by_term.get(b, {})
+        for d in sorted(set(pa) & set(pb)):
+            dist = int(np.abs(pa[d][:, None] - pb[d][None, :]).min())
+            if dist <= w:
+                rows.append((qid, d, dist))
+    return pd.DataFrame(rows, columns=["query_id", "docid", "min_dist"]).astype(
+        {"query_id": "int32", "docid": "int64", "min_dist": "int32"}
+    )

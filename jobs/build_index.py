@@ -48,9 +48,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--b", type=float, default=None)
     p.add_argument("--snapshot", default="", help="input snapshot id recorded as lineage")
     p.add_argument("--master", default=None, help="override master for local dev")
+    p.add_argument("--positional", action="store_true",
+                   help="also build the mode-1 positional plane (index.h:51-58)")
     args = p.parse_args(argv)
 
     overrides = {}
+    if args.positional:
+        overrides["positional"] = True
     if args.buckets is not None:
         overrides["n_doc_buckets"] = args.buckets
     if args.block_size is not None:

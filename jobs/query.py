@@ -38,6 +38,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--master", default=None)
     p.add_argument("--engine", choices=["spark", "local"], default="spark")
+    p.add_argument("--phrase", action="store_true",
+                   help="quoted-phrase retrieval over the persisted mode-1 "
+                        "positional plane (requires --positional at build)")
     p.add_argument("queries", nargs="+")
     args = p.parse_args(argv)
 
@@ -49,6 +52,23 @@ def main(argv: list[str] | None = None) -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     idx = open_index(spark, args.index)
+    if args.phrase:
+        from information_retrieval_spark.operators.positional import phrase_match
+
+        if idx.positional is None:
+            raise SystemExit("index has no positional/ plane; rebuild with --positional")
+        hits = phrase_match(idx.positional, args.queries, idx.cfg).join(
+            F.broadcast(idx.docs.select("docid", "repo", "path")), "docid"
+        ).orderBy("query_id", "docid").collect()
+        by_q: dict[int, list] = {}
+        for r in hits:
+            by_q.setdefault(r["query_id"], []).append(
+                {"docid": r["docid"], "repo": r["repo"], "path": r["path"]}
+            )
+        for i, q in enumerate(args.queries):
+            print(json.dumps({"query": q, "hits": by_q.get(i, [])}))
+        spark.stop()
+        return
     qterms = parse_queries(spark, args.queries, idx.cfg)
     topk = wand_topk(spark, idx, qterms, args.k, idx.cfg)
     resolved = (
@@ -75,10 +95,17 @@ def _main_local(args) -> None:
 
     from information_retrieval_spark.operators.local_query import (
         LocalIndex,
+        phrase_match_local,
         query_index_local,
     )
 
     li = LocalIndex(args.index)
+    if args.phrase:
+        out = phrase_match_local(li, args.queries)
+        for i, q in enumerate(args.queries):
+            hits = [{"docid": int(d)} for qid, d in out.itertuples(index=False) if qid == i]
+            print(json.dumps({"query": q, "hits": hits}))
+        return
     out = query_index_local(li, args.queries, k=args.k)
     docs = ds.dataset(os.path.join(args.index, "docs"), partitioning="hive",
                       format="parquet")
