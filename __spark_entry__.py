@@ -374,6 +374,46 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs.select("id_a", "id_b"))
 
 
+def _federated_roots(spark: SparkSession, sf_dir: str) -> list:
+    """Two persisted index roots over the corpus SPLIT BY HASH BUCKET
+    (0-3 vs 4-7) — disjoint docid slices, built once per process."""
+    key = ("fed", sf_dir)
+    if key not in _PERSISTED_CACHE:
+        import tempfile
+
+        from information_retrieval_spark.operators.docids import bucket_expr
+        from information_retrieval_spark.sources.manifest import (
+            build_index_resumable,
+        )
+
+        corpus = _corpus(spark, sf_dir)
+        half = CFG.n_doc_buckets // 2
+        lo = corpus.filter(bucket_expr(CFG) < half)
+        hi = corpus.filter(bucket_expr(CFG) >= half)
+        ra = tempfile.mkdtemp(prefix="ir_fed_a_")
+        rb = tempfile.mkdtemp(prefix="ir_fed_b_")
+        build_index_resumable(spark, lo, ra, CFG)
+        build_index_resumable(spark, hi, rb, CFG)
+        _PERSISTED_CACHE[key] = [ra, rb]
+    return _PERSISTED_CACHE[key]
+
+
+def _q_federated_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-index federation (MasterIndex analog, masterindex.h:12-53):
+    block-max WAND across two persisted roots with GLOBAL collection stats
+    (summed df, pooled avgdl, admissibly rescaled block maxima) — the
+    oracle is the SAME single-corpus BM25 SQL as bm25_topk_wand, proving
+    federated == combined."""
+    from information_retrieval_spark.operators.federation import (
+        federated_wand_topk,
+    )
+
+    roots = _federated_roots(spark, sf_dir)
+    qterms = parse_queries(spark, QUERY_SET, CFG)
+    out = federated_wand_topk(spark, roots, qterms, TOP_K)
+    return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
+
+
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH approximate top-k (no SQL oracle — recall vs brute force is
     pytest-verified; returns the probed-bucket rerank)."""
@@ -391,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dictionary": _q_dictionary,
         "bm25_topk_naive": _q_bm25_naive,
         "bm25_topk_wand": _q_bm25_wand,
+        "federated_bm25": _q_federated_bm25,
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
         "cosine_topk": _q_cosine_topk,
@@ -533,6 +574,9 @@ FROM tf GROUP BY term
 """,
         "bm25_topk_naive": bm25,
         "bm25_topk_wand": bm25,
+        # federation must equal ONE combined index over the union corpus —
+        # the oracle is deliberately the identical single-corpus BM25 SQL
+        "federated_bm25": bm25,
         "dedup_exact": duckdb_exact_dedup_sql(),
         "ngram_jaccard": ngram_sql,
         "dedup_clusters": dedup_clusters_sql,

@@ -24,8 +24,14 @@ from .config import EngineConfig, DEFAULT_CONFIG
 from .corpus import capture_snapshot_id, corpus_from_documents, load_corpus
 from .operators.build import build_index, spimi_postings
 from .operators.compaction import compact_index, gc_stats, record_deletions
-from .operators.local_query import LocalIndex, query_index_local
-from .operators.positional import phrase_match, positional_postings
+from .operators.federation import federated_topk_local, federated_wand_topk
+from .operators.local_query import (
+    LocalIndex,
+    phrase_match_local,
+    proximity_match_local,
+    query_index_local,
+)
+from .operators.positional import phrase_match, positional_postings, proximity_match
 from .operators.query import (
     conjunctive_match,
     naive_bm25,
@@ -63,8 +69,9 @@ __all__ = [
     "append_batch", "stream_index_updates", "stream_dedup",
     "wand_topk", "naive_bm25", "conjunctive_match",
     "parse_queries", "parse_query_terms",
-    "positional_postings", "phrase_match",
-    "LocalIndex", "query_index_local",
+    "positional_postings", "phrase_match", "proximity_match",
+    "LocalIndex", "query_index_local", "phrase_match_local", "proximity_match_local",
+    "federated_wand_topk", "federated_topk_local",
     "exact_dedup", "minhash_signatures", "oph_signatures",
     "lsh_near_dup_pairs", "exact_jaccard_pairs", "dedup_clusters",
     "simhash", "simhash_near_dup_pairs", "winnow_fingerprints", "text_stats",

@@ -72,6 +72,12 @@ class EngineConfig:
     # 2^47-1 (/root/reference/index/index_type.h:12) generalised to int64.
     doc_bucket_bits: int = 40
     n_doc_buckets: int = 8
+    # Root offset for multi-index federation (the MasterIndex disjoint
+    # address-range trick, /root/reference/masterindex/masterindex.h:25-29):
+    # bucket = bucket_base + hash % n_doc_buckets, so indexes built with
+    # disjoint [base, base + n_buckets) ranges have disjoint docid spaces
+    # and can be mounted together by operators.federation.
+    bucket_base: int = 0
 
     # --- SPIMI / postings (B3, C1-C4) -----------------------------------
     spimi_budget_bytes: int = 40 * 1024 * 1024

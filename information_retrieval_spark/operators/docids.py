@@ -38,10 +38,13 @@ def doc_key_expr() -> Column:
 
 def bucket_expr(cfg: EngineConfig = DEFAULT_CONFIG) -> Column:
     # first 4 hex chars of md5 → 16-bit int → mod buckets  (T5 analog of the
-    # reference's simpleHashFunction bucketing, /root/reference/utils/utils.cc:80-85)
+    # reference's simpleHashFunction bucketing, /root/reference/utils/utils.cc:80-85).
+    # bucket_base offsets the range for multi-index federation (disjoint
+    # docid address slices per root, masterindex.h:25-29).
     return (
         F.conv(F.substring(F.md5(doc_key_expr()), 1, 4), 16, 10).cast("long")
         % cfg.n_doc_buckets
+        + cfg.bucket_base
     ).cast("int")
 
 
@@ -79,7 +82,7 @@ WITH corpus AS ({corpus_sql}),
 bucketed AS (
   SELECT *,
          CAST((('0x' || substring(md5(repo || '|' || path || '|' || "commit"), 1, 4))::BIGINT
-               % {cfg.n_doc_buckets}) AS INT) AS bucket
+               % {cfg.n_doc_buckets} + {cfg.bucket_base}) AS INT) AS bucket
   FROM corpus
   WHERE strlen(content) BETWEEN {cfg.min_file_size} AND {cfg.max_file_size}
 )

@@ -1,0 +1,170 @@
+"""Multi-index federation — query several persisted index roots as one.
+
+The reference's MasterIndex mounts up to 100 sub-indexes, each owning a
+disjoint 10^13-wide slice of one global docid address space, and dispatches
+queries across them (/root/reference/masterindex/masterindex.h:12-53; the
+``ir`` executable accepts a comma-separated directory list,
+/root/reference/executable/ir.cc:39-65). Spark-native re-creation:
+
+- **address disjointness** comes from the bucket ranges: an index built
+  with ``cfg.bucket_base = B`` owns buckets [B, B + n_doc_buckets), and
+  docid = bucket·2^bits + local row — so roots with disjoint bucket ranges
+  have disjoint docids by construction. Federation refuses overlapping
+  ranges (checked against the buckets each root actually allocated, from
+  its meta ``bucket_counters``).
+- **global statistics**: BM25 must rank against the FEDERATED corpus, not
+  each root's slice — idf from the summed df, avgdl from the summed token
+  counts. Per-posting scores are recomputed at query time from (tf, dl)
+  with the global avgdl, so federated results are bit-identical to a
+  single combined index over the union corpus (pinned by
+  tests/test_federation.py).
+- **admissible pruning under a changed avgdl**: stored block maxima were
+  computed with each root's build-time avgdl. For the BM25 tf-norm
+  tf/(tf + k1·(1 − b + b·dl/avgdl)),
+
+      tfnorm(A_q) ≤ tfnorm(A_b) · max(1, A_q / A_b)
+
+  (the norm is increasing in avgdl, and the worst-case ratio over tf, dl is
+  the K-ratio sup (1−b+b·dl/A_b)/(1−b+b·dl/A_q) → A_q/A_b as dl → ∞), so
+  scaling each root's ``block_max_tfnorm`` by max(1, avgdl_global /
+  avgdl_root) keeps block-max WAND exact — pruning bounds only ever get
+  looser.
+
+Two paths, same contract as single-index querying:
+
+- ``federated_wand_topk`` — Spark: scale + union the roots' posting tables
+  into a synthetic :class:`InvertedIndex` with global stats and run the
+  ordinary ``wand_topk`` (every mode — distributed, driver-local, auto —
+  works unchanged; buckets never straddle roots, so per-bucket BMW runs
+  are untouched).
+- ``federated_topk_local`` — Spark-free: per-root pyarrow block fetches +
+  one in-process BMW over the concatenated blocks (the interactive
+  query-daemon shape). Per-root deletion ledgers are unioned and masked.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .build import InvertedIndex, build_dictionary
+from .local_query import LocalIndex
+from .query import parse_query_terms
+from .wand import bmw_over_blocks, wand_topk
+
+
+def _check_disjoint(bucket_sets: list[set[int]], roots: list[str]) -> None:
+    seen: dict[int, str] = {}
+    for s, root in zip(bucket_sets, roots):
+        for b in s:
+            if b in seen:
+                raise ValueError(
+                    f"federation requires disjoint bucket ranges: bucket {b} is "
+                    f"allocated by both {seen[b]} and {root}. Build each root "
+                    "with its own cfg.bucket_base (disjoint docid address "
+                    "slices, masterindex.h:25-29)."
+                )
+            seen[b] = root
+
+
+def _root_buckets(meta: dict) -> set[int]:
+    return {int(k) for k in meta.get("bucket_counters", {})}
+
+
+def _global_stats(metas: list[dict]) -> tuple[int, float, int]:
+    n = sum(int(m["stats"]["n_docs"]) for m in metas)
+    toks = sum(int(m["stats"]["total_tokens"]) for m in metas)
+    return n, (toks / n if n else 1.0), toks
+
+
+def federated_wand_topk(
+    spark: SparkSession,
+    roots: list[str],
+    qterms: DataFrame | list[tuple[int, str]],
+    k: int,
+    mode: str = "auto",
+    deleted: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, rank, docid, score) — block-max WAND across several
+    persisted index roots with GLOBAL collection statistics; rank-identical
+    to one combined index over the union corpus."""
+    from ..sources.manifest import open_index, read_meta
+
+    if not roots:
+        raise ValueError("federated_wand_topk: no index roots given")
+    metas = [read_meta(r) for r in roots]
+    _check_disjoint([_root_buckets(m) for m in metas], roots)
+    idxs = [open_index(spark, r) for r in roots]
+    n_docs, avgdl_g, toks = _global_stats(metas)
+
+    parts = []
+    for idx in idxs:
+        scale = max(1.0, avgdl_g / float(idx.avgdl))
+        parts.append(
+            idx.postings.withColumn(
+                "block_max_tfnorm", F.col("block_max_tfnorm") * F.lit(scale)
+            )
+        )
+    postings = parts[0]
+    for p in parts[1:]:
+        postings = postings.unionByName(p)
+    docs = idxs[0].docs
+    for idx in idxs[1:]:
+        docs = docs.unionByName(idx.docs)
+    fed = InvertedIndex(
+        docs=docs,
+        postings=postings,
+        dictionary=build_dictionary(postings),  # df/cf re-sum globally
+        n_docs=n_docs,
+        avgdl=avgdl_g,
+        total_tokens=toks,
+        cfg=idxs[0].cfg,
+    )
+    return wand_topk(spark, fed, qterms, k, fed.cfg, mode=mode, deleted=deleted)
+
+
+def federated_topk_local(
+    roots: list[str], queries: list[str], k: int = 10
+) -> pd.DataFrame:
+    """(query_id, rank, docid, score) pandas DataFrame — Spark-free
+    federation: per-root pushdown-pruned block fetches, one in-process BMW
+    over the union with global idf/avgdl. Per-root deletion ledgers are
+    honored."""
+    from ..functions import codec
+    from ..sources.manifest import read_meta
+
+    if not roots:
+        raise ValueError("federated_topk_local: no index roots given")
+    metas = [read_meta(r) for r in roots]
+    _check_disjoint([_root_buckets(m) for m in metas], roots)
+    lis = [LocalIndex(r) for r in roots]
+    n_docs, avgdl_g, _ = _global_stats(metas)
+
+    q_pairs = parse_query_terms(queries, lis[0].cfg)
+    terms = sorted({t for _, t in q_pairs})
+    parts, dels = [], []
+    for li in lis:
+        b = li.fetch_blocks(terms)
+        if len(b):
+            scale = max(1.0, avgdl_g / float(li.avgdl))
+            b = b.assign(block_max_tfnorm=b["block_max_tfnorm"] * scale)
+            parts.append(b)
+        if li.deleted is not None:
+            dels.append(li.deleted)
+    blocks = (
+        pd.concat(parts, ignore_index=True)
+        if parts
+        else pd.DataFrame(columns=["term", "bucket", "n"])
+    )
+    idf = {
+        t: float(codec.bm25_idf(float(df_t), float(n_docs)))
+        for t, df_t in (blocks.groupby("term")["n"].sum().items() if len(blocks) else [])
+    }
+    del_arr = np.unique(np.concatenate(dels)) if dels else None
+    cfg = lis[0].cfg
+    rows = bmw_over_blocks(
+        blocks, q_pairs, k, idf, avgdl_g, float(cfg.k1), float(cfg.b),
+        del_arr=del_arr,
+    )
+    return pd.DataFrame(rows, columns=["query_id", "rank", "docid", "score"])

@@ -153,7 +153,7 @@ def build_index_resumable(
 
     # ---- stage 1: docs catalog --------------------------------------
     done_docs = completed_buckets(spark, root, "docs")
-    all_buckets = set(range(cfg.n_doc_buckets))
+    all_buckets = set(range(cfg.bucket_base, cfg.bucket_base + cfg.n_doc_buckets))
     if done_docs != all_buckets:
         t0 = time.time()
         docs = build_docs_table(corpus, cfg)

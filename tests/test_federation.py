@@ -1,0 +1,99 @@
+"""Multi-index federation tests (MasterIndex analog, masterindex.h:12-53)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.corpus import synthetic_corpus_pdf
+from information_retrieval_spark.operators.federation import (
+    federated_topk_local,
+    federated_wand_topk,
+)
+from information_retrieval_spark.operators.query import parse_queries
+from information_retrieval_spark.operators.wand import wand_topk
+from information_retrieval_spark.sources.manifest import build_index_resumable, open_index
+
+CFG = EngineConfig(n_doc_buckets=8, block_size=16)
+COLS = ["repo", "path", "commit", "lang", "content"]
+QUERIES = ["ident_1 ident_2", "ident_3 ident_0", "zzz_absent"]
+
+
+def _bucket(row) -> int:
+    key = f"{row['repo']}|{row['path']}|{row['commit']}"
+    return int(hashlib.md5(key.encode()).hexdigest()[:4], 16) % CFG.n_doc_buckets
+
+
+@pytest.fixture(scope="module")
+def roots(spark, tmp_path_factory):
+    """Combined index + the same corpus split into two roots by hash bucket
+    (0-3 vs 4-7): disjoint bucket ranges, identical docids by construction."""
+    base = tmp_path_factory.mktemp("fed")
+    full = synthetic_corpus_pdf(160, seed=61)[COLS]
+    b = full.apply(_bucket, axis=1)
+    combined, ra, rb = str(base / "all"), str(base / "a"), str(base / "b")
+    build_index_resumable(spark, spark.createDataFrame(full), combined, CFG)
+    build_index_resumable(spark, spark.createDataFrame(full[b < 4]), ra, CFG)
+    build_index_resumable(spark, spark.createDataFrame(full[b >= 4]), rb, CFG)
+    return combined, ra, rb
+
+
+def _key(rows):
+    return sorted(
+        (r["query_id"], r["rank"], r["docid"], r["score"]) for r in rows
+    )
+
+
+def test_federated_spark_rank_identical_to_combined(spark, roots):
+    combined, ra, rb = roots
+    idx = open_index(spark, combined)
+    qterms = parse_queries(spark, QUERIES, CFG).cache()
+    want = _key(wand_topk(spark, idx, qterms, 5, CFG).collect())
+    got = _key(federated_wand_topk(spark, [ra, rb], qterms, 5).collect())
+    assert got == want and want
+
+
+def test_federated_local_rank_identical_to_combined(spark, roots):
+    combined, ra, rb = roots
+    idx = open_index(spark, combined)
+    qterms = parse_queries(spark, QUERIES, CFG)
+    want = _key(wand_topk(spark, idx, qterms, 5, CFG).collect())
+    out = federated_topk_local([ra, rb], QUERIES, k=5)
+    got = sorted(map(tuple, out.itertuples(index=False)))
+    assert got == want
+
+
+def test_federation_rejects_overlapping_buckets(spark, roots, tmp_path_factory):
+    """Two roots that allocated the same bucket (both bucket_base=0 over
+    full corpora) must be refused — their docid spaces collide."""
+    _, ra, _ = roots
+    other = str(tmp_path_factory.mktemp("fedclash") / "idx")
+    pdf = synthetic_corpus_pdf(60, seed=62)[COLS]
+    build_index_resumable(spark, spark.createDataFrame(pdf), other, CFG)
+    with pytest.raises(ValueError, match="disjoint bucket ranges"):
+        federated_topk_local([ra, other], QUERIES, k=5)
+
+
+def test_bucket_base_mounts_disjoint_corpora(spark, tmp_path_factory):
+    """The bucket_base knob gives two UNRELATED corpora disjoint docid
+    slices (masterindex.h:25-29): federation mounts them, returns hits from
+    both, and every docid is unique."""
+    base = tmp_path_factory.mktemp("fedbase")
+    c1 = synthetic_corpus_pdf(60, seed=63)[COLS]
+    c2 = synthetic_corpus_pdf(60, seed=64)[COLS]
+    cfg1 = EngineConfig(n_doc_buckets=8, block_size=16, bucket_base=0)
+    cfg2 = EngineConfig(n_doc_buckets=8, block_size=16, bucket_base=8)
+    r1, r2 = str(base / "r1"), str(base / "r2")
+    build_index_resumable(spark, spark.createDataFrame(c1), r1, cfg1)
+    build_index_resumable(spark, spark.createDataFrame(c2), r2, cfg2)
+    idx2 = open_index(spark, r2)
+    # every docid of root 2 sits in the offset bucket range
+    shift = cfg2.doc_bucket_bits
+    hi = {r["docid"] >> shift for r in idx2.docs.select("docid").collect()}
+    assert hi and all(8 <= b < 16 for b in hi)
+
+    out = federated_topk_local([r1, r2], ["ident_1"], k=20)
+    assert len(out) and out["docid"].nunique() == len(out)
+    buckets_hit = {int(d) >> shift for d in out["docid"]}
+    assert any(b < 8 for b in buckets_hit) and any(b >= 8 for b in buckets_hit)
