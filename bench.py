@@ -99,9 +99,11 @@ def timed_build(spark: SparkSession, corpus, cfg: EngineConfig):
 def release(idx) -> None:
     """Drop every cache the build created — Spark's cache manager matches
     canonicalized plans, so a repeated identical build would silently reuse
-    a previous rep's cached docs/postings and time only the cache read."""
+    a previous rep's cached runs/postings and time only the cache read."""
     idx.docs.unpersist(blocking=True)
     idx.postings.unpersist(blocking=True)
+    if idx.runs is not None:
+        idx.runs.unpersist(blocking=True)
 
 
 def warm_up(spark: SparkSession, corpus, cfg: EngineConfig) -> None:

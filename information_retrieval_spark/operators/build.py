@@ -73,6 +73,13 @@ RUNS_SCHEMA = StructType(
         StructField("term", StringType(), False),
         StructField("bucket", IntegerType(), False),
         StructField("n", IntegerType(), False),
+        # run_cf = Σ tf of the run: carrying the token count on the run row
+        # lets collection stats (total_tokens → avgdl) come from ONE
+        # aggregation over ~|vocab|·partitions run rows instead of a second
+        # full-corpus Catalyst tokenize pass (the r2 profile showed the
+        # build tokenizing everything twice — once for doc_len, once in the
+        # Arrow emitter)
+        StructField("run_cf", LongType(), False),
         StructField("docs_vb", BinaryType(), False),
         StructField("tfs_vb", BinaryType(), False),
         StructField("dls_vb", BinaryType(), False),
@@ -186,11 +193,13 @@ def _pack_rows_to_runs(df: pd.DataFrame, shift: int) -> pd.DataFrame:
     enc_d, off_d = codec._vbyte_encode_offsets(gaps.astype(np.uint64))
     enc_t, off_t = codec._vbyte_encode_offsets(tf.astype(np.uint64))
     enc_l, off_l = codec._vbyte_encode_offsets(dl.astype(np.uint64))
+    tf_cum = np.concatenate(([0], np.cumsum(tf, dtype=np.int64)))
     return pd.DataFrame(
         {
             "term": t[starts],
             "bucket": b[starts],
             "n": (ends - starts).astype(np.int32),
+            "run_cf": tf_cum[ends] - tf_cum[starts],
             "docs_vb": [enc_d[off_d[l]:off_d[h]] for l, h in zip(starts, ends)],
             "tfs_vb": [enc_t[off_t[l]:off_t[h]] for l, h in zip(starts, ends)],
             "dls_vb": [enc_l[off_l[l]:off_l[h]] for l, h in zip(starts, ends)],
@@ -270,6 +279,17 @@ def _spimi_emit_arrow(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> Da
     the complement split on ``[^a-z0-9_]+`` with empty fragments dropped —
     identical output to the pandas/Catalyst analyzers (pinned by
     tests/test_build_and_query.py and the term_tf driver gate)."""
+    return docs.select("docid", "content").mapInArrow(
+        make_arrow_emitter(cfg), RUNS_SCHEMA
+    )
+
+
+def make_arrow_emitter(cfg: EngineConfig = DEFAULT_CONFIG):
+    """The per-worker Arrow SPIMI emit generator (batches → run record
+    batches). Exposed standalone so the benchmark's hardware calibration can
+    stream the EXACT per-worker kernel — tokenize, tf-grouping, AND the
+    budget-triggered flush (lexsort + VByte) — outside Spark; a calibration
+    that omits the flush overstates the achievable parallel ceiling."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -284,6 +304,7 @@ def _spimi_emit_arrow(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> Da
             ("term", pa.string()),
             ("bucket", pa.int32()),
             ("n", pa.int32()),
+            ("run_cf", pa.int64()),
             ("docs_vb", pa.binary()),
             ("tfs_vb", pa.binary()),
             ("dls_vb", pa.binary()),
@@ -329,11 +350,13 @@ def _spimi_emit_arrow(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> Da
                 [None, pa.py_buffer(bounds), pa.py_buffer(np.ascontiguousarray(enc))],
             )
 
+        tf_cum = np.concatenate(([0], np.cumsum(tf, dtype=np.int64)))
         return pa.record_batch(
             [
                 pc.take(de.dictionary, pa.array(g[starts].astype(np.int32))),
                 pa.array(b[starts], type=pa.int32()),
                 pa.array((ends - starts).astype(np.int32), type=pa.int32()),
+                pa.array(tf_cum[ends] - tf_cum[starts], type=pa.int64()),
                 bin_arr(enc_d, off_d),
                 bin_arr(enc_t, off_t),
                 bin_arr(enc_l, off_l),
@@ -395,7 +418,7 @@ def _spimi_emit_arrow(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> Da
         if pending:
             yield _flush(pending)
 
-    return docs.select("docid", "content").mapInArrow(emit, RUNS_SCHEMA)
+    return emit
 
 
 def decode_posting_rows(payload_rows: DataFrame) -> DataFrame:
@@ -707,6 +730,15 @@ class InvertedIndex:
     total_tokens: int
     cfg: EngineConfig
     positional: DataFrame | None = None
+    # the persisted SPIMI run cache of an in-memory build_index (kept so
+    # callers can unpersist it; None for indexes opened from disk)
+    runs: DataFrame | None = None
+
+    def release(self) -> None:
+        """Unpersist every cache this index holds (no-op on lazy frames)."""
+        for df in (self.docs, self.postings, self.dictionary, self.runs):
+            if df is not None:
+                df.unpersist()
 
     def stats(self) -> dict:
         return {
@@ -722,24 +754,31 @@ def build_index(
     """Full in-memory build (lazy DataFrames; persist via sources.manifest).
 
     Collection stats (A3 — the usedAddressSpace accounting analog,
-    /root/reference/index/index.h:160-166) are the only actions here.
+    /root/reference/index/index.h:160-166) come from the RUN rows plus one
+    octet-length admission count — the corpus is tokenized exactly ONCE (in
+    the Arrow emitter). The previous formulation materialized the docs
+    catalog (Catalyst-tokenized ``doc_len`` + sha256 for every doc) just to
+    aggregate avgdl, paying a second full tokenize pass and a corpus-sized
+    columnar cache whose decode throughput was the r2 32-core scaling wall.
+    ``avgdl = Σ run_cf / |admitted|`` is bit-identical to ``avg(doc_len)``
+    (one IEEE division of the same exact integers; zero-token docs count in
+    the denominator both ways — driver-gate hash-pinned).
+
+    The returned ``docs`` catalog stays LAZY; downstream projections that
+    skip ``doc_len``/``content_sha256`` (e.g. the top-k → (repo, path)
+    resolve) never compute them. Callers that need the full catalog
+    materialized persist it themselves (``build_index_resumable`` writes it
+    to parquet as stage 1).
     """
     docs = build_docs_table(corpus, cfg)
-    docs = docs.persist()
-    row = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("doc_len").alias("avgdl"),
-        F.sum("doc_len").alias("total_tokens"),
-    ).collect()[0]
-    n_docs = int(row["n"] or 0)
-    avgdl = float(row["avgdl"] or 1.0)
-    total_tokens = int(row["total_tokens"] or 0)
-    runs = spimi_emit(docs, cfg)
+    runs = spimi_emit(docs, cfg).persist()
+    total_tokens = int(
+        runs.agg(F.sum("run_cf").alias("s")).collect()[0]["s"] or 0
+    )
+    n_docs = admission_filter(corpus, cfg).count()
+    avgdl = (total_tokens / n_docs) if n_docs else 1.0
     postings = encode_postings(runs, avgdl, cfg)
     dictionary = build_dictionary(postings)
-    # NOTE: docs keeps `content` — the cache is columnar, so downstream
-    # projections never read it; returning the persisted plan itself lets
-    # callers unpersist it (a derived .drop() plan would not clear the cache)
     return InvertedIndex(
         docs=docs,
         postings=postings,
@@ -748,4 +787,5 @@ def build_index(
         avgdl=avgdl,
         total_tokens=total_tokens,
         cfg=cfg,
+        runs=runs,
     )
