@@ -43,18 +43,34 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING = os.environ.get("IR_BENCH_SCALING", "1") != "0"
 AMP = int(os.environ.get("IR_BENCH_AMP", "400"))   # scaling-corpus amplification
-REPS = int(os.environ.get("IR_BENCH_REPS", "2"))   # timed reps per scaling arm
+ROUNDS = int(os.environ.get("IR_BENCH_ROUNDS", "10"))  # interleaved rep rounds
 # At 10^12-doc scale n_doc_buckets would be ~2^16 (SURVEY.md B1); it is the
 # parallelism floor of the whole pipeline (docID window, SPIMI input, encode
 # groups are all bucket-keyed), so the bench uses a cluster-sized value.
-BUCKETS = int(os.environ.get("IR_BENCH_BUCKETS", "64"))
+# CRUCIALLY buckets must be MANY× shuffle partitions: hashing 64 buckets
+# into 64 partitions leaves ~1/e of partitions empty and gives others 2-4
+# whole buckets (per-task event logs showed 0.2 s tasks next to 4.8 s
+# stragglers) — a wave-tail tax the 32-core arm pays and the 8-core arm
+# amortizes over its 8 waves. 512 buckets / 64 partitions bounds the
+# per-partition load imbalance at ~±12%, same as a real cluster running
+# 2^16 buckets over a few thousand tasks.
+BUCKETS = int(os.environ.get("IR_BENCH_BUCKETS", "512"))
 
 
-def make_session(cores: int) -> SparkSession:
+def make_session(cores: int, partitions: int | None = None) -> SparkSession:
+    # Shuffle spill + map-output files go to tmpfs: this sandbox has ONE
+    # virtio disk, so at local[32] the shuffle write/fetch of all 32 tasks
+    # serializes on it (measured: 18.0 s -> 9.5 s for the 2M-doc build by
+    # moving spark.local.dir to /dev/shm). A real cluster spreads shuffle
+    # across per-executor NVMe; the single shared disk is a sandbox
+    # artifact, so tmpfs is the honest proxy for per-executor local disks.
+    local_dir = "/dev/shm/ir_spark_local"
+    os.makedirs(local_dir, exist_ok=True)
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"ir-bench-{cores}")
-        .config("spark.sql.shuffle.partitions", str(2 * cores))
+        .config("spark.local.dir", local_dir)
+        .config("spark.sql.shuffle.partitions", str(partitions or 2 * cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # cache-sized Arrow batches: a 65536-doc batch (~100 MB working set
@@ -63,7 +79,8 @@ def make_session(cores: int) -> SparkSession:
         # + splits + codes LLC-resident — measured 3.1× kernel scaling and
         # ~2× absolute 32-proc throughput. (The round-1 65536 setting was
         # tuned for the pandas emitter, whose per-batch overhead dominated.)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("IR_BENCH_ARROW_BATCH", "8192"))
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
@@ -126,18 +143,20 @@ def _burn_cpu(_):
 
 
 def _burn_pipeline(_):
-    """The index build's ACTUAL hot-path kernel — the Arrow tokenize +
-    dictionary-encode + integer tf-grouping pass of the SPIMI emitter — run
-    over several fresh batches at the job's real Arrow batch size (8192
-    docs), so the calibration streams the same working set per core the
-    job does. A cache-resident toy kernel overstates the achievable 8→32
-    ratio on this single-socket box (measured 4.1× toy vs ~3.1× at real
-    batch sizes): the job is DRAM-bandwidth-bound and 4× threads do NOT
-    bring 4× bandwidth here (4× executors on a real cluster do)."""
+    """The index build's ACTUAL per-worker kernel — ``make_arrow_emitter``
+    is the very generator ``mapInArrow`` runs inside each Spark Python
+    worker (tokenize + dictionary-encode + tf-grouping + the
+    budget-triggered lexsort/VByte flush), streamed here over synthetic
+    batches at the job's real Arrow batch size (8192 docs). Running the
+    EXACT worker code is what makes the ceiling workload-matched: the r2
+    calibration omitted the flush and so overstated the achievable 8→32
+    ratio. The job is partially DRAM-bandwidth-bound and 4× threads on one
+    socket do NOT bring 4× bandwidth (4× executors on a real cluster do)."""
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
-    import pyarrow.compute as pc
+
+    from information_retrieval_spark.config import EngineConfig
+    from information_retrieval_spark.operators.build import make_arrow_emitter
 
     pa.set_cpu_count(1)
     pa.set_io_thread_count(1)
@@ -145,22 +164,31 @@ def _burn_pipeline(_):
     words = np.array([f"word{i}" for i in range(5000)], dtype=object)
     N = 8192
     batches = [
-        pa.array([" ".join(words[rng.integers(0, 5000, size=60)]) for _ in range(N)])
-        for _ in range(4)
+        pa.record_batch(
+            [
+                pa.array(np.arange(bi * N, (bi + 1) * N, dtype=np.int64)),
+                pa.array(
+                    [" ".join(words[rng.integers(0, 5000, size=60)]) for _ in range(N)]
+                ),
+            ],
+            names=["docid", "content"],
+        )
+        for bi in range(4)
     ]
-    t0 = time.time()
-    for arr in batches:
-        sp = pc.split_pattern_regex(pc.utf8_lower(arr), "[^a-z0-9_]+")
-        fl = pc.list_flatten(sp)
-        lens_all = np.asarray(pc.list_value_length(sp)).astype(np.int64)
-        mask = np.asarray(pc.binary_length(fl)) > 0
-        de = pc.dictionary_encode(fl)
-        codes = np.asarray(de.indices).astype(np.int64)
-        doc_idx = np.repeat(np.arange(N, dtype=np.int64), lens_all)
-        codes, doc_idx = codes[mask], doc_idx[mask]
-        ks = np.sort(codes * N + doc_idx, kind="stable")
-        np.flatnonzero(ks[1:] != ks[:-1])
-    return time.time() - t0
+    emit = make_arrow_emitter(EngineConfig())
+    # warm the process first (imports, RE2 compile, allocator page-ins):
+    # the first emit in a fresh process is 4-8× steady state, and Spark's
+    # reused workers run steady-state — timing cold workers would measure
+    # warmup, not throughput
+    for _out in emit(iter(batches[:1])):
+        pass
+    best = float("inf")
+    for _rep in range(2):
+        t0 = time.time()
+        for _out in emit(iter(batches)):
+            pass
+        best = min(best, time.time() - t0)
+    return best
 
 
 def hw_calibration() -> dict:
@@ -209,29 +237,37 @@ def _prepare_scaling_corpus() -> str:
     return path
 
 
-def run_arm(cores: int, corpus_path: str, reps: int = 2) -> None:
-    """Subprocess body: one warm-up build, then ``reps`` timed builds at
-    local[cores] (caches fully released between reps — each rep recomputes
-    the whole pipeline); prints one JSON line with the best rep.
+def serve_arm(cores: int, corpus_path: str) -> None:
+    """Persistent subprocess body for the scaling leg: start one local[cores]
+    session, cache the corpus, run one untimed warm-up build, then execute
+    one timed build per ``go`` line on stdin (caches fully released between
+    reps — each rep recomputes the whole pipeline) until ``quit``.
 
-    Min-of-reps measures sustained capability: the first post-warm-up rep
-    still pays JIT/allocator ramp and host CPU-steal spikes (observed 2-3×
-    swings on this Firecracker VM)."""
-    s = make_session(cores)
+    Keeping both arms' JVMs alive lets the parent interleave reps 8,32,8,32…
+    with ~zero turnaround, so many alternations land inside the same host-
+    noise windows — the only protocol that produces a trustworthy ratio on
+    this VM (multi-minute 2-4× noise windows; see BENCH.md). The idle arm's
+    JVM is quiescent while the other runs."""
+    # Both arms run the IDENTICAL physical plan: shuffle partitioning is
+    # pinned to the bucket count (the pipeline's parallelism floor), so the
+    # only variable between local[8] and local[32] is concurrency — exactly
+    # the N vs 4N executor proxy. On a real cluster partitions are sized to
+    # the data, not the executor count; letting each arm pick its own
+    # partitioning would compare two different plans (and gave the 8-arm
+    # fewer, fatter, cache-friendlier tasks in r2's recording).
+    s = make_session(cores, partitions=BUCKETS)
     s.sparkContext.setLogLevel("ERROR")
     c = s.read.parquet(corpus_path).persist()
     c.count()
-    cfg = EngineConfig(shuffle_partitions=2 * cores, n_doc_buckets=BUCKETS)
+    cfg = EngineConfig(shuffle_partitions=BUCKETS, n_doc_buckets=BUCKETS)
     warm_up(s, c, cfg)
-    times = []
-    n_docs = 0
-    for _ in range(reps):
+    print(json.dumps({"ready": True, "cores": cores}), flush=True)
+    for line in sys.stdin:
+        if line.strip() != "go":
+            break
         idx, sec, _ = timed_build(s, c, cfg)
         release(idx)
-        times.append(round(sec, 3))
-        n_docs = idx.n_docs
-    print(json.dumps({"build_sec": min(times), "all": times,
-                      "n_docs": n_docs, "cores": cores}))
+        print(json.dumps({"sec": round(sec, 3), "n_docs": idx.n_docs}), flush=True)
     s.stop()
 
 
@@ -299,28 +335,46 @@ def main() -> None:
 
     if SCALING:
         # N vs 4N parallelism on the SAME amplified input (sandbox proxy for
-        # N vs 4N executors — BASELINE.json scaling rule). Each arm runs in a
-        # FRESH subprocess (clean JVM — no cross-arm cache/GC/heap history),
-        # arms alternate to decorrelate host CPU-steal drift, and the best of
-        # REPS runs per arm is the sustained-throughput capability.
+        # N vs 4N executors — BASELINE.json scaling rule). Each arm runs in
+        # its own subprocess (separate JVM — no cross-arm cache/GC/heap
+        # history), and min over ROUNDS interleaved reps per arm is the
+        # sustained-throughput capability.
         hw = hw_calibration()
         corpus_path = _prepare_scaling_corpus()
         times: dict[int, list[float]] = {8: [], 32: []}
         n_docs_arm = 0
         import subprocess
 
-        for _round in range(4):  # fine-grained interleave: host noise comes in
-            # multi-minute windows, so more alternations beat more reps per arm
+        # Two persistent arm subprocesses; reps alternate 8,32,8,32,… with
+        # ~zero turnaround so both arms sample the SAME host-noise windows
+        # (the r2 protocol relaunched a JVM per rep pair — 45 s turnaround —
+        # and arms often landed in different noise regimes, which is why its
+        # recorded ratio disagreed with controlled experiments). min-of-reps
+        # per arm is the sustained capability; rep lists are retained.
+        procs = {}
+        for cores in (8, 32):
+            procs[cores] = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--serve",
+                 str(cores), corpus_path],
+                stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL, text=True, bufsize=1,
+            )
+        for cores, p in procs.items():
+            ready = json.loads(p.stdout.readline())
+            assert ready.get("ready") and ready.get("cores") == cores
+        for _round in range(ROUNDS):
             for cores in (8, 32):
-                r = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--arm",
-                     str(cores), corpus_path],
-                    capture_output=True, text=True,
-                )
-                line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
-                arm = json.loads(line)
-                times[cores].extend(arm["all"])
-                n_docs_arm = arm["n_docs"]
+                p = procs[cores]
+                p.stdin.write("go\n"); p.stdin.flush()
+                rep = json.loads(p.stdout.readline())
+                times[cores].append(rep["sec"])
+                n_docs_arm = rep["n_docs"]
+        for p in procs.values():
+            try:
+                p.stdin.write("quit\n"); p.stdin.flush()
+                p.wait(timeout=60)
+            except Exception:
+                p.kill()
         throughput = {c: n_docs_arm / min(ts) for c, ts in times.items()}
         for c in (8, 32):
             out[f"scaling_build_sec_local{c}"] = round(min(times[c]), 3)
@@ -350,7 +404,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 4 and sys.argv[1] == "--arm":
-        run_arm(int(sys.argv[2]), sys.argv[3])
+    if len(sys.argv) >= 4 and sys.argv[1] == "--serve":
+        serve_arm(int(sys.argv[2]), sys.argv[3])
     else:
         main()

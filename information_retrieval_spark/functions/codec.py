@@ -161,9 +161,20 @@ def _vbyte_encode_offsets(v: np.ndarray) -> tuple[bytes, np.ndarray]:
     one — ≤ 9 fully-vectorized passes, total work O(output bytes), no
     per-byte index arithmetic (the naive arange/repeat formulation is ~10×
     slower on gap-sized values)."""
+    if v.size == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    vmax = int(v.max())
+    # narrow fast path: every value fits one byte (no continuation bit) —
+    # the common case for tf, dl, and intra-run gap planes; identical output
+    # to the generic path, ~10× fewer passes
+    if vmax < 0x80:
+        return v.astype(np.uint8).tobytes(), np.arange(v.size + 1, dtype=np.int64)
     # byte length per value: 1 + number of 7-bit-threshold crossings
+    # (only thresholds <= vmax can contribute — skip the dead comparisons)
     lengths = np.ones(v.size, dtype=np.int64)
     for th in _THRESHOLDS:
+        if vmax < th:
+            break
         lengths += v >= th
     offsets = np.concatenate(([0], np.cumsum(lengths)))
     out = np.empty(int(offsets[-1]), dtype=np.uint8)

@@ -324,7 +324,15 @@ def make_arrow_emitter(cfg: EngineConfig = DEFAULT_CONFIG):
             dl = np.concatenate([e[4] for e in pending])
         de = pc.dictionary_encode(full_term)
         g = np.asarray(de.indices).astype(np.int64)
-        order = np.lexsort((d, g))
+        # sort by (term code, docid): when both fit one uint64 word
+        # (flush vocab < 2^17, docid < 2^47 by the bucket<<shift layout) a
+        # single radix argsort on the packed key is ~2× the 2-key lexsort —
+        # this sort is the largest single cost of a warm flush
+        if g.size and len(de.dictionary) <= (1 << 17) and int(d.max()) < (1 << 47):
+            key = (g.astype(np.uint64) << np.uint64(47)) | d.astype(np.uint64)
+            order = np.argsort(key, kind="stable")
+        else:
+            order = np.lexsort((d, g))
         g, d, tf, dl = g[order], d[order], tf[order], dl[order]
         b = (d >> shift).astype(np.int32)
         cut = np.flatnonzero((g[1:] != g[:-1]) | (b[1:] != b[:-1])) + 1
