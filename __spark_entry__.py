@@ -59,6 +59,9 @@ from information_retrieval_spark.operators.textproc import (  # noqa: E402
 from information_retrieval_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
     duckdb_cosine_topk_sql,
+    ivf_assign,
+    ivf_topk,
+    ivf_train_centroids,
     lsh_bucketize,
     lsh_topk,
 )
@@ -421,6 +424,16 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(lsh_bucketize(embs, dim=64, n_planes=6), ANN_QVEC, TOP_K, n_planes=6)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-k: driver-trained coarse k-means quantizer,
+    distributed nearest-centroid assignment, probed exact rerank. The
+    data-adaptive twin of lsh_topk (oracle re-derives assignment + probe +
+    rerank in SQL from standalone-trained centroids)."""
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cent = ivf_train_centroids(embs)
+    return ivf_topk(ivf_assign(embs, cent), cent, ANN_QVEC, TOP_K, nprobe=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "docids": _q_docids,
@@ -438,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         "ngram_jaccard": _q_ngram_jaccard,
         "events_window": _q_events_window,
         "boolean_and": _q_boolean_and,
@@ -491,7 +505,9 @@ def oracle_sql() -> dict[str, str]:
     # thresholds and rerank from those fixtures in pure DuckDB. The driver's
     # gate runs at sf0.01, which these fixtures are built from.
     from information_retrieval_spark.oracles import (
+        export_ivf_centroids,
         export_signature_fixtures,
+        ivf_topk_sql,
         lsh_topk_sql,
         minhash_pairs_sql,
         simhash_pairs_sql,
@@ -598,6 +614,9 @@ FROM events GROUP BY event_type
         ),
         "simhash_near_dups": simhash_pairs_sql(fixtures["simhash"], max_hamming=3),
         "lsh_topk": lsh_topk_sql(fixtures["lsh_buckets"], ANN_QVEC, probes, TOP_K),
+        "ivf_topk": ivf_topk_sql(
+            export_ivf_centroids("/root/testdata/sf0.01"), ANN_QVEC, 3, TOP_K
+        ),
         "winnow_fingerprints": f"""
 WITH g AS (
   SELECT CAST(id AS BIGINT) AS id, grams FROM read_parquet('{fixtures["winnow_grams"]}')

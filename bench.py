@@ -272,7 +272,14 @@ def serve_arm(cores: int, corpus_path: str) -> None:
 
 
 def main() -> None:
-    cfg = EngineConfig(shuffle_partitions=2 * CPUS, n_doc_buckets=BUCKETS)
+    # Buckets are sized to the DATA (docs per bucket), not to one global
+    # knob: the 5,000-doc headline corpus gets 64 buckets (~78 docs each);
+    # BUCKETS=512 is the 2M-doc scaling leg's value (~4k docs each). Using
+    # 512 here makes every headline task ~10 docs — pure per-task overhead.
+    cfg = EngineConfig(
+        shuffle_partitions=2 * CPUS,
+        n_doc_buckets=int(os.environ.get("IR_BENCH_HEADLINE_BUCKETS", "64")),
+    )
     total_t0 = time.time()
     spark = make_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")

@@ -41,6 +41,9 @@ from .operators.query import (
 from .operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_assign,
+    ivf_topk,
+    ivf_train_centroids,
     lsh_bucketize,
     lsh_topk,
 )
@@ -76,4 +79,5 @@ __all__ = [
     "lsh_near_dup_pairs", "exact_jaccard_pairs", "dedup_clusters",
     "simhash", "simhash_near_dup_pairs", "winnow_fingerprints", "text_stats",
     "cosine_topk", "lsh_bucketize", "lsh_topk", "embedding_near_dup_pairs",
+    "ivf_train_centroids", "ivf_assign", "ivf_topk",
 ]

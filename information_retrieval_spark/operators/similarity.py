@@ -176,6 +176,132 @@ def lsh_topk(
     return cosine_topk(cand, qvec, k, id_col="vec_id", vec_col="embedding")
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse k-means quantizer + probed exact rerank
+# --------------------------------------------------------------------------
+
+def _ivf_dists(m: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(n × C) Euclidean distances, rounded to 6 dp.
+
+    The rounding is the cross-engine determinism contract: the DuckDB oracle
+    recomputes the same distances with ``list_distance`` and both sides
+    argmin over the ROUNDED value with ties broken by lowest cluster id, so
+    a last-ulp float divergence between numpy's summation order and
+    DuckDB's cannot flip an assignment."""
+    d = np.sqrt(((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2))
+    return np.round(d, 6)
+
+
+def ivf_train_centroids(
+    embs: DataFrame,
+    *,
+    n_centroids: int = 16,
+    sample_cap: int = 65536,
+    iters: int = 8,
+    seed: int = 20260817,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """(C × dim float64) coarse-quantizer centroids via Lloyd k-means on a
+    deterministic sample.
+
+    Training on a bounded sample is the standard IVF recipe (FAISS trains
+    the coarse quantizer on ~10^5-10^6 vectors regardless of corpus size):
+    the quantizer needs O(C·dim) state, not the corpus, so at 10^12 vectors
+    this driver-side step stays O(sample_cap·dim) while everything
+    corpus-sized (assignment, probe, rerank) remains distributed. The
+    sample is the first ``sample_cap`` ids (deterministic — re-training on
+    the same table reproduces the same quantizer bit-for-bit), Lloyd
+    assignment uses the rounded-distance argmin of ``_ivf_dists`` and the
+    update is the member mean in id order, so the standalone oracle fixture
+    (oracles.py) can re-derive identical centroids with per-point loops."""
+    rows = (
+        embs.select(F.col(id_col).cast("long").alias("id"), vec_col)
+        .orderBy("id")
+        .limit(sample_cap)
+        .collect()
+    )
+    m = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    c_n = min(n_centroids, len(m))
+    cent = m[np.sort(rng.choice(len(m), size=c_n, replace=False))].copy()
+    for _ in range(iters):
+        assign = _ivf_dists(m, cent).argmin(axis=1)
+        for c in range(c_n):
+            members = m[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ivf_assign(
+    embs: DataFrame,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster int, embedding) — nearest-centroid assignment.
+    One (batch × dim) − (C × dim) broadcast per Arrow batch, no shuffle, no
+    join (the embedding flows through the UDF like ``lsh_bucketize``). At
+    scale the output is written ``partitionBy("cluster")`` so a probe reads
+    ``nprobe`` partitions instead of the table."""
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    emb_field = embs.schema[vec_col].dataType
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("cluster", IntegerType(), False),
+            StructField("embedding", emb_field, False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cl = _ivf_dists(m, cent).argmin(axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].astype("int64").to_numpy(),
+                    "cluster": cl,
+                    "embedding": pdf[vec_col].to_numpy(),
+                }
+            )
+
+    return embs.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def ivf_probe_clusters(
+    qvec: list[float], centroids: np.ndarray, nprobe: int
+) -> list[int]:
+    """The ``nprobe`` clusters nearest the query (rounded-distance order,
+    ties by lowest cluster id — same contract as assignment)."""
+    q = np.asarray(qvec, dtype=np.float64)[None, :]
+    d = _ivf_dists(q, np.asarray(centroids, dtype=np.float64))[0]
+    return [int(c) for c in np.argsort(d, kind="stable")[:nprobe]]
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    qvec: list[float],
+    k: int,
+    *,
+    nprobe: int = 3,
+) -> DataFrame:
+    """(rank, vec_id, sim) — IVF approximate top-k: scan only the ``nprobe``
+    probed clusters (partition-prunable predicate on the cluster column),
+    exact cosine rerank within. The IVF twin of ``lsh_topk``: k-means cells
+    adapt to the data distribution where sign-LSH cells are data-blind,
+    which is why IVF is the standard coarse index for real embedding
+    corpora (Jégou et al. 2011; FAISS IVF-Flat)."""
+    probes = ivf_probe_clusters(qvec, centroids, nprobe)
+    cand = assigned.filter(F.col("cluster").isin(probes))
+    return cosine_topk(cand, qvec, k, id_col="vec_id", vec_col="embedding")
+
+
 def embedding_near_dup_pairs(
     bucketized: DataFrame,
     *,

@@ -139,6 +139,107 @@ def export_signature_fixtures(
     return paths
 
 
+def export_ivf_centroids(
+    sf_dir: str,
+    out_dir: str = EXPORT_DIR,
+    *,
+    n_centroids: int = 16,
+    sample_cap: int = 65536,
+    iters: int = 8,
+    seed: int = 20260817,
+) -> str:
+    """Standalone re-derivation of the IVF coarse quantizer: plain pyarrow
+    read + per-point python loops (no Spark, no engine kernels). Shares only
+    the quantizer DEFINITION with the engine (first-``sample_cap``-ids
+    sample, seeded init, rounded-L2 argmin with lowest-cluster ties, member
+    mean in id order — see ``ivf_train_centroids``); everything downstream
+    (full-table assignment, probe selection, rerank) is re-derived in pure
+    SQL by ``ivf_topk_sql``."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "ivf_centroids.parquet")
+    embs = (
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(sample_cap)
+    )
+    m = np.array([list(v) for v in embs["embedding"]], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    c_n = min(n_centroids, len(m))
+    cent = m[np.sort(rng.choice(len(m), size=c_n, replace=False))].copy()
+    for _ in range(iters):
+        assign = np.empty(len(m), dtype=np.int64)
+        for i in range(len(m)):  # per-point loop — the independent path
+            d = np.round(
+                np.array([np.sqrt(((m[i] - cent[c]) ** 2).sum()) for c in range(c_n)]),
+                6,
+            )
+            assign[i] = int(d.argmin())
+        for c in range(c_n):
+            members = m[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    pq.write_table(
+        pa.table(
+            {
+                "cluster": np.arange(c_n, dtype=np.int32),
+                "centroid": [list(map(float, c)) for c in cent],
+            }
+        ),
+        path,
+    )
+    return path
+
+
+def ivf_topk_sql(centroid_path: str, qvec: list[float], nprobe: int, k: int) -> str:
+    """Full IVF query re-derived in pure SQL over the exported centroids:
+    nearest-centroid assignment of every vector (rounded-distance argmin,
+    ties by lowest cluster), nprobe probe selection for the query, exact
+    cosine rerank within the probed clusters."""
+    vals = ", ".join(repr(float(v)) for v in qvec)
+    return f"""
+WITH cent AS (
+  SELECT cluster, centroid FROM read_parquet('{centroid_path}')
+),
+probe AS (
+  SELECT cluster FROM (
+    SELECT cluster,
+           row_number() OVER (
+             ORDER BY round(list_distance(centroid, [{vals}]), 6) ASC, cluster ASC
+           ) AS pr
+    FROM cent
+  ) WHERE pr <= {nprobe}
+),
+assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT CAST(e.vec_id AS BIGINT) AS vec_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_distance(e.embedding::DOUBLE[], c.centroid), 6) ASC,
+                      c.cluster ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT a.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], [{vals}]), 6) AS sim
+  FROM assign a
+  JOIN probe p ON a.cluster = p.cluster
+  JOIN embeddings e ON CAST(e.vec_id AS BIGINT) = a.vec_id
+)
+SELECT rank, vec_id, sim FROM (
+  SELECT vec_id, sim,
+         row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM cand
+)
+WHERE rank <= {k}
+"""
+
+
 def minhash_pairs_sql(sig_path: str, *, n_bands: int = 32, threshold: float = 0.5) -> str:
     """Banded-LSH pair emission + signature-agreement Jaccard estimate in
     pure SQL over the exported signatures: a pair is a candidate iff SOME

@@ -107,3 +107,81 @@ def test_embedding_near_dup(spark, embs, emb_matrix):
              for r in embedding_near_dup_pairs(bucketized, min_sim=0.999).collect()}
     assert (int(ids[0]), 999_999) in pairs
     assert pairs[(int(ids[0]), 999_999)] == pytest.approx(1.0, abs=1e-5)
+
+
+# --------------------------------------------------------------------------
+# IVF
+# --------------------------------------------------------------------------
+
+def test_ivf_train_deterministic(spark, embs):
+    from information_retrieval_spark.operators.similarity import ivf_train_centroids
+
+    c1 = ivf_train_centroids(embs, n_centroids=8, iters=4)
+    c2 = ivf_train_centroids(embs.repartition(7), n_centroids=8, iters=4)
+    assert c1.shape == (8, embs.first()["embedding"].__len__())
+    # training is partitioning-independent bit-for-bit (deterministic sample)
+    assert np.array_equal(c1, c2)
+
+
+def test_ivf_assign_partitioning_independent(spark, embs):
+    from information_retrieval_spark.operators.similarity import (
+        ivf_assign,
+        ivf_train_centroids,
+    )
+
+    cent = ivf_train_centroids(embs, n_centroids=8, iters=4)
+    a1 = {r["vec_id"]: r["cluster"] for r in ivf_assign(embs, cent).collect()}
+    a2 = {
+        r["vec_id"]: r["cluster"]
+        for r in ivf_assign(embs.repartition(5), cent).collect()
+    }
+    assert a1 == a2
+    assert set(a1.values()) <= set(range(8))
+    # every vector is assigned exactly once
+    assert len(a1) == embs.count()
+
+
+def test_ivf_topk_recall_and_exactness(spark, embs, emb_matrix, qvec):
+    from information_retrieval_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    ids, m = emb_matrix
+    cent = ivf_train_centroids(embs, n_centroids=8, iters=4)
+    assigned = ivf_assign(embs, cent).cache()
+    got = ivf_topk(assigned, cent, qvec, K, nprobe=3).orderBy("rank").collect()
+    want = brute_force(ids, m, qvec, K)
+    # k-means cells adapt to the data: probing 3/8 cells recovers most of
+    # the true top-k on this corpus
+    assert len({r["vec_id"] for r in got} & {w[0] for w in want}) >= 5
+    # and within the probed candidate set the rerank is EXACT: every
+    # returned sim equals the brute-force sim for that id
+    sim_by_id = {int(i): round(float(s), 6)
+                 for i, s in zip(ids, (m @ np.asarray(qvec)) /
+                                 (np.linalg.norm(m, axis=1) * np.linalg.norm(qvec)))}
+    for r in got:
+        assert r["sim"] == pytest.approx(sim_by_id[r["vec_id"]], abs=1e-5)
+    # nprobe = n_centroids degenerates to the exact result
+    full = ivf_topk(assigned, cent, qvec, K, nprobe=8).orderBy("rank").collect()
+    assert [(r["vec_id"]) for r in full] == [w[0] for w in want]
+
+
+def test_ivf_oracle_fixture_matches_engine(spark, embs):
+    """The standalone per-point-loop fixture (oracles.py) re-derives the
+    engine's centroids bit-for-bit — the determinism contract the DuckDB
+    oracle relies on."""
+    from information_retrieval_spark.operators.similarity import ivf_train_centroids
+    from information_retrieval_spark.oracles import export_ivf_centroids
+    import pyarrow.parquet as pq
+
+    path = export_ivf_centroids(SF_DIR, "/tmp/ivf_fixture_test",
+                                n_centroids=8, iters=4)
+    fix = np.array(
+        [list(c) for c in pq.read_table(path).to_pandas()
+         .sort_values("cluster")["centroid"]],
+        dtype=np.float64,
+    )
+    eng = ivf_train_centroids(embs, n_centroids=8, iters=4)
+    assert np.array_equal(fix, eng)
