@@ -258,15 +258,26 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (no SQL oracle — verified in pytest against
-    exact shingle Jaccard, tests/test_textproc.py)."""
+    """MinHash+LSH near-dup pairs — oracle: standalone per-doc numpy
+    signature fixture + pure-SQL banding/estimation (oracles.py)."""
     sigs = minhash_signatures(_documents(spark, sf_dir), CFG)
     return lsh_near_dup_pairs(sigs, n_bands=32, threshold=0.5)
 
 
 def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup pairs (no SQL oracle — pytest-verified)."""
+    """SimHash banded near-dup pairs — oracle: standalone per-doc fixture +
+    pure-SQL banding and popcount verify."""
     return simhash_near_dup_pairs(simhash(_documents(spark, sf_dir), CFG), max_hamming=3)
+
+
+def _q_oph_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-Permutation-Hashing MinHash (the O(shingles) 100 TB signature
+    path) through the SAME banding pipeline as dense minhash — oracle is a
+    standalone per-doc/per-bin Python OPH fixture + pure-SQL banding."""
+    from information_retrieval_spark.operators.textproc import oph_signatures
+
+    sigs = oph_signatures(_documents(spark, sf_dir), CFG, n_bins=128)
+    return lsh_near_dup_pairs(sigs, n_bands=32, threshold=0.5)
 
 
 def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,6 +354,24 @@ def _q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, idx = _persisted_index(spark, sf_dir)
     return proximity_match(idx.positional, PROX_PAIRS, CFG)
+
+
+SNIPPET_WINDOW = 8
+
+
+def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result snippets (keyword-in-context highlighting): for every
+    WAND top-k (query, doc), the 8-token window of the PERSISTED positional
+    plane covering the most distinct query terms (ties -> leftmost). The
+    oracle re-derives hit positions, window scores, and the snippet text
+    from the raw token stream in pure SQL."""
+    from information_retrieval_spark.operators.positional import snippet_extract
+    from information_retrieval_spark.operators.query import parse_query_terms
+
+    _, idx = _persisted_index(spark, sf_dir)
+    cand = _q_bm25_wand(spark, sf_dir).select("query_id", "docid")
+    qt = parse_query_terms(QUERY_SET, CFG)
+    return snippet_extract(idx.positional, cand, qt, CFG, window=SNIPPET_WINDOW)
 
 
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -450,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
+        "oph_near_dups": _q_oph_near_dups,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -461,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow,
         "embedding_near_dups": _q_embedding_near_dups,
         "proximity_match": _q_proximity,
+        "snippets": _q_snippets,
     }
 
 
@@ -487,6 +518,20 @@ def _proximity_sql() -> str:
     )
 
 
+def _snippet_sql() -> str:
+    from information_retrieval_spark.operators.positional import duckdb_snippet_sql
+    from information_retrieval_spark.operators.query import parse_query_terms
+
+    bm25 = duckdb_bm25_sql(DOCUMENTS_AS_CORPUS_SQL, QUERY_SET, CFG, k=TOP_K, round_to=4)
+    return duckdb_snippet_sql(
+        duckdb_docid_sql(DOCUMENTS_AS_CORPUS_SQL, CFG),
+        f"SELECT query_id, docid FROM ({bm25})",
+        parse_query_terms(QUERY_SET, CFG),
+        CFG,
+        window=SNIPPET_WINDOW,
+    )
+
+
 def _events_window_sql() -> str:
     from information_retrieval_spark.streaming.windows import (
         DUCKDB_WINDOWED_EVENT_STATS_SQL,
@@ -506,6 +551,7 @@ def oracle_sql() -> dict[str, str]:
     # gate runs at sf0.01, which these fixtures are built from.
     from information_retrieval_spark.oracles import (
         export_ivf_centroids,
+        export_oph_fixture,
         export_signature_fixtures,
         ivf_topk_sql,
         lsh_topk_sql,
@@ -609,10 +655,16 @@ FROM events GROUP BY event_type
 """,
         "phrase_match": _phrase_sql(),
         "proximity_match": _proximity_sql(),
+        "snippets": _snippet_sql(),
         "minhash_near_dups": minhash_pairs_sql(
             fixtures["minhash_sigs"], n_bands=32, threshold=0.5
         ),
         "simhash_near_dups": simhash_pairs_sql(fixtures["simhash"], max_hamming=3),
+        "oph_near_dups": minhash_pairs_sql(
+            export_oph_fixture("/root/testdata/sf0.01", cfg=CFG, n_bins=128),
+            n_bands=32,
+            threshold=0.5,
+        ),
         "lsh_topk": lsh_topk_sql(fixtures["lsh_buckets"], ANN_QVEC, probes, TOP_K),
         "ivf_topk": ivf_topk_sql(
             export_ivf_centroids("/root/testdata/sf0.01"), ANN_QVEC, 3, TOP_K

@@ -299,3 +299,198 @@ toks AS (
 )
 {body}
 """
+
+
+# --------------------------------------------------------------------------
+# Snippet / highlight extraction over the positional plane
+# --------------------------------------------------------------------------
+
+def snippet_extract(
+    positional: DataFrame,
+    candidates: DataFrame,
+    qterms: list[tuple[int, str]],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    window: int = 8,
+    max_candidates: int = 1_000_000,
+) -> DataFrame:
+    """(query_id, docid, start, n_terms, snippet) — best keyword-in-context
+    window per (query, candidate doc): the ``window``-token span covering
+    the most DISTINCT query terms (ties -> leftmost start), rendered from
+    the persisted mode-1 plane's token stream. The search-result snippet /
+    highlighting stage the reference's retrieval modes imply but never ship
+    (/root/reference/index/index.h:51-58 declares the positional mode; no
+    query code exists).
+
+    ``candidates`` is (query_id, docid) — by contract a top-k output
+    (``wand_topk``), so it is ranking-bounded at <= k * |queries| rows;
+    ``qterms`` is ``parse_query_terms`` output.
+
+    Scale shape: hit gathering is a ``term IN`` pruned scan (parquet
+    row-group stats) + two broadcast joins — no wide shuffle; window
+    scoring is O(hits_per_doc^2) entirely in codegen (hits = QUERY-term
+    occurrences only); snippet rendering re-reads the plane pruned by the
+    candidates' buckets AND docids (both pushed down), so it touches only
+    the k result docs' rows. The one driver collect is the best-window
+    table, bounded by |candidates| and guarded by ``max_candidates``.
+    """
+    spark = positional.sparkSession
+    w = int(window)
+    all_terms = sorted({t for _, t in qterms})
+    out_schema = "query_id int, docid long, start int, n_terms int, snippet string"
+    if not all_terms:
+        return spark.createDataFrame([], out_schema)
+    qt = spark.createDataFrame(qterms, "query_id int, term string").distinct()
+    cand = candidates.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("docid").cast("long").alias("docid"),
+    ).distinct()
+
+    hits = (
+        positional.filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(qt), "term")
+        .join(F.broadcast(cand), ["query_id", "docid"])
+        .select("query_id", "docid", "term", "positions")
+    )
+    hit_arr = hits.groupBy("query_id", "docid").agg(
+        F.array_sort(
+            F.flatten(
+                F.collect_list(
+                    F.transform(
+                        "positions",
+                        lambda p: F.struct(
+                            p.alias("pos"), F.col("term").alias("term")
+                        ),
+                    )
+                )
+            )
+        ).alias("hits")
+    )
+
+    def win_struct(h):
+        in_win = F.filter(
+            F.col("hits"),
+            lambda x: (x["pos"] >= h["pos"]) & (x["pos"] < h["pos"] + F.lit(w)),
+        )
+        cnt = F.size(F.array_distinct(F.transform(in_win, lambda x: x["term"])))
+        # struct max = lexicographic: most distinct terms, then leftmost
+        # start (via negated pos), start carried as payload
+        return F.struct(
+            cnt.alias("cnt"), (-h["pos"]).alias("neg"), h["pos"].alias("start")
+        )
+
+    best = hit_arr.select(
+        "query_id",
+        "docid",
+        F.array_max(F.transform("hits", win_struct)).alias("b"),
+    ).select(
+        "query_id",
+        "docid",
+        F.col("b.start").cast("int").alias("start"),
+        F.col("b.cnt").cast("int").alias("n_terms"),
+    )
+
+    rows = best.limit(max_candidates + 1).collect()
+    if len(rows) > max_candidates:
+        raise ValueError(
+            f"snippet_extract: candidate set exceeds max_candidates="
+            f"{max_candidates}; pass a top-k-bounded candidates DataFrame"
+        )
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    docids = sorted({r["docid"] for r in rows})
+    buckets = sorted({d >> cfg.doc_bucket_bits for d in docids})
+    bdf = spark.createDataFrame(rows, "query_id int, docid long, start int, n_terms int")
+
+    return (
+        positional.filter(
+            F.col("bucket").isin([int(b) for b in buckets])
+            & F.col("docid").isin([int(d) for d in docids])
+        )
+        .join(F.broadcast(bdf), "docid")
+        .withColumn(
+            "sel",
+            F.filter(
+                "positions",
+                lambda p: (p >= F.col("start")) & (p < F.col("start") + F.lit(w)),
+            ),
+        )
+        .filter(F.size("sel") > 0)
+        .groupBy("query_id", "docid", "start", "n_terms")
+        .agg(
+            F.array_sort(
+                F.flatten(
+                    F.collect_list(
+                        F.transform(
+                            "sel",
+                            lambda p: F.struct(
+                                p.alias("pos"), F.col("term").alias("term")
+                            ),
+                        )
+                    )
+                )
+            ).alias("wtoks")
+        )
+        .select(
+            "query_id",
+            "docid",
+            "start",
+            "n_terms",
+            F.concat_ws(
+                " ", F.transform("wtoks", lambda x: x["term"])
+            ).alias("snippet"),
+        )
+    )
+
+
+def duckdb_snippet_sql(
+    docid_sql: str,
+    cand_sql: str,
+    qterms: list[tuple[int, str]],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    window: int = 8,
+) -> str:
+    """Oracle: recomputes hit positions from the raw token stream (1-based
+    in DuckDB, shifted to the engine's 0-based starts), scores every
+    hit-anchored window by distinct query terms covered, picks (max count,
+    leftmost), and slices the token list for the snippet — fully
+    independent of the positional plane's storage."""
+    from ..functions.analyzer import duckdb_tokenize_sql
+
+    tok = duckdb_tokenize_sql("content", cfg)
+    w = int(window)
+    vals = ", ".join(f"({qid}, '{t}')" for qid, t in sorted(set(qterms)))
+    return f"""
+WITH ids AS ({docid_sql}),
+t AS (SELECT docid, {tok} AS toks FROM ids),
+cand AS (SELECT DISTINCT query_id, docid FROM ({cand_sql})),
+qt(query_id, term) AS (VALUES {vals}),
+ql AS (SELECT query_id, list(term) AS terms FROM qt GROUP BY query_id),
+h AS (
+  SELECT c.query_id, c.docid, t.toks,
+         list_filter(range(1, len(t.toks) + 1),
+                     i -> list_contains(ql.terms, t.toks[i])) AS hp
+  FROM cand c
+  JOIN t ON t.docid = c.docid
+  JOIN ql ON ql.query_id = c.query_id
+),
+wins AS (
+  SELECT h.query_id, h.docid, u.p AS p,
+         len(list_distinct(list_transform(
+             list_filter(h.hp, x -> x >= u.p AND x < u.p + {w}),
+             x -> h.toks[x]))) AS cnt
+  FROM h, UNNEST(h.hp) AS u(p)
+),
+best AS (
+  SELECT query_id, docid, p, cnt,
+         row_number() OVER (PARTITION BY query_id, docid
+                            ORDER BY cnt DESC, p ASC) AS rn
+  FROM wins
+)
+SELECT b.query_id, b.docid,
+       CAST(b.p - 1 AS INT) AS start,
+       CAST(b.cnt AS INT) AS n_terms,
+       array_to_string(h.toks[b.p : b.p + {w} - 1], ' ') AS snippet
+FROM best b
+JOIN h ON h.query_id = b.query_id AND h.docid = b.docid
+WHERE b.rn = 1
+"""

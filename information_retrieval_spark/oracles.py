@@ -305,3 +305,61 @@ SELECT rank, vec_id, sim FROM (
 )
 WHERE rank <= {k}
 """
+
+
+def export_oph_fixture(
+    sf_dir: str,
+    out_dir: str = EXPORT_DIR,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    n_bins: int = 128,
+    shingle_k: int = 3,
+) -> str:
+    """Standalone One-Permutation-Hashing signatures (Li/Owen/Zhang 2012;
+    Shrivastava & Li 2014 rotation densification) for the ``documents``
+    table — explicit per-document, per-bin Python loops, none of the
+    engine's batch kernels. Downstream banding + estimation + threshold is
+    re-derived in SQL by ``minhash_pairs_sql`` (OPH signatures feed the
+    identical banding pipeline)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"oph_sigs_{n_bins}.parquet")
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    shift = 64 - int(np.log2(n_bins))
+    P = int(0x9E3779B97F4A7C15)
+    mask64 = (1 << 64) - 1
+
+    sig_rows = []
+    for _, row in docs.iterrows():
+        sh = _shingle_hashes_doc(_tokenize(row["text"], cfg), shingle_k)
+        sig: list[int | None] = [None] * n_bins
+        for h in sh.tolist():
+            b = h >> shift
+            if sig[b] is None or h < sig[b]:
+                sig[b] = h
+        dense = list(sig)
+        for j in range(n_bins):
+            if dense[j] is None:
+                # rotation densification: borrow from the nearest filled
+                # bin to the left (circular), offset by distance * P mod 2^64
+                for d in range(1, n_bins + 1):
+                    src = (j - d) % n_bins
+                    if sig[src] is not None:
+                        dense[j] = (sig[src] + d * P) & mask64
+                        break
+        # int64 view to match the engine's signed output column
+        vals = [v - (1 << 64) if v >= (1 << 63) else v for v in dense]
+        sig_rows.append(vals)
+
+    pq.write_table(
+        pa.table(
+            {
+                "id": docs["doc_id"].astype("int64").to_numpy(),
+                "sig": sig_rows,
+            }
+        ),
+        path,
+    )
+    return path

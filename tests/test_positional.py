@@ -233,3 +233,58 @@ def test_proximity_match(spark, docs):
     assert got[(1, 0)] == 1                      # window 1 still admits dist 1
     assert (1, 1) not in got                     # dist 2 > window 1
     assert not any(q == 2 for q, _ in got)
+
+
+def test_snippet_extract_semantics_and_oracle(spark, docs):
+    import duckdb
+
+    from information_retrieval_spark.operators.positional import (
+        duckdb_snippet_sql,
+        snippet_extract,
+    )
+
+    pp = positional_postings(docs, CFG).persist()
+    # q0 = {alpha, gamma}; q1 = {beta}
+    qterms = [(0, "alpha"), (0, "gamma"), (1, "beta")]
+    cand = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, 0), (0, 3), (0, 2), (1, 1), (1, 1 << 41)],
+            columns=["query_id", "docid"],
+        )
+    )
+    got = {
+        (r["query_id"], r["docid"]): (r["start"], r["n_terms"], r["snippet"])
+        for r in snippet_extract(pp, cand, qterms, CFG, window=3).collect()
+    }
+    # doc0 = alpha beta gamma alpha beta: hits alpha@{0,3}, gamma@{2}.
+    # windows of 3: start0 covers alpha,gamma(2)->2 terms; start2 covers
+    # gamma@2,alpha@3 -> 2; start3 -> alpha only. tie 2 vs 2 -> leftmost 0.
+    assert got[(0, 0)] == (0, 2, "alpha beta gamma")
+    # doc3 = alpha x beta y gamma: hits alpha@0, gamma@4; no 3-window covers
+    # both -> best is single-term, leftmost start 0.
+    assert got[(0, 3)] == (0, 1, "alpha x beta")
+    # doc2 = gamma gamma gamma: only gamma; leftmost window.
+    assert got[(0, 2)] == (0, 1, "gamma gamma gamma")
+    # q1 doc1 = beta alpha beta gamma: beta@{0,2}; window@0 covers 1 distinct
+    # term either way -> leftmost.
+    assert got[(1, 1)] == (0, 1, "beta alpha beta")
+    assert got[(1, 1 << 41)] == (1, 1, "beta gamma")
+
+    # DuckDB oracle parity on the identical inputs
+    pdf = docs.toPandas().rename(columns={"docid": "docid_raw"})
+    con = duckdb.connect()
+    con.register("tdocs", pdf)
+    sql = duckdb_snippet_sql(
+        "SELECT docid_raw AS docid, content FROM tdocs",
+        "SELECT 0 AS query_id, 0 AS docid UNION ALL SELECT 0, 3 "
+        "UNION ALL SELECT 0, 2 UNION ALL SELECT 1, 1 "
+        f"UNION ALL SELECT 1, {1 << 41}",
+        qterms,
+        CFG,
+        window=3,
+    )
+    oracle = {
+        (int(q), int(d)): (int(s), int(n), snip)
+        for q, d, s, n, snip in con.execute(sql).fetchall()
+    }
+    assert oracle == got
