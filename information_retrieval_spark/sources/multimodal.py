@@ -419,3 +419,45 @@ def image_stats(assets: DataFrame) -> DataFrame:
     return assets.filter(F.col("modality") == "image").select(
         "asset_id", "payload"
     ).mapInPandas(gen, schema)
+
+
+def resize_image_pixels(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample (pixel-center mapping) — pure numpy fancy
+    indexing, no image libraries."""
+    h, w = px.shape[:2]
+    ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return px[ys][:, xs]
+
+
+def resize_images(assets: DataFrame, max_side: int) -> DataFrame:
+    """Execute ``plan_resize``: decode each PNG, nearest-neighbor resample
+    to the plan's (out_width, out_height), re-encode, and emit an
+    asset-shaped row with updated meta — the REAL resize stage of the
+    training-data image pipeline (the plan stays Catalyst; only the pixel
+    work crosses into an Arrow-batched Python stage).
+
+    Images already within ``max_side`` pass through byte-identical (the
+    plan caps scale at 1.0). Output schema == ASSET_SCHEMA."""
+    planned = plan_resize(assets, max_side)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for r in pdf.itertuples(index=False):
+                ow, oh = int(r.out_width), int(r.out_height)
+                meta = dict(r.meta)
+                if ow == meta["width"] and oh == meta["height"]:
+                    payload = bytes(r.payload)
+                else:
+                    px = decode_image(bytes(r.payload))
+                    payload = encode_png(resize_image_pixels(px, ow, oh))
+                    meta["width"], meta["height"] = ow, oh
+                rows.append((int(r.asset_id), r.modality, payload, meta))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "modality", "payload", "meta"]
+            )
+
+    return planned.mapInPandas(gen, ASSET_SCHEMA)

@@ -155,3 +155,42 @@ def test_image_stats_exact(spark, assets):
 def test_video_decode_stub_raises_clearly():
     with pytest.raises(NotImplementedError, match="av"):
         decode_video_frames(b"xx", [0, 5])
+
+
+def test_resize_images_executes_plan(spark, assets):
+    from information_retrieval_spark.sources.multimodal import (
+        resize_image_pixels,
+        resize_images,
+    )
+
+    out = resize_images(assets, max_side=8)
+    assert out.schema == ASSET_SCHEMA
+    rows = out.orderBy("asset_id").collect()
+    assert rows, "no image assets"
+    src = {
+        r["asset_id"]: (bytes(r["payload"]), r["meta"])
+        for r in assets.filter(F.col("modality") == "image").collect()
+    }
+    for r in rows:
+        payload, meta = bytes(r["payload"]), r["meta"]
+        orig_payload, orig_meta = src[r["asset_id"]]
+        assert max(meta["width"], meta["height"]) <= max(
+            8, min(orig_meta["width"], orig_meta["height"])
+        )
+        px = decode_image(payload)
+        h, w = px.shape[:2]
+        assert (w, h) == (meta["width"], meta["height"])
+        if (orig_meta["width"], orig_meta["height"]) == (w, h):
+            # within max_side: byte-identical passthrough
+            assert payload == orig_payload
+        else:
+            # exact nearest-neighbor expectation from the original pixels
+            expected = resize_image_pixels(decode_image(orig_payload), w, h)
+            assert np.array_equal(px, expected)
+    # aspect ratio preserved within ceil rounding
+    for r in rows:
+        om = src[r["asset_id"]][1]
+        scale = 8 / max(om["width"], om["height"])
+        if scale < 1.0:
+            assert r["meta"]["width"] == int(np.ceil(om["width"] * scale))
+            assert r["meta"]["height"] == int(np.ceil(om["height"] * scale))
