@@ -208,3 +208,82 @@ def proximity_match_local(
     return pd.DataFrame(rows, columns=["query_id", "docid", "min_dist"]).astype(
         {"query_id": "int32", "docid": "int64", "min_dist": "int32"}
     )
+
+
+def snippet_local(
+    index: "LocalIndex | str",
+    queries: list[str],
+    k: int = 10,
+    window: int = 8,
+) -> pd.DataFrame:
+    """(query_id, docid, start, n_terms, snippet) — Spark-free twin of
+    ``positional.snippet_extract`` over ``query_index_local``'s top-k:
+    the ``window``-token span covering the most distinct query terms
+    (ties -> leftmost), rendered from the persisted mode-1 plane. The
+    full interactive answer (rank + highlight) with zero Spark jobs.
+
+    Semantics parity with the distributed operator is test-pinned."""
+    import numpy as np
+
+    import pyarrow.dataset as ds
+
+    idx = LocalIndex(index) if isinstance(index, str) else index
+    topk = query_index_local(idx, queries, k=k)
+    q_pairs = parse_query_terms(queries, idx.cfg)
+    by_term = _positions_by_term(idx, [t for _, t in q_pairs])
+
+    terms_by_q: dict[int, list[str]] = {}
+    for qid, t in q_pairs:
+        terms_by_q.setdefault(qid, []).append(t)
+
+    # best window per (query, topk doc): O(hits^2) over QUERY-term hits only
+    best: list[tuple[int, int, int, int]] = []
+    for qid, docid in zip(topk["query_id"], topk["docid"]):
+        hits: list[tuple[int, str]] = []
+        for t in terms_by_q.get(int(qid), []):
+            for p in by_term.get(t, {}).get(int(docid), ()):
+                hits.append((int(p), t))
+        if not hits:
+            continue
+        hits.sort()
+        b_cnt, b_start = 0, 0
+        for p, _ in hits:  # ascending starts: strict > keeps the leftmost max
+            cnt = len({t for q, t in hits if p <= q < p + window})
+            if cnt > b_cnt:
+                b_cnt, b_start = cnt, p
+        best.append((int(qid), int(docid), b_start, b_cnt))
+    if not best:
+        return pd.DataFrame(
+            columns=["query_id", "docid", "start", "n_terms", "snippet"]
+        ).astype({"query_id": "int32", "docid": "int64", "start": "int32",
+                  "n_terms": "int32", "snippet": "object"})
+
+    # render: fetch ALL terms' positions for just the winning docs (docid +
+    # bucket pushdown-pruned — the plane is bucket-partitioned)
+    if idx.positional is None:
+        raise RuntimeError(
+            "index has no positional/ plane; build with cfg.positional=True"
+        )
+    docids = sorted({d for _, d, _, _ in best})
+    buckets = sorted({d >> idx.cfg.doc_bucket_bits for d in docids})
+    tab = idx.positional.to_table(
+        filter=ds.field("bucket").isin(buckets) & ds.field("docid").isin(docids),
+        columns=["term", "docid", "positions"],
+    ).to_pandas()
+    tok_by_doc: dict[int, dict[int, str]] = {}
+    for term, docid, pos in zip(tab["term"], tab["docid"], tab["positions"]):
+        m = tok_by_doc.setdefault(int(docid), {})
+        for p in pos:
+            m[int(p)] = term
+
+    rows = []
+    for qid, docid, start, cnt in best:
+        toks = tok_by_doc.get(docid, {})
+        snip = " ".join(
+            toks[p] for p in range(start, start + window) if p in toks
+        )
+        rows.append((qid, docid, start, cnt, snip))
+    return pd.DataFrame(
+        rows, columns=["query_id", "docid", "start", "n_terms", "snippet"]
+    ).astype({"query_id": "int32", "docid": "int64", "start": "int32",
+              "n_terms": "int32"})

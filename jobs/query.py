@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--phrase", action="store_true",
                    help="quoted-phrase retrieval over the persisted mode-1 "
                         "positional plane (requires --positional at build)")
+    p.add_argument("--snippets", action="store_true",
+                   help="attach a keyword-in-context snippet to each hit "
+                        "(requires the positional plane)")
+    p.add_argument("--snippet-window", type=int, default=8)
     p.add_argument("queries", nargs="+")
     args = p.parse_args(argv)
 
@@ -77,12 +81,31 @@ def main(argv: list[str] | None = None) -> None:
         .orderBy("query_id", "rank")
         .collect()
     )
+    snips: dict[tuple[int, int], str] = {}
+    if args.snippets:
+        from information_retrieval_spark.operators.positional import snippet_extract
+        from information_retrieval_spark.operators.query import parse_query_terms
+
+        if idx.positional is None:
+            raise SystemExit("index has no positional/ plane; rebuild with --positional")
+        cand = spark.createDataFrame(
+            [(r["query_id"], r["docid"]) for r in resolved] or [(0, -1)],
+            "query_id int, docid long",
+        )
+        snips = {
+            (r["query_id"], r["docid"]): r["snippet"]
+            for r in snippet_extract(
+                idx.positional, cand, parse_query_terms(args.queries, idx.cfg),
+                idx.cfg, window=args.snippet_window,
+            ).collect()
+        }
     by_q: dict[int, list] = {}
     for r in resolved:
-        by_q.setdefault(r["query_id"], []).append(
-            {"rank": r["rank"], "docid": r["docid"], "score": round(r["score"], 4),
-             "repo": r["repo"], "path": r["path"]}
-        )
+        hit = {"rank": r["rank"], "docid": r["docid"], "score": round(r["score"], 4),
+               "repo": r["repo"], "path": r["path"]}
+        if args.snippets:
+            hit["snippet"] = snips.get((r["query_id"], r["docid"]), "")
+        by_q.setdefault(r["query_id"], []).append(hit)
     for i, q in enumerate(args.queries):
         print(json.dumps({"query": q, "hits": by_q.get(i, [])}))
     spark.stop()
@@ -97,6 +120,7 @@ def _main_local(args) -> None:
         LocalIndex,
         phrase_match_local,
         query_index_local,
+        snippet_local,
     )
 
     li = LocalIndex(args.index)
@@ -106,6 +130,13 @@ def _main_local(args) -> None:
             hits = [{"docid": int(d)} for qid, d in out.itertuples(index=False) if qid == i]
             print(json.dumps({"query": q, "hits": hits}))
         return
+    snips: dict[tuple[int, int], str] = {}
+    if args.snippets:
+        sdf = snippet_local(li, args.queries, k=args.k, window=args.snippet_window)
+        snips = {
+            (int(q), int(d)): s
+            for q, d, _, _, s in sdf.itertuples(index=False)
+        }
     out = query_index_local(li, args.queries, k=args.k)
     docs = ds.dataset(os.path.join(args.index, "docs"), partitioning="hive",
                       format="parquet")
@@ -119,13 +150,16 @@ def _main_local(args) -> None:
             for d, r, p in zip(*[tab.column(c).to_pylist() for c in ("docid", "repo", "path")])
         }
     for i, q in enumerate(args.queries):
-        hits = [
-            {"rank": int(rk), "docid": int(d), "score": round(float(s), 4),
-             "repo": resolve.get(int(d), ("?", "?"))[0],
-             "path": resolve.get(int(d), ("?", "?"))[1]}
-            for qid, rk, d, s in out.itertuples(index=False)
-            if qid == i
-        ]
+        hits = []
+        for qid, rk, d, s in out.itertuples(index=False):
+            if qid != i:
+                continue
+            hit = {"rank": int(rk), "docid": int(d), "score": round(float(s), 4),
+                   "repo": resolve.get(int(d), ("?", "?"))[0],
+                   "path": resolve.get(int(d), ("?", "?"))[1]}
+            if args.snippets:
+                hit["snippet"] = snips.get((int(qid), int(d)), "")
+            hits.append(hit)
         print(json.dumps({"query": q, "hits": hits}))
 
 

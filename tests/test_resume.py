@@ -130,3 +130,49 @@ def test_local_query_matches_spark_wand(spark, tmp_path_factory):
     t0 = time.time()
     query_index_local(li, ["ident_1 ident_2"], k=5)
     assert time.time() - t0 < 0.5
+
+
+def test_snippet_local_matches_distributed(spark, tmp_path_factory):
+    """snippet_local must reproduce positional.snippet_extract exactly over
+    the same persisted index and WAND top-k candidates."""
+    from information_retrieval_spark.operators.local_query import (
+        LocalIndex,
+        query_index_local,
+        snippet_local,
+    )
+    from information_retrieval_spark.operators.positional import snippet_extract
+    from information_retrieval_spark.operators.query import (
+        parse_queries,
+        parse_query_terms,
+    )
+    from information_retrieval_spark.operators.wand import wand_topk
+
+    cfg = EngineConfig(n_doc_buckets=4, block_size=32, positional=True)
+    root = str(tmp_path_factory.mktemp("sniploc") / "idx")
+    pdf = synthetic_corpus_pdf(120, seed=23)[
+        ["repo", "path", "commit", "lang", "content"]
+    ]
+    idx = mf.build_index_resumable(spark, spark.createDataFrame(pdf), root, cfg)
+    queries = ["ident_1 ident_2", "ident_3", "absent_zzz"]
+
+    cand = wand_topk(
+        spark, idx, parse_queries(spark, queries, cfg), 5, cfg
+    ).select("query_id", "docid")
+    dist = {
+        (r["query_id"], r["docid"]): (r["start"], r["n_terms"], r["snippet"])
+        for r in snippet_extract(
+            idx.positional, cand, parse_query_terms(queries, cfg), cfg, window=6
+        ).collect()
+    }
+    li = LocalIndex(root)
+    loc = {
+        (int(q), int(d)): (int(s), int(n), snip)
+        for q, d, s, n, snip in snippet_local(
+            li, queries, k=5, window=6
+        ).itertuples(index=False)
+    }
+    assert loc == dist and len(loc) > 0
+    # every snippet contains at least one query term
+    qterms = {t for _, t in parse_query_terms(queries, cfg)}
+    for (_, _), (_, n, snip) in loc.items():
+        assert n >= 1 and qterms & set(snip.split())
