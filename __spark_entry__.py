@@ -48,6 +48,7 @@ from information_retrieval_spark.operators.wand import wand_topk  # noqa: E402
 from information_retrieval_spark.operators.textproc import (  # noqa: E402
     duckdb_exact_dedup_sql,
     duckdb_text_stats_sql,
+    duckdb_token_counts_sql,
     exact_dedup,
     exact_jaccard_pairs,
     lsh_near_dup_pairs,
@@ -249,6 +250,14 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring + heuristic lang-ID, pure Catalyst."""
     return text_stats(_documents(spark, sf_dir), CFG)
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace / BPE-ish-pretokenizer / analyzer token counts — the
+    training-data token-budget projection (pure codegen, no shuffle)."""
+    from information_retrieval_spark.operators.textproc import token_counts
+
+    return token_counts(_documents(spark, sf_dir), CFG)
 
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "federated_bm25": _q_federated_bm25,
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
+        "token_counts": _q_token_counts,
         "cosine_topk": _q_cosine_topk,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
@@ -643,6 +653,7 @@ FROM tf GROUP BY term
         "ngram_jaccard": ngram_sql,
         "dedup_clusters": dedup_clusters_sql,
         "text_stats": duckdb_text_stats_sql(CFG),
+        "token_counts": duckdb_token_counts_sql(CFG),
         "cosine_topk": duckdb_cosine_topk_sql(ANN_QVEC, TOP_K),
         "events_window": _events_window_sql(),
         "boolean_and": duckdb_conjunctive_sql(corpus, QUERY_SET, CFG),

@@ -900,3 +900,63 @@ def winnow_fingerprints(
             yield pd.DataFrame({"id": pdf[id_col].astype("int64").to_numpy(), "fingerprints": fps})
 
     return docs.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+# --------------------------------------------------------------------------
+# Token counting: whitespace + BPE-ish pretokenizer (training-data mandate)
+# --------------------------------------------------------------------------
+
+# Simplified GPT-2-style pretokenizer: contraction suffixes, optional-space
+# letter runs, optional-space digit runs, optional-space punctuation runs,
+# whitespace runs. Deliberately lookahead-free so the SAME pattern is legal
+# in Java regex (Spark), RE2 and DuckDB — full-oracle verifiable. (The real
+# GPT-2 pattern's `\s+(?!\S)` trailing-space nuance is dropped; whitespace
+# runs are counted separately and excluded from the token count.)
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+|\s+"
+
+
+def token_counts(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_ws_tokens, n_bpe_tokens, n_analyzer_tokens) — the three token
+    counts a training-data pipeline budgets with: whitespace split, a
+    BPE-ish pretokenizer regex (≈ what a subword tokenizer's pretokenize
+    stage yields), and the engine's analyzer. Pure Catalyst projection —
+    no shuffle, no Python; at 100 TB this is a single codegen'd scan."""
+    txt = F.col(text_col)
+    ws = F.when(
+        F.length(F.trim(txt)) == 0, F.lit(0)
+    ).otherwise(F.array_size(F.split(F.trim(txt), r"\s+")))
+    bpe_matches = F.regexp_extract_all(txt, F.lit(BPE_ISH_PATTERN), 0)
+    bpe = F.array_size(
+        F.filter(bpe_matches, lambda x: ~x.rlike(r"^\s+$"))
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+        F.array_size(tokenize_expr(txt, cfg)).cast("long").alias("n_analyzer_tokens"),
+    )
+
+
+def duckdb_token_counts_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+    """Oracle: identical counts over the documents view in pure DuckDB SQL
+    (RE2 accepts the same lookahead-free pattern)."""
+    from ..functions.analyzer import duckdb_tokenize_sql
+
+    tok = duckdb_tokenize_sql("text", cfg)
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+         AS n_ws_tokens,
+       CAST(len(list_filter(regexp_extract_all(text, '{pat}'),
+                            x -> NOT regexp_matches(x, '^\\s+$'))) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(len({tok}) AS BIGINT) AS n_analyzer_tokens
+FROM documents
+"""

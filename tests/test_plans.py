@@ -114,3 +114,42 @@ def test_build_pipeline_has_exactly_two_shuffles(spark):
         1 for line in tree.splitlines() if "Exchange" in line and "Reused" not in line
     )
     assert n_exchange == 2, tree
+
+
+def test_token_counts_is_shuffle_free_projection(spark):
+    from information_retrieval_spark.operators.textproc import token_counts
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "don't stop 123!")], "doc_id long, text string"
+    )
+    plan = _plan(token_counts(docs, CFG))
+    assert "Exchange" not in plan and "Sort" not in plan
+    assert "codegen id" in plan  # whole-stage codegen covers the projection
+
+
+def test_snippet_hit_gathering_prunes_and_broadcasts(spark, tmp_path_factory):
+    """snippet_extract's hit scan must push term IN to the positional
+    parquet and join candidates via broadcast — never a wide join."""
+    from information_retrieval_spark.operators.positional import (
+        positional_postings,
+    )
+
+    cfg = EngineConfig(n_doc_buckets=4, positional=True)
+    pdf = synthetic_corpus_pdf(60, seed=9)[["repo", "path", "commit", "lang", "content"]]
+    from information_retrieval_spark.sources.manifest import build_index_resumable
+
+    root = str(tmp_path_factory.mktemp("snipplan") / "idx")
+    idx = build_index_resumable(spark, spark.createDataFrame(pdf), root, cfg)
+    qt = spark.createDataFrame([(0, "ident_1")], "query_id int, term string")
+    cand = spark.createDataFrame([(0, 5)], "query_id int, docid long")
+    hits = (
+        idx.positional.filter(F.col("term").isin(["ident_1"]))
+        .join(F.broadcast(qt), "term")
+        .join(F.broadcast(cand), ["query_id", "docid"])
+    )
+    plan = _plan(hits)
+    scan = plan[plan.index("Scan parquet"):]
+    pushed = scan[: scan.index("ReadSchema")]
+    assert re.search(r"PushedFilters: \[.*(In|EqualTo)\(term", pushed), pushed[:500]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
