@@ -1,0 +1,108 @@
+"""End-to-end lifecycle pin: build -> streaming append -> delete -> phrase
+and snippet queries -> compact -> requery, asserting consistency through the
+whole chain (the full-system analog of /root/reference/tests/index_test.cc's
+open/update/close cycle, run against every query surface at once)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.corpus import synthetic_corpus_pdf
+from information_retrieval_spark.operators.compaction import (
+    compact_index,
+    record_deletions,
+)
+from information_retrieval_spark.operators.local_query import (
+    LocalIndex,
+    phrase_match_local,
+    query_index_local,
+    snippet_local,
+)
+from information_retrieval_spark.operators.query import parse_queries
+from information_retrieval_spark.operators.wand import wand_topk
+from information_retrieval_spark.sources.manifest import (
+    build_index_resumable,
+    open_index,
+)
+from information_retrieval_spark.streaming.incremental import append_batch
+
+CFG = EngineConfig(n_doc_buckets=4, block_size=32, positional=True)
+COLS = ["repo", "path", "commit", "lang", "content"]
+QUERIES = ["ident_1 ident_2", "ident_3"]
+
+
+def _topk(spark, root, k=10):
+    idx = open_index(spark, root)
+    from information_retrieval_spark.operators.compaction import read_deletions
+
+    out = wand_topk(
+        spark, idx, parse_queries(spark, QUERIES, CFG), k, CFG,
+        deleted=read_deletions(spark, root),
+    )
+    return sorted(
+        (r["query_id"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in out.collect()
+    )
+
+
+def test_full_lifecycle(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("life") / "idx")
+    base = synthetic_corpus_pdf(100, seed=31)[COLS]
+    delta = synthetic_corpus_pdf(140, seed=31)[COLS].iloc[100:]
+
+    # 1. build (with the positional plane)
+    build_index_resumable(spark, spark.createDataFrame(base), root, CFG)
+    li = LocalIndex(root)
+    n0 = li.n_docs
+    assert n0 > 0  # admission filter may drop a few synthetic docs
+
+    # 2. streaming append is visible to every query surface
+    append_batch(spark, spark.createDataFrame(delta), root, CFG, batch_id=1)
+    li = LocalIndex(root)
+    assert n0 < li.n_docs <= 140
+    pre_delete = _topk(spark, root)
+    local = query_index_local(li, QUERIES, k=10)
+    assert sorted(
+        (int(q), int(rk), int(d), round(float(s), 9))
+        for q, rk, d, s in local.itertuples(index=False)
+    ) == pre_delete
+
+    # 3. tombstone the current top hit of q0; it must vanish from Spark,
+    #    local, phrase and snippet paths BEFORE compaction
+    victim = pre_delete[0][2]
+    record_deletions(
+        spark, root, spark.createDataFrame(pd.DataFrame({"docid": [victim]}))
+    )
+    post_delete = _topk(spark, root)
+    assert victim not in {d for _, _, d, _ in post_delete}
+    li = LocalIndex(root)
+    assert victim not in set(
+        query_index_local(li, QUERIES, k=10)["docid"].astype(int)
+    )
+    ph = phrase_match_local(li, ["ident_1"])
+    assert victim not in set(ph["docid"].astype(int))
+    sn = snippet_local(li, QUERIES, k=10, window=6)
+    assert victim not in set(sn["docid"].astype(int))
+    assert len(sn) > 0 and (sn["n_terms"] >= 1).all()
+
+    # 4. compact: ledger cleared, results identical to the pre-compaction
+    #    tombstone-filtered view (score stability through GC)
+    stats = compact_index(spark, root)
+    assert stats["deleted_docs"] >= 1
+    # ranks are stable through GC; scores legitimately shift because the
+    # compacted stats (N, avgdl) finally exclude the dead doc, where the
+    # pre-GC path filters on the fly against the ORIGINAL stats (the
+    # reference's accounting-at-GC semantics, index.h:160-173)
+    ranks = lambda rows: [(q, rk, d) for q, rk, d, _ in rows]
+    post_compact = _topk(spark, root)
+    assert ranks(post_compact) == ranks(post_delete)
+    li = LocalIndex(root)
+    assert li.deleted is None  # ledger cleared by GC
+    assert sorted(
+        (int(q), int(rk), int(d), round(float(s), 9))
+        for q, rk, d, s in query_index_local(li, QUERIES, k=10).itertuples(index=False)
+    ) == post_compact
+    # the positional plane survived compaction and still serves snippets
+    sn2 = snippet_local(li, QUERIES, k=10, window=6)
+    assert victim not in set(sn2["docid"].astype(int)) and len(sn2) > 0
