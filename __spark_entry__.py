@@ -47,6 +47,7 @@ from information_retrieval_spark.operators.query import (  # noqa: E402
 from information_retrieval_spark.operators.wand import wand_topk  # noqa: E402
 from information_retrieval_spark.operators.textproc import (  # noqa: E402
     duckdb_exact_dedup_sql,
+    duckdb_lang_id_sql,
     duckdb_text_stats_sql,
     duckdb_token_counts_sql,
     exact_dedup,
@@ -258,6 +259,14 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from information_retrieval_spark.operators.textproc import token_counts
 
     return token_counts(_documents(spark, sf_dir), CFG)
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram profile language ID (Cavnar-Trenkle-style membership
+    ratio; en/de/fr profiles) — one codegen projection, full SQL oracle."""
+    from information_retrieval_spark.operators.textproc import lang_id_ngram
+
+    return lang_id_ngram(_documents(spark, sf_dir))
 
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
+        "lang_id_ngram": _q_lang_id,
         "cosine_topk": _q_cosine_topk,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
@@ -654,6 +664,7 @@ FROM tf GROUP BY term
         "dedup_clusters": dedup_clusters_sql,
         "text_stats": duckdb_text_stats_sql(CFG),
         "token_counts": duckdb_token_counts_sql(CFG),
+        "lang_id_ngram": duckdb_lang_id_sql(),
         "cosine_topk": duckdb_cosine_topk_sql(ANN_QVEC, TOP_K),
         "events_window": _events_window_sql(),
         "boolean_and": duckdb_conjunctive_sql(corpus, QUERY_SET, CFG),

@@ -960,3 +960,141 @@ SELECT CAST(doc_id AS BIGINT) AS id,
        CAST(len({tok}) AS BIGINT) AS n_analyzer_tokens
 FROM documents
 """
+
+
+# --------------------------------------------------------------------------
+# Character-n-gram language ID (Cavnar & Trenkle 1994 style, simplified)
+# --------------------------------------------------------------------------
+
+# Top character trigrams per language — classic public profile data (the
+# most frequent trigrams of each language's running text, cf. Cavnar &
+# Trenkle, "N-Gram-Based Text Categorization", SDAIR 1994). Deliberately
+# small: membership ratio against a fixed profile is a deterministic,
+# SQL-expressible heuristic (the full C&T rank-distance is overkill for
+# corpus triage).
+LANG_TRIGRAM_PROFILES: dict[str, list[str]] = {
+    "en": [
+        "the", "he ", " th", "and", "nd ", " an", "ing", "ng ", "ion",
+        "on ", "ent", " of", "of ", "ed ", " in", "er ", " to", "to ",
+        "tio", "at ", " a ", "ter", "in ", "hat", "is ", " is", "for",
+        " fo", "es ", "ati",
+    ],
+    "de": [
+        "en ", "er ", " de", "der", "ie ", "die", "sch", "ein", "che",
+        "ich", "den", "in ", "te ", "ch ", " ei", "ung", "nde", " un",
+        "das", " da", "hen", "ne ", " di", "und", "nd ", " ge", "en,",
+        "ver", "cht", "it ",
+    ],
+    "fr": [
+        "es ", " de", "de ", "ent", "le ", "nt ", "la ", "s d", " la",
+        "ion", "on ", "re ", " le", "e d", "e l", "er ", " pa", "ais",
+        "que", " qu", "ue ", "ant", "les", "our", " co", "tio", "des",
+        " un", "ne ", "eur",
+    ],
+}
+
+
+def lang_id_ngram(
+    docs: DataFrame,
+    profiles: dict[str, list[str]] | None = None,
+    min_ratio: float = 0.08,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, lang_pred, best_ratio) — char-trigram profile language ID.
+
+    ratio(lang) = |doc trigrams found in the language's profile| /
+    |doc trigrams|; prediction = argmax ratio (ties -> lexicographically
+    first lang), or 'und' below ``min_ratio`` / for docs shorter than one
+    trigram. Entirely Catalyst (one codegen'd projection, no shuffle, no
+    Python): trigram explosion via sequence+substring, membership via
+    array literals.
+    """
+    profiles = profiles or LANG_TRIGRAM_PROFILES
+    d = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.lower(F.col(text_col)).alias("t"),
+    ).withColumn(
+        # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty —
+        # short docs must short-circuit to an empty array explicitly
+        "grams",
+        F.expr(
+            "CASE WHEN length(t) < 3 THEN cast(array() AS array<string>) "
+            "ELSE transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) END"
+        ),
+    )
+    n = F.greatest(F.array_size("grams"), F.lit(1))
+    ratios = [
+        (
+            lang,
+            F.size(
+                F.filter(
+                    "grams",
+                    (lambda prof: (lambda g: F.array_contains(F.lit(prof), g)))(
+                        profs
+                    ),
+                )
+            ).cast("double")
+            / n,
+        )
+        for lang, profs in sorted(profiles.items())
+    ]
+    # argmax via greatest over (ratio, lang) structs is not order-stable for
+    # the lexicographic tie-break we want, so fold explicitly: first lang
+    # wins ties (strict > to replace).
+    best_ratio = ratios[0][1]
+    best_lang = F.lit(ratios[0][0])
+    for lang, r in ratios[1:]:
+        best_lang = F.when(r > best_ratio, F.lit(lang)).otherwise(best_lang)
+        best_ratio = F.when(r > best_ratio, r).otherwise(best_ratio)
+    pred = F.when(
+        (F.array_size("grams") == 0) | (best_ratio < F.lit(min_ratio)),
+        F.lit("und"),
+    ).otherwise(best_lang)
+    return d.select(
+        "id",
+        pred.alias("lang_pred"),
+        F.round(best_ratio, 6).alias("best_ratio"),
+    )
+
+
+def duckdb_lang_id_sql(
+    profiles: dict[str, list[str]] | None = None, min_ratio: float = 0.08
+) -> str:
+    """Oracle: identical trigram-profile scoring over the documents view in
+    pure DuckDB SQL (list literals + list_filter/list_contains)."""
+    profiles = profiles or LANG_TRIGRAM_PROFILES
+    langs = sorted(profiles.items())
+
+    def lit(xs: list[str]) -> str:
+        return "[" + ", ".join("'" + x.replace("'", "''") + "'" for x in xs) + "]"
+
+    ratio_cols = ",\n       ".join(
+        f"len(list_filter(grams, g -> list_contains({lit(profs)}, g))) * 1.0 "
+        f"/ greatest(len(grams), 1) AS r_{lang}"
+        for lang, profs in langs
+    )
+    # same explicit fold as the Spark side: first lang wins ties
+    best_r = f"r_{langs[0][0]}"
+    best_l = f"'{langs[0][0]}'"
+    for lang, _ in langs[1:]:
+        best_l = f"CASE WHEN r_{lang} > {best_r} THEN '{lang}' ELSE {best_l} END"
+        best_r = f"CASE WHEN r_{lang} > {best_r} THEN r_{lang} ELSE {best_r} END"
+    return f"""
+WITH g AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         list_transform(range(1, greatest(length(lower(text)) - 2, 0) + 1),
+                        i -> substring(lower(text), i, 3)) AS grams
+  FROM documents
+),
+r AS (
+  SELECT id, grams,
+       {ratio_cols}
+  FROM g
+)
+SELECT id,
+       CASE WHEN len(grams) = 0 OR {best_r} < {min_ratio}
+            THEN 'und' ELSE {best_l} END AS lang_pred,
+       round({best_r}, 6) AS best_ratio
+FROM r
+"""

@@ -272,3 +272,18 @@ def test_dedup_clusters_connected_components(spark):
     assert all(got[j] == 7 for j in (7, 8, 9, 12, 15))
     assert got[3] == 3 and got[5] == 3
     assert got[50] == 50 and got[55] == 50 and got[60] == 50
+
+
+def test_lang_id_ngram_discriminates(spark):
+    from information_retrieval_spark.operators.textproc import lang_id_ngram
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and runs into the forest"),
+        (1, "der schnelle braune fuchs springt in den wald und die kinder singen ein lied"),
+        (2, "le renard brun saute par dessus le chien et les enfants chantent dans la rue"),
+        (3, "zzzz qqqq xxxx"),   # no profile trigrams -> und
+        (4, "ab"),               # shorter than one trigram -> und
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["lang_pred"] for r in lang_id_ngram(docs).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "und", 4: "und"}
