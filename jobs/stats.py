@@ -1,0 +1,76 @@
+"""Index accounting CLI — the reference's persisted address-space /
+consistency metadata surfaced as one JSON report (USED_ADDRESS_SPACE /
+DELETED_ADDRESS_SPACE / BIGGEST_OFFSET parsing, index.cc:203-208; GC
+thresholds read at index.cc:42-43).
+
+Usage:
+    python jobs/stats.py --index /path/to/index              # pyarrow, no JVM
+    python jobs/stats.py --index /path/to/index --engine spark  # + exact GC accounting
+
+The local engine is metadata + parquet-footer arithmetic only (O(files),
+no data scan); the Spark engine adds `gc_stats`' exact dead-posting count
+(distinct terms per tombstoned doc)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _local_stats(root: str) -> dict:
+    import pyarrow.dataset as ds
+
+    from information_retrieval_spark.sources.manifest import read_meta
+
+    meta = read_meta(root)
+
+    def _count(path: str, cols=None, hive=True) -> int:
+        if not os.path.isdir(path):
+            return 0
+        d = ds.dataset(path, format="parquet",
+                       partitioning="hive" if hive else None)
+        return sum(f.metadata.num_rows for f in d.get_fragments())
+
+    post = os.path.join(root, "positional")
+    out = {
+        "index_root": root,
+        "is_consistent": bool(meta.get("is_consistent", False)),
+        "stats": meta.get("stats", {}),
+        "bucket_counters": meta.get("bucket_counters", {}),
+        "n_posting_blocks": _count(os.path.join(root, "postings")),
+        "n_dictionary_terms": _count(os.path.join(root, "dictionary")),
+        "n_doc_rows": _count(os.path.join(root, "docs")),
+        "n_deleted_ledger_rows": _count(os.path.join(root, "deleted"), hive=False),
+        "n_positional_rows": _count(post) if os.path.isdir(post) else None,
+        "n_stream_batches": len(meta.get("stream_batches", [])),
+        "stemming_level": meta.get("config", {}).get("stemming_level"),
+    }
+    return out
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--index", required=True)
+    p.add_argument("--engine", choices=["local", "spark"], default="local")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    out = _local_stats(args.index)
+    if args.engine == "spark":
+        from information_retrieval_spark.operators.compaction import gc_stats
+        from information_retrieval_spark.session import make_session
+        from information_retrieval_spark.sources.manifest import open_index
+
+        spark = make_session(args.master, "ir-stats")
+        spark.sparkContext.setLogLevel("ERROR")
+        out["gc"] = gc_stats(spark, open_index(spark, args.index), args.index)
+        spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
