@@ -9,14 +9,17 @@ Build / persist:
 Query:
     ``wand_topk`` (block-max WAND; distributed or one-job driver-local),
     ``naive_bm25`` (oracle path), ``conjunctive_match`` (boolean AND),
-    ``phrase_match`` + ``positional_postings`` (mode-1 phrases),
-    ``LocalIndex`` / ``query_index_local`` (Spark-free interactive path),
+    ``phrase_match`` / ``proximity_match`` + ``positional_postings``
+    (mode-1 retrieval), ``snippet_extract`` (highlighting),
+    ``federated_wand_topk`` (multi-index), ``LocalIndex`` /
+    ``query_index_local`` / ``snippet_local`` (Spark-free interactive path),
     ``parse_queries`` / ``parse_query_terms``.
 Training-data operators:
     ``exact_dedup``, ``minhash_signatures`` / ``oph_signatures`` /
     ``lsh_near_dup_pairs`` / ``exact_jaccard_pairs`` / ``dedup_clusters``,
     ``simhash`` / ``simhash_near_dup_pairs``, ``winnow_fingerprints``,
-    ``text_stats``, ``cosine_topk`` / ``lsh_bucketize`` / ``lsh_topk`` /
+    ``text_stats`` / ``token_counts`` / ``lang_id_ngram``, ``cosine_topk``
+    / ``lsh_bucketize`` / ``lsh_topk`` / ``ivf_topk`` /
     ``embedding_near_dup_pairs``, ``stream_dedup`` (stateful streaming).
 """
 
@@ -30,8 +33,14 @@ from .operators.local_query import (
     phrase_match_local,
     proximity_match_local,
     query_index_local,
+    snippet_local,
 )
-from .operators.positional import phrase_match, positional_postings, proximity_match
+from .operators.positional import (
+    phrase_match,
+    positional_postings,
+    proximity_match,
+    snippet_extract,
+)
 from .operators.query import (
     conjunctive_match,
     naive_bm25,
@@ -51,12 +60,14 @@ from .operators.textproc import (
     dedup_clusters,
     exact_dedup,
     exact_jaccard_pairs,
+    lang_id_ngram,
     lsh_near_dup_pairs,
     minhash_signatures,
     oph_signatures,
     simhash,
     simhash_near_dup_pairs,
     text_stats,
+    token_counts,
     winnow_fingerprints,
 )
 from .operators.wand import wand_topk
@@ -72,12 +83,14 @@ __all__ = [
     "append_batch", "stream_index_updates", "stream_dedup",
     "wand_topk", "naive_bm25", "conjunctive_match",
     "parse_queries", "parse_query_terms",
-    "positional_postings", "phrase_match", "proximity_match",
+    "positional_postings", "phrase_match", "proximity_match", "snippet_extract",
     "LocalIndex", "query_index_local", "phrase_match_local", "proximity_match_local",
+    "snippet_local",
     "federated_wand_topk", "federated_topk_local",
     "exact_dedup", "minhash_signatures", "oph_signatures",
     "lsh_near_dup_pairs", "exact_jaccard_pairs", "dedup_clusters",
     "simhash", "simhash_near_dup_pairs", "winnow_fingerprints", "text_stats",
+    "token_counts", "lang_id_ngram",
     "cosine_topk", "lsh_bucketize", "lsh_topk", "embedding_near_dup_pairs",
     "ivf_train_centroids", "ivf_assign", "ivf_topk",
 ]
