@@ -927,9 +927,12 @@ def token_counts(
     stage yields), and the engine's analyzer. Pure Catalyst projection —
     no shuffle, no Python; at 100 TB this is a single codegen'd scan."""
     txt = F.col(text_col)
+    # NB: trim() strips ONLY spaces (not \t\n) in both Spark and DuckDB —
+    # a whitespace-only doc would count 2 tokens; regex-trim instead
+    stripped = F.regexp_replace(txt, r"^\s+|\s+$", "")
     ws = F.when(
-        F.length(F.trim(txt)) == 0, F.lit(0)
-    ).otherwise(F.array_size(F.split(F.trim(txt), r"\s+")))
+        F.length(stripped) == 0, F.lit(0)
+    ).otherwise(F.array_size(F.split(stripped, r"\s+")))
     bpe_matches = F.regexp_extract_all(txt, F.lit(BPE_ISH_PATTERN), 0)
     bpe = F.array_size(
         F.filter(bpe_matches, lambda x: ~x.rlike(r"^\s+$"))
@@ -951,8 +954,10 @@ def duckdb_token_counts_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
     pat = BPE_ISH_PATTERN.replace("'", "''")
     return f"""
 SELECT CAST(doc_id AS BIGINT) AS id,
-       CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+       CAST(CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(
+                        regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END
+            AS BIGINT)
          AS n_ws_tokens,
        CAST(len(list_filter(regexp_extract_all(text, '{pat}'),
                             x -> NOT regexp_matches(x, '^\\s+$'))) AS BIGINT)

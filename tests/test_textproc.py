@@ -287,3 +287,25 @@ def test_lang_id_ngram_discriminates(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["id"]: r["lang_pred"] for r in lang_id_ngram(docs).collect()}
     assert got == {0: "en", 1: "de", 2: "fr", 3: "und", 4: "und"}
+
+
+def test_token_counts_edges(spark):
+    from information_retrieval_spark.operators.textproc import token_counts
+
+    rows = [
+        (0, ""),                      # empty
+        (1, "   \t\n "),              # whitespace only
+        (2, "don't stop"),            # contraction splits 'don' + ''t' in BPE-ish
+        (3, "a-b 12 foo_bar"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_ws_tokens"], r["n_bpe_tokens"], r["n_analyzer_tokens"])
+        for r in token_counts(docs).collect()
+    }
+    assert got[0] == (0, 0, 0)
+    assert got[1] == (0, 0, 0)
+    # "don't stop" -> ws 2; bpe: ["don", "'t", " stop"] = 3; analyzer: don, t, stop
+    assert got[2] == (2, 3, 3)
+    # "a-b 12 foo_bar" -> ws 3; bpe: ["a", "-", "b", " 12", " foo", "_", "bar"] = 7
+    assert got[3][0] == 3 and got[3][1] == 7
