@@ -12,7 +12,8 @@ Query:
     ``phrase_match`` / ``proximity_match`` + ``positional_postings``
     (mode-1 retrieval), ``snippet_extract`` (highlighting),
     ``federated_wand_topk`` (multi-index), ``LocalIndex`` /
-    ``query_index_local`` / ``snippet_local`` (Spark-free interactive path),
+    ``query_index_local`` / ``snippet_local`` / ``answer_queries`` (the
+    Spark-free interactive path, with syntax routing),
     ``parse_queries`` / ``parse_query_terms``.
 Training-data operators:
     ``exact_dedup``, ``minhash_signatures`` / ``oph_signatures`` /
@@ -30,9 +31,11 @@ from .operators.compaction import compact_index, gc_stats, record_deletions
 from .operators.federation import federated_topk_local, federated_wand_topk
 from .operators.local_query import (
     LocalIndex,
+    answer_queries,
     phrase_match_local,
     proximity_match_local,
     query_index_local,
+    route_query,
     snippet_local,
 )
 from .operators.positional import (
@@ -85,7 +88,7 @@ __all__ = [
     "parse_queries", "parse_query_terms",
     "positional_postings", "phrase_match", "proximity_match", "snippet_extract",
     "LocalIndex", "query_index_local", "phrase_match_local", "proximity_match_local",
-    "snippet_local",
+    "snippet_local", "answer_queries", "route_query",
     "federated_wand_topk", "federated_topk_local",
     "exact_dedup", "minhash_signatures", "oph_signatures",
     "lsh_near_dup_pairs", "exact_jaccard_pairs", "dedup_clusters",

@@ -287,3 +287,86 @@ def snippet_local(
         rows, columns=["query_id", "docid", "start", "n_terms", "snippet"]
     ).astype({"query_id": "int32", "docid": "int64", "start": "int32",
               "n_terms": "int32"})
+
+
+_NEAR_RE = None
+
+
+def route_query(q: str) -> tuple[str, object]:
+    """Classify one query string the way the reference's interactive prompt
+    loop would (executable/ir.cc reads raw lines; the richer syntax is the
+    natural extension of its declared retrieval modes):
+
+      '"big sorted run"'   -> ("phrase", inner text)
+      'hash NEAR/3 join'   -> ("proximity", (a, b, window))
+      anything else        -> ("bm25", q)
+    """
+    global _NEAR_RE
+    if _NEAR_RE is None:
+        import re
+
+        _NEAR_RE = re.compile(r"^(\S+)\s+NEAR/(\d+)\s+(\S+)$")
+    s = q.strip()
+    if len(s) >= 2 and s[0] == '"' and s[-1] == '"':
+        return "phrase", s[1:-1]
+    m = _NEAR_RE.match(s)
+    if m:
+        return "proximity", (m.group(1), m.group(3), int(m.group(2)))
+    return "bm25", q
+
+
+def answer_queries(
+    index: "LocalIndex | str",
+    queries: list[str],
+    k: int = 10,
+    snippet_window: int | None = None,
+) -> list[dict]:
+    """One answer per query with per-query routing (phrase / proximity /
+    ranked BM25, optionally with snippets) — the full interactive surface
+    behind a single call, Spark-free. Each dedicated operator is invoked
+    once per TYPE with its sub-batch, preserving their batch efficiency."""
+    idx = LocalIndex(index) if isinstance(index, str) else index
+    routed = [route_query(q) for q in queries]
+    out: list[dict] = [
+        {"query": q, "type": t, "hits": []} for q, (t, _) in zip(queries, routed)
+    ]
+
+    ph = [(i, arg) for i, (t, arg) in enumerate(routed) if t == "phrase"]
+    if ph:
+        res = phrase_match_local(idx, [a for _, a in ph])
+        for (i, _), qid in zip(ph, range(len(ph))):
+            out[i]["hits"] = [
+                {"docid": int(d)}
+                for q, d in res.itertuples(index=False)
+                if q == qid
+            ]
+    pr = [(i, arg) for i, (t, arg) in enumerate(routed) if t == "proximity"]
+    if pr:
+        res = proximity_match_local(idx, [a for _, a in pr])
+        for (i, _), qid in zip(pr, range(len(pr))):
+            out[i]["hits"] = [
+                {"docid": int(d), "min_dist": int(m)}
+                for q, d, m in res.itertuples(index=False)
+                if q == qid
+            ]
+    bm = [(i, arg) for i, (t, arg) in enumerate(routed) if t == "bm25"]
+    if bm:
+        qs = [a for _, a in bm]
+        res = query_index_local(idx, qs, k=k)
+        snips: dict[tuple[int, int], str] = {}
+        if snippet_window:
+            sdf = snippet_local(idx, qs, k=k, window=snippet_window)
+            snips = {
+                (int(q), int(d)): s for q, d, _, _, s in sdf.itertuples(index=False)
+            }
+        for (i, _), qid in zip(bm, range(len(bm))):
+            hits = []
+            for q, rk, d, s in res.itertuples(index=False):
+                if q != qid:
+                    continue
+                h = {"rank": int(rk), "docid": int(d), "score": round(float(s), 4)}
+                if snippet_window:
+                    h["snippet"] = snips.get((qid, int(d)), "")
+                hits.append(h)
+            out[i]["hits"] = hits
+    return out

@@ -45,6 +45,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="attach a keyword-in-context snippet to each hit "
                         "(requires the positional plane)")
     p.add_argument("--snippet-window", type=int, default=8)
+    p.add_argument("--auto", action="store_true",
+                   help="route each query by syntax (local engine): "
+                        '\\"quoted\\" -> phrase, a NEAR/3 b -> proximity, '
+                        "else ranked BM25 (with snippets if --snippets)")
     p.add_argument("queries", nargs="+")
     args = p.parse_args(argv)
 
@@ -124,6 +128,15 @@ def _main_local(args) -> None:
     )
 
     li = LocalIndex(args.index)
+    if args.auto:
+        from information_retrieval_spark.operators.local_query import answer_queries
+
+        for ans in answer_queries(
+            li, args.queries, k=args.k,
+            snippet_window=args.snippet_window if args.snippets else None,
+        ):
+            print(json.dumps(ans))
+        return
     if args.phrase:
         out = phrase_match_local(li, args.queries)
         for i, q in enumerate(args.queries):

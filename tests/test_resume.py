@@ -176,3 +176,49 @@ def test_snippet_local_matches_distributed(spark, tmp_path_factory):
     qterms = {t for _, t in parse_query_terms(queries, cfg)}
     for (_, _), (_, n, snip) in loc.items():
         assert n >= 1 and qterms & set(snip.split())
+
+
+def test_answer_queries_routes_all_types(spark, tmp_path_factory):
+    """route_query + answer_queries: each syntax reaches its dedicated path
+    and reproduces that path's output exactly."""
+    from information_retrieval_spark.operators.local_query import (
+        LocalIndex,
+        answer_queries,
+        phrase_match_local,
+        proximity_match_local,
+        query_index_local,
+        route_query,
+        snippet_local,
+    )
+
+    assert route_query('"big sorted run"') == ("phrase", "big sorted run")
+    assert route_query("hash NEAR/3 join") == ("proximity", ("hash", "join", 3))
+    assert route_query("plain terms") == ("bm25", "plain terms")
+
+    cfg = EngineConfig(n_doc_buckets=4, block_size=32, positional=True)
+    root = str(tmp_path_factory.mktemp("router") / "idx")
+    pdf = synthetic_corpus_pdf(100, seed=41)[
+        ["repo", "path", "commit", "lang", "content"]
+    ]
+    mf.build_index_resumable(spark, spark.createDataFrame(pdf), root, cfg)
+    li = LocalIndex(root)
+
+    queries = ['"ident_1 ident_2"', "ident_1 NEAR/4 ident_3", "ident_2 ident_4"]
+    out = answer_queries(li, queries, k=5, snippet_window=6)
+    assert [o["type"] for o in out] == ["phrase", "proximity", "bm25"]
+
+    ph = phrase_match_local(li, ["ident_1 ident_2"])
+    assert [h["docid"] for h in out[0]["hits"]] == [int(d) for d in ph["docid"]]
+    pr = proximity_match_local(li, [("ident_1", "ident_3", 4)])
+    assert [(h["docid"], h["min_dist"]) for h in out[1]["hits"]] == [
+        (int(d), int(m)) for _, d, m in pr.itertuples(index=False)
+    ]
+    bm = query_index_local(li, ["ident_2 ident_4"], k=5)
+    assert [(h["rank"], h["docid"]) for h in out[2]["hits"]] == [
+        (int(rk), int(d)) for _, rk, d, _ in bm.itertuples(index=False)
+    ]
+    sn = snippet_local(li, ["ident_2 ident_4"], k=5, window=6)
+    snips = {int(d): s for _, d, _, _, s in sn.itertuples(index=False)}
+    for h in out[2]["hits"]:
+        assert h["snippet"] == snips.get(h["docid"], "")
+        assert h["snippet"]  # every bm25 hit has a non-empty snippet
