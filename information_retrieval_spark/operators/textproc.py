@@ -1005,6 +1005,7 @@ def lang_id_ngram(
     min_ratio: float = 0.08,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_chars: int = 4096,
 ) -> DataFrame:
     """(id, lang_pred, best_ratio) — char-trigram profile language ID.
 
@@ -1014,11 +1015,15 @@ def lang_id_ngram(
     trigram. Entirely Catalyst (one codegen'd projection, no shuffle, no
     Python): trigram explosion via sequence+substring, membership via
     array literals.
+
+    Classification reads only the first ``max_chars`` characters (standard
+    lang-ID practice) — without the cap a single max_file_size document
+    would materialize an O(doc length) struct array per row in codegen.
     """
     profiles = profiles or LANG_TRIGRAM_PROFILES
     d = docs.select(
         F.col(id_col).cast("long").alias("id"),
-        F.lower(F.col(text_col)).alias("t"),
+        F.substring(F.lower(F.col(text_col)), 1, int(max_chars)).alias("t"),
     ).withColumn(
         # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty —
         # short docs must short-circuit to an empty array explicitly
@@ -1064,7 +1069,9 @@ def lang_id_ngram(
 
 
 def duckdb_lang_id_sql(
-    profiles: dict[str, list[str]] | None = None, min_ratio: float = 0.08
+    profiles: dict[str, list[str]] | None = None,
+    min_ratio: float = 0.08,
+    max_chars: int = 4096,
 ) -> str:
     """Oracle: identical trigram-profile scoring over the documents view in
     pure DuckDB SQL (list literals + list_filter/list_contains)."""
@@ -1088,8 +1095,8 @@ def duckdb_lang_id_sql(
     return f"""
 WITH g AS (
   SELECT CAST(doc_id AS BIGINT) AS id,
-         list_transform(range(1, greatest(length(lower(text)) - 2, 0) + 1),
-                        i -> substring(lower(text), i, 3)) AS grams
+         list_transform(range(1, greatest(length(substring(lower(text), 1, {int(max_chars)})) - 2, 0) + 1),
+                        i -> substring(substring(lower(text), 1, {int(max_chars)}), i, 3)) AS grams
   FROM documents
 ),
 r AS (
