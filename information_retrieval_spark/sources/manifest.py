@@ -63,6 +63,11 @@ def _paths(root: str) -> dict:
 
 def read_manifest(spark: SparkSession, root: str) -> DataFrame:
     p = _paths(root)["manifest"]
+    # existence check first: letting spark.read throw on a fresh root logs a
+    # driver-side FileNotFoundException stack trace at ERROR level even when
+    # caught — alarming noise in every new-index build log
+    if not os.path.isdir(p):
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
     try:
         return spark.read.schema(MANIFEST_SCHEMA).parquet(p)
     except Exception:
