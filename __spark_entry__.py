@@ -402,6 +402,29 @@ def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fps.select("id", F.explode("fingerprints").alias("fp"))
 
 
+# (term, min_depth) structural queries over the deterministic tagged corpus:
+# words at depths 1 / 2 / 3 plus a pseudo-token query counting level-3
+# region openers (reference ENABLE_XPATH semantics, index/index.h:60-66).
+REGION_QUERIES = [("hash", 1), ("table", 2), ("scan", 3), ("<level!3>", 3)]
+
+
+def _q_region_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 region/XPath pseudo-token retrieval: build the depth-annotated
+    region plane over a deterministically tagged rendering of the documents
+    table, then answer "term at nesting depth >= N" containment queries —
+    including a ``<level!N>`` pseudo-token query, exactly the token shape
+    the reference declares (/root/reference/index/index.h:60-66). The
+    oracle re-derives tokens, depths, and containment in pure SQL."""
+    from information_retrieval_spark.operators.regions import (
+        region_match,
+        region_postings,
+        tagged_documents,
+    )
+
+    plane = region_postings(tagged_documents(_documents(spark, sf_dir)), CFG)
+    return region_match(plane, REGION_QUERIES)
+
+
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via same-bucket sign-LSH join
     + exact verification (dedup-by-meaning)."""
@@ -512,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "proximity_match": _q_proximity,
         "snippets": _q_snippets,
+        "region_match": _q_region_match,
     }
 
 
@@ -550,6 +574,15 @@ def _snippet_sql() -> str:
         CFG,
         window=SNIPPET_WINDOW,
     )
+
+
+def _region_sql() -> str:
+    from information_retrieval_spark.operators.regions import (
+        TAGGED_DOCUMENTS_SQL,
+        duckdb_region_sql,
+    )
+
+    return duckdb_region_sql(TAGGED_DOCUMENTS_SQL, REGION_QUERIES, CFG)
 
 
 def _events_window_sql() -> str:
@@ -678,6 +711,7 @@ FROM events GROUP BY event_type
         "phrase_match": _phrase_sql(),
         "proximity_match": _proximity_sql(),
         "snippets": _snippet_sql(),
+        "region_match": _region_sql(),
         "minhash_near_dups": minhash_pairs_sql(
             fixtures["minhash_sigs"], n_bands=32, threshold=0.5
         ),

@@ -44,6 +44,11 @@ from .operators.positional import (
     proximity_match,
     snippet_extract,
 )
+from .operators.regions import (
+    region_match,
+    region_postings,
+    tagged_documents,
+)
 from .operators.query import (
     conjunctive_match,
     naive_bm25,
@@ -87,6 +92,7 @@ __all__ = [
     "wand_topk", "naive_bm25", "conjunctive_match",
     "parse_queries", "parse_query_terms",
     "positional_postings", "phrase_match", "proximity_match", "snippet_extract",
+    "region_postings", "region_match", "tagged_documents",
     "LocalIndex", "query_index_local", "phrase_match_local", "proximity_match_local",
     "snippet_local", "answer_queries", "route_query",
     "federated_wand_topk", "federated_topk_local",

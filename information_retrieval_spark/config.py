@@ -60,6 +60,11 @@ class EngineConfig:
     # persists word positions. positional=True maintains the mode-1 plane
     # through the whole index lifecycle (build / streamed append / GC).
     positional: bool = False
+    # ENABLE_XPATH (/root/reference/index/index.h:60-66, read at
+    # index.cc:39, default false): when on, the build also persists the
+    # region plane — the depth-annotated positional table whose markup tags
+    # become <level!N> / </level!N> pseudo-token terms (operators/regions.py).
+    enable_xpath: bool = False
 
     # --- admission filter (S2) -----------------------------------------
     min_file_size: int = 8

@@ -738,6 +738,9 @@ class InvertedIndex:
     total_tokens: int
     cfg: EngineConfig
     positional: DataFrame | None = None
+    # the persisted T9 region plane (operators/regions.py; None unless the
+    # index was built with cfg.enable_xpath, reference index.h:60-66)
+    regions: DataFrame | None = None
     # the persisted SPIMI run cache of an in-memory build_index (kept so
     # callers can unpersist it; None for indexes opened from disk)
     runs: DataFrame | None = None

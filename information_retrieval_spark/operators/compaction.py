@@ -186,6 +186,15 @@ def compact_index(
             "overwrite"
         ).partitionBy("bucket").parquet(p["positional"])
 
+    # T9 region plane: same bucket-granular anti-join rewrite
+    if index.regions is not None:
+        reg_kept = index.regions.filter(F.col("bucket").isin(affected)).join(
+            del_side, "docid", "left_anti"
+        )
+        reg_kept.select(
+            "term", "docid", "tf", "positions", "depths", "bucket"
+        ).write.mode("overwrite").partitionBy("bucket").parquet(p["regions"])
+
     # refresh dictionary + stats from the full (post-rewrite) tables
     postings_all = spark.read.parquet(p["postings"])
     build_dictionary(postings_all).write.mode("overwrite").parquet(p["dictionary"])

@@ -1,0 +1,292 @@
+"""T9: XPath / region pseudo-token indexing + structural containment queries.
+
+The reference declares ENABLE_XPATH (/root/reference/index/index.h:60-66,
+read at /root/reference/index/index.cc:39) with these semantics: when XPath
+support is on, indexing must add a special token ``<level!N>`` for a start
+tag at nesting depth N and ``</level!N>`` for the matching end tag, so
+parent/child relationships can be resolved from nesting depth. The reference
+never implements it (the flag is read into config and never used again).
+
+This module builds that feature Spark-first, as a depth-annotated variant of
+the mode-1 positional plane rather than by polluting the mode-2 document
+index (the reference's single-index design would interleave pseudo-tokens
+with real terms; a separate columnar plane keeps the BM25 statistics clean
+and lets structural scans prune independently):
+
+- ``region_postings``: (term, bucket, docid, tf, positions, depths) — one
+  row per (term, doc). Markup tags ``<name>`` / ``</name>`` in the raw
+  content become pseudo-token terms ``<level!N>`` / ``</level!N>`` occupying
+  their own token positions (exactly the reference's token-stream shape);
+  word tokens carry the nesting depth they occur at. Depth bookkeeping is a
+  single vectorized cumsum over the whole Arrow batch — no per-document
+  Python loop, same batch shape as ``positional_postings``.
+- ``region_match``: "term occurring inside a region at depth >= N" —
+  pseudo-tokens are queryable like any term (``("<level!3>", 3)`` finds
+  every level-3 region opener). The containment check is pure Catalyst
+  (``filter(arrays_zip(positions, depths))``), no Python in the match path.
+- ``duckdb_region_sql``: full oracle — DuckDB re-derives tokenization,
+  depth (windowed running sum) and containment independently.
+
+Malformed markup rule (the reference is silent): depth is pure arithmetic —
+``opens_before - closes_before`` — with no clamping, identically in the
+engine and the oracle. An unmatched ``</x>`` drives depth to 0 or below, so
+its pseudo-token is ``</level!0>`` and the words after it sit at depth <= 0;
+`region_match(min_depth >= 1)` therefore never matches text "inside" an
+unopened region. Unclosed tags implicitly extend to end-of-document.
+
+Scale shape: the emit is embarrassingly parallel (mapInPandas, no shuffle;
+the lifecycle write partitions by the same docid bucket as the main index);
+queries are a ``term IN`` pruned scan (parquet row-group stats on the sorted
+term column) + a broadcast join against the query list; per-row work is
+O(tf) in codegen. Tag density adds ~2 tokens per region to the plane — the
+same cost the reference's inline design would pay inside its postings.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+
+REGION_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("bucket", IntegerType(), False),
+        StructField("docid", LongType(), False),
+        StructField("tf", IntegerType(), False),
+        StructField("positions", ArrayType(IntegerType(), False), False),
+        StructField("depths", ArrayType(IntegerType(), False), False),
+    ]
+)
+
+# Markup tag recognized by the region analyzer. Listed BEFORE the word
+# pattern in the alternation: both Python re (leftmost-first) and RE2
+# (DuckDB) then consume a whole tag at '<' instead of tokenizing its name.
+TAG_PATTERN = r"</?[a-z][a-z0-9]*>"
+
+
+def region_token_pattern(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+    return f"{TAG_PATTERN}|{cfg.token_pattern}"
+
+
+def region_postings(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(term, bucket, docid, tf, positions, depths) from (docid, content).
+
+    Vectorized over the whole Arrow batch: one ``str.findall`` with the
+    extended pattern, one cumsum for depth (per-doc reset via the global
+    prefix-sum offset trick), one stable integer-key sort for the per-(term,
+    doc) grouping — the same machinery as ``positional_postings``, plus the
+    parallel ``depths`` array.
+    """
+    shift = cfg.doc_bucket_bits
+    pattern = region_token_pattern(cfg)
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            toks = pdf["content"].str.lower().str.findall(pattern)
+            lens = toks.str.len().to_numpy(np.int64)
+            if lens.sum() == 0:
+                continue
+            n = len(pdf)
+            flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            s = pd.Series(flat)
+            is_tag = s.str.startswith("<").to_numpy()
+            is_close = s.str.startswith("</").to_numpy()
+            # +1 at an open tag, -1 at a close tag, 0 at a word
+            delta = is_tag.astype(np.int64) - 2 * is_close.astype(np.int64)
+            doc_off = np.concatenate(([0], np.cumsum(lens)))
+            cum = np.cumsum(delta)
+            # per-doc reset: subtract the running sum just before each doc
+            base = cum[doc_off[:-1]] - delta[doc_off[:-1]]
+            depth = (cum - np.repeat(base, lens)).astype(np.int64)
+            # token level: word/open = inclusive running sum; close = the
+            # depth BEFORE its own -1 (the level of the region it closes)
+            level = depth.copy()
+            level[is_close] += 1
+            if is_tag.any():
+                ti = np.flatnonzero(is_tag)
+                # tags are sparse (a handful per doc) — a small loop over
+                # the tag subset only, never over words
+                flat[ti] = [
+                    ("</level!" if c else "<level!") + str(l) + ">"
+                    for c, l in zip(is_close[ti], level[ti])
+                ]
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            pos = np.arange(flat.size, dtype=np.int64) - np.repeat(doc_off[:-1], lens)
+            codes, uniques = pd.factorize(flat, sort=False)
+            key = codes.astype(np.int64) * n + doc_idx
+            order = np.argsort(key, kind="stable")
+            ks, ps, ds = key[order], pos[order], level[order]
+            cut = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+            starts = np.concatenate(([0], cut))
+            tf = np.diff(np.append(starts, ks.size)).astype(np.int32)
+            uk = ks[starts]
+            code_u = uk // n
+            di = uk % n
+            docids = pdf["docid"].to_numpy(np.int64)[di]
+            uniq = (
+                uniques.to_numpy() if hasattr(uniques, "to_numpy")
+                else np.asarray(uniques, dtype=object)
+            )
+            yield pd.DataFrame(
+                {
+                    "term": uniq[code_u],
+                    "bucket": (docids >> shift).astype(np.int32),
+                    "docid": docids,
+                    "tf": tf,
+                    "positions": np.split(ps.astype(np.int32), cut),
+                    "depths": np.split(ds.astype(np.int32), cut),
+                }
+            )
+
+    return docs.select("docid", "content").mapInPandas(emit, REGION_SCHEMA)
+
+
+def region_match(
+    regions: DataFrame,
+    queries: list[tuple[str, int]],
+) -> DataFrame:
+    """(query_id, docid, n_hits, first_pos) — docs where ``term`` occurs at
+    nesting depth >= ``min_depth``, for each (term, min_depth) query.
+
+    Pure Catalyst: ``term IN`` pruned scan + broadcast query join; the
+    per-row depth filter runs in codegen over the (positions, depths)
+    arrays. One row per (query, doc) — no aggregation shuffle (the plane
+    already groups per doc).
+    """
+    spark = regions.sparkSession
+    qdf = spark.createDataFrame(
+        [(i, t, int(d)) for i, (t, d) in enumerate(queries)],
+        "query_id int, term string, min_depth int",
+    )
+    terms = sorted({t for t, _ in queries})
+    hits = regions.filter(F.col("term").isin(terms)).join(F.broadcast(qdf), "term")
+    z = F.filter(
+        F.arrays_zip("positions", "depths"),
+        lambda x: x["depths"] >= F.col("min_depth"),
+    )
+    return (
+        hits.select(
+            F.col("query_id"),
+            F.col("docid"),
+            F.size(z).alias("n_hits"),
+            F.array_min(F.transform(z, lambda x: x["positions"])).alias("first_pos"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic tagged corpus over the driver's documents table, + oracle.
+# Like corpus_from_documents / DOCUMENTS_AS_CORPUS_SQL, the Spark and DuckDB
+# constructions are textually adjacent and MUST agree; everything downstream
+# (tokenization, depth, containment) is re-derived independently per engine.
+# Layout: <doc> q1 <sec> q2 <p> q3 </p> q4 </sec> </doc> with quarter cuts
+# on the space-split word list — words sit at depths 1, 2, 3, 2.
+# --------------------------------------------------------------------------
+
+def tagged_documents(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text, ...) -> (docid, content) with nested markup."""
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    q1 = F.floor(n / 4).cast("int")
+    q2 = F.floor(n / 2).cast("int")
+    q3 = F.floor(n * 3 / 4).cast("int")
+
+    def js(start, length):
+        return F.array_join(F.slice(w, start, length), " ")
+
+    content = F.concat(
+        F.lit("<doc> "), js(F.lit(1), q1),
+        F.lit(" <sec> "), js(q1 + 1, q2 - q1),
+        F.lit(" <p> "), js(q2 + 1, q3 - q2),
+        F.lit(" </p> "), js(q3 + 1, n - q3),
+        F.lit(" </sec> </doc>"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("docid"), content.alias("content")
+    )
+
+
+TAGGED_DOCUMENTS_SQL = """
+SELECT doc_id AS docid,
+       '<doc> '    || array_to_string(list_slice(w, 1,      q1), ' ')
+    || ' <sec> '   || array_to_string(list_slice(w, q1 + 1, q2), ' ')
+    || ' <p> '     || array_to_string(list_slice(w, q2 + 1, q3), ' ')
+    || ' </p> '    || array_to_string(list_slice(w, q3 + 1, n),  ' ')
+    || ' </sec> </doc>' AS content
+FROM (
+  SELECT doc_id, w, len(w) AS n,
+         CAST(FLOOR(len(w) / 4.0) AS INT)     AS q1,
+         CAST(FLOOR(len(w) / 2.0) AS INT)     AS q2,
+         CAST(FLOOR(len(w) * 3 / 4.0) AS INT) AS q3
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+"""
+
+
+def duckdb_region_sql(
+    tagged_sql: str,
+    queries: list[tuple[str, int]],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> str:
+    """Oracle: re-derives the token stream (extended pattern), per-token
+    depth (windowed running sum of tag deltas), pseudo-token labels, and
+    the containment predicate — entirely in SQL, independent of the
+    engine's plane layout and numpy kernels."""
+    pattern = region_token_pattern(cfg)
+    vals = ", ".join(
+        f"({qid}, '{t}', {int(d)})" for qid, (t, d) in enumerate(queries)
+    )
+    return f"""
+WITH tagged AS ({tagged_sql}),
+tl AS (
+  SELECT docid,
+         regexp_extract_all(lower(content), '{pattern}') AS toks
+  FROM tagged
+),
+tok AS (
+  SELECT tl.docid, tl.toks[u.i] AS tok, u.i - 1 AS pos
+  FROM tl, UNNEST(range(1, len(tl.toks) + 1)) AS u(i)
+),
+d AS (
+  SELECT docid, tok, pos,
+         SUM(CASE WHEN tok LIKE '</%' THEN -1
+                  WHEN tok LIKE '<%'  THEN 1
+                  ELSE 0 END)
+           OVER (PARTITION BY docid ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS rs
+  FROM tok
+),
+lab AS (
+  SELECT docid, pos,
+         CASE WHEN tok LIKE '</%'
+                THEN '</level!' || CAST(rs + 1 AS VARCHAR) || '>'
+              WHEN tok LIKE '<%'
+                THEN '<level!' || CAST(rs AS VARCHAR) || '>'
+              ELSE tok END AS term,
+         CAST(CASE WHEN tok LIKE '</%' THEN rs + 1 ELSE rs END AS INT) AS depth
+  FROM d
+),
+q(query_id, term, min_depth) AS (VALUES {vals})
+SELECT q.query_id, l.docid,
+       CAST(COUNT(*) AS INT) AS n_hits,
+       CAST(MIN(l.pos) AS INT) AS first_pos
+FROM lab l
+JOIN q ON l.term = q.term AND l.depth >= q.min_depth
+GROUP BY q.query_id, l.docid
+"""

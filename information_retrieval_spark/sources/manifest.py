@@ -56,6 +56,7 @@ def _paths(root: str) -> dict:
         "docs": os.path.join(root, "docs"),
         "postings": os.path.join(root, "postings"),
         "positional": os.path.join(root, "positional"),
+        "regions": os.path.join(root, "regions"),
         "dictionary": os.path.join(root, "dictionary"),
         "manifest": os.path.join(root, "manifest"),
     }
@@ -266,6 +267,31 @@ def build_index_resumable(
                 ],
             )
 
+    # ---- stage 2c: region / XPath pseudo-token plane (T9) ----------------
+    # (reference ENABLE_XPATH, index/index.h:60-66: <level!N> pseudo-tokens
+    # belong to the persisted index, same per-bucket resumable contract)
+    if cfg.enable_xpath:
+        from ..operators.regions import region_postings
+
+        todo_reg = sorted(all_buckets - completed_buckets(spark, root, "regions"))
+        if todo_reg:
+            t0 = time.time()
+            docs_todo = docs_all.filter(F.col("bucket").isin([int(b) for b in todo_reg]))
+            region_postings(docs_todo, cfg).write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(p["regions"])
+            elapsed = time.time() - t0
+            now = time.time()
+            _append_manifest(
+                spark,
+                root,
+                [
+                    ("regions", int(b), input_snapshot, n_docs, 0, elapsed,
+                     0.0, 0.0, 0, "complete", now)
+                    for b in todo_reg
+                ],
+            )
+
     postings_all = spark.read.parquet(p["postings"])
     dictionary = build_dictionary(postings_all)
     dictionary.write.mode("overwrite").parquet(p["dictionary"])
@@ -288,6 +314,7 @@ def build_index_resumable(
         total_tokens=total_tokens,
         cfg=cfg,
         positional=spark.read.parquet(p["positional"]) if cfg.positional else None,
+        regions=spark.read.parquet(p["regions"]) if cfg.enable_xpath else None,
     )
 
 
@@ -317,6 +344,11 @@ def open_index(spark: SparkSession, root: str) -> InvertedIndex:
         positional=(
             spark.read.parquet(p["positional"])
             if cfg.positional and os.path.isdir(p["positional"])
+            else None
+        ),
+        regions=(
+            spark.read.parquet(p["regions"])
+            if cfg.enable_xpath and os.path.isdir(p["regions"])
             else None
         ),
     )

@@ -190,10 +190,19 @@ def append_batch(
         positional_postings(docs_new, cfg).write.mode("overwrite").partitionBy(
             "bucket"
         ).parquet(os.path.join(staging, "positional"))
+    if cfg.enable_xpath:
+        # T9 region plane: appended under the same staged-segment contract
+        from ..operators.regions import region_postings
+
+        region_postings(docs_new, cfg).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(staging, "regions"))
     _promote(os.path.join(staging, "docs"), p["docs"], batch_id)
     _promote(os.path.join(staging, "postings"), p["postings"], batch_id)
     if cfg.positional:
         _promote(os.path.join(staging, "positional"), p["positional"], batch_id)
+    if cfg.enable_xpath:
+        _promote(os.path.join(staging, "regions"), p["regions"], batch_id)
 
     if refresh_dict:
         # INCREMENTAL merge: df/cf/n_blocks are additive over posting

@@ -1,0 +1,149 @@
+"""T9 region / XPath pseudo-token plane (operators/regions.py).
+
+Pins: pseudo-token emission (<level!N> / </level!N> at their own positions,
+reference /root/reference/index/index.h:60-66), per-token depth arithmetic
+including the documented no-clamp malformed-markup rule, containment query
+semantics, and the build/append/compact lifecycle of the regions/ plane
+behind cfg.enable_xpath.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.operators.regions import (
+    region_match,
+    region_postings,
+    tagged_documents,
+)
+
+
+def _plane_rows(spark, content, docid=7):
+    df = spark.createDataFrame([(docid, content)], "docid long, content string")
+    rows = region_postings(df).collect()
+    return {r["term"]: r for r in rows}
+
+
+def test_pseudo_tokens_and_depths(spark):
+    # <a> w1 <b> w2 </b> w3 </a>  — depths: w1=1, w2=2, w3=1
+    t = _plane_rows(spark, "<a> alpha <b> beta </b> gamma </a>")
+    assert t["<level!1>"]["positions"] == [0] and t["<level!1>"]["depths"] == [1]
+    assert t["<level!2>"]["positions"] == [2] and t["<level!2>"]["depths"] == [2]
+    assert t["</level!2>"]["positions"] == [4] and t["</level!2>"]["depths"] == [2]
+    assert t["</level!1>"]["positions"] == [6] and t["</level!1>"]["depths"] == [1]
+    assert t["alpha"]["depths"] == [1]
+    assert t["beta"]["depths"] == [2]
+    assert t["gamma"]["depths"] == [1]
+    # pseudo-tokens occupy token positions: words sit between them
+    assert t["beta"]["positions"] == [3]
+
+
+def test_repeated_same_level_regions(spark):
+    t = _plane_rows(spark, "<a> x </a> <a> y </a>")
+    assert t["<level!1>"]["tf"] == 2 and t["<level!1>"]["positions"] == [0, 3]
+    assert t["x"]["depths"] == [1] and t["y"]["depths"] == [1]
+
+
+def test_malformed_markup_no_clamp(spark):
+    # documented rule: pure arithmetic, no clamping; unmatched closer
+    # yields </level!0> and drives following words to depth <= 0
+    t = _plane_rows(spark, "</x> alpha <a> beta")
+    assert t["</level!0>"]["positions"] == [0]
+    assert t["alpha"]["depths"] == [-1]
+    assert t["<level!0>"]["positions"] == [2]  # reopened at depth 0
+    assert t["beta"]["depths"] == [0]
+    # min_depth >= 1 never matches text outside a well-formed region
+    plane = region_postings(
+        spark.createDataFrame([(1, "</x> alpha <a> beta")], "docid long, content string")
+    )
+    assert region_match(plane, [("alpha", 1), ("beta", 1)]).count() == 0
+
+
+def test_region_match_containment(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "<doc> top <sec> mid <p> deep deep </p> </sec> </doc>"),
+            (2, "<doc> deep </doc>"),
+        ],
+        "docid long, content string",
+    )
+    plane = region_postings(df)
+    out = {
+        (r["query_id"], r["docid"]): r
+        for r in region_match(plane, [("deep", 3), ("deep", 1), ("mid", 2)]).collect()
+    }
+    assert (0, 1) in out and out[(0, 1)]["n_hits"] == 2  # depth>=3 only doc 1
+    assert (0, 2) not in out
+    assert (1, 1) in out and (1, 2) in out  # depth>=1 both
+    assert out[(2, 1)]["n_hits"] == 1
+    # first_pos is the leftmost qualifying token offset
+    assert out[(0, 1)]["first_pos"] == 5
+
+
+def test_tokenizer_ignores_nonmatching_angle_text(spark):
+    # "< a>" / "a < b" are not tags: '<' runs that don't match the tag
+    # pattern fall through to word tokenization (no empty pseudo-tokens)
+    t = _plane_rows(spark, "a < b <not_a_tag_1> c")
+    # <not_a_tag_1> contains '_' so it is NOT a tag; its name tokenizes as a word
+    assert "not_a_tag_1" in t
+    assert t["a"]["depths"] == [0] and t["c"]["depths"] == [0]
+    assert not any(k.startswith("<level") for k in t)
+
+
+def test_tagged_documents_layout(spark):
+    docs = spark.createDataFrame(
+        [(5, "w1 w2 w3 w4 w5 w6 w7 w8", "en", "s", 23)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    content = tagged_documents(docs).collect()[0]["content"]
+    assert content == (
+        "<doc> w1 w2 <sec> w3 w4 <p> w5 w6 </p> w7 w8 </sec> </doc>"
+    )
+
+
+def test_regions_lifecycle(spark, tmp_path):
+    """build(enable_xpath) -> append -> region query -> delete+compact."""
+    from information_retrieval_spark.operators.compaction import (
+        compact_index,
+        record_deletions,
+    )
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+        open_index,
+    )
+    from information_retrieval_spark.streaming.incremental import append_batch
+
+    root = str(tmp_path / "idx")
+    cfg = EngineConfig(enable_xpath=True, n_doc_buckets=2, doc_bucket_bits=20)
+    corpus = spark.createDataFrame(
+        [
+            ("r", f"p{i}", f"c{i}", "py",
+             f"<fn> alpha_{i} <body> needle common </body> </fn>")
+            for i in range(6)
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    build_index_resumable(spark, corpus, root, cfg)
+    idx = open_index(spark, root)
+    assert idx.regions is not None
+    hits = region_match(idx.regions, [("needle", 2)])
+    assert hits.count() == 6
+    assert hits.agg(F.min("n_hits")).collect()[0][0] == 1
+
+    # streamed append maintains the plane
+    batch = spark.createDataFrame(
+        [("r", "pX", "cX", "py", "<fn> <body> needle </body> </fn>")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    append_batch(spark, batch, root, cfg, batch_id=1)
+    idx = open_index(spark, root)
+    assert region_match(idx.regions, [("needle", 2)]).count() == 7
+
+    # delete one doc -> compaction rewrites the regions plane too
+    victim = idx.regions.filter(F.col("term") == "needle").select("docid").limit(1)
+    record_deletions(spark, root, victim)
+    compact_index(spark, root, cfg)
+    idx = open_index(spark, root)
+    assert region_match(idx.regions, [("needle", 2)]).count() == 6
