@@ -402,6 +402,26 @@ def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fps.select("id", F.explode("fingerprints").alias("fp"))
 
 
+def _q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal dedup output: one representative per duplicate cluster plus
+    every singleton, with cluster sizes — the deduplicated corpus a
+    training-data pipeline actually materializes."""
+    from information_retrieval_spark.operators.textproc import dedup_select
+
+    clusters = _q_dedup_clusters(spark, sf_dir)
+    ids = _documents(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    return dedup_select(ids, clusters)
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style n-gram repetition quality signals (top word/bigram
+    coverage, duplicated-trigram fraction) — batch-local mapInPandas, no
+    shuffle; the oracle re-derives grams as string concatenations."""
+    from information_retrieval_spark.operators.textproc import repetition_stats
+
+    return repetition_stats(_documents(spark, sf_dir), CFG)
+
+
 # (term, min_depth) structural queries over the deterministic tagged corpus:
 # words at depths 1 / 2 / 3 plus a pseudo-token query counting level-3
 # region openers (reference ENABLE_XPATH semantics, index/index.h:60-66).
@@ -536,6 +556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_match": _q_proximity,
         "snippets": _q_snippets,
         "region_match": _q_region_match,
+        "dedup_keepers": _q_dedup_keepers,
+        "repetition_stats": _q_repetition_stats,
     }
 
 
@@ -632,7 +654,11 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 """
-    from information_retrieval_spark.operators.textproc import duckdb_dedup_clusters_sql
+    from information_retrieval_spark.operators.textproc import (
+        duckdb_dedup_clusters_sql,
+        duckdb_dedup_select_sql,
+        duckdb_repetition_sql,
+    )
 
     dedup_clusters_sql = duckdb_dedup_clusters_sql(
         f"SELECT id_a, id_b FROM ({ngram_sql}) WHERE jaccard >= 0.08"
@@ -712,6 +738,10 @@ FROM events GROUP BY event_type
         "proximity_match": _proximity_sql(),
         "snippets": _snippet_sql(),
         "region_match": _region_sql(),
+        "dedup_keepers": duckdb_dedup_select_sql(
+            dedup_clusters_sql, "SELECT doc_id AS id FROM documents"
+        ),
+        "repetition_stats": duckdb_repetition_sql(CFG),
         "minhash_near_dups": minhash_pairs_sql(
             fixtures["minhash_sigs"], n_bands=32, threshold=0.5
         ),

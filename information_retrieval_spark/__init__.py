@@ -66,6 +66,8 @@ from .operators.similarity import (
 )
 from .operators.textproc import (
     dedup_clusters,
+    dedup_select,
+    repetition_stats,
     exact_dedup,
     exact_jaccard_pairs,
     lang_id_ngram,
@@ -98,6 +100,7 @@ __all__ = [
     "federated_wand_topk", "federated_topk_local",
     "exact_dedup", "minhash_signatures", "oph_signatures",
     "lsh_near_dup_pairs", "exact_jaccard_pairs", "dedup_clusters",
+    "dedup_select", "repetition_stats",
     "simhash", "simhash_near_dup_pairs", "winnow_fingerprints", "text_stats",
     "token_counts", "lang_id_ngram",
     "cosine_topk", "lsh_bucketize", "lsh_topk", "embedding_near_dup_pairs",

@@ -164,6 +164,163 @@ FROM m
 
 
 # --------------------------------------------------------------------------
+# Repetition-based quality signals (Gopher-style, Rae et al. 2021 "Scaling
+# Language Models: ... Gopher" §A.1.1 repetition filters — public
+# literature; exact formulas below are OUR documented semantics, identical
+# in the engine and the DuckDB oracle)
+# --------------------------------------------------------------------------
+
+REPETITION_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("n_tokens", LongType(), False),
+        StructField("top_word_frac", DoubleType(), False),
+        StructField("top_bigram_frac", DoubleType(), False),
+        StructField("dup_trigram_frac", DoubleType(), False),
+    ]
+)
+
+
+def repetition_stats(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc n-gram repetition signals for training-data quality filtering:
+
+    - ``top_word_frac``     = count(most frequent token) / n_tokens
+    - ``top_bigram_frac``   = 2 * count(most frequent bigram) / n_tokens
+                              (token coverage of the dominant 2-gram)
+    - ``dup_trigram_frac``  = occurrences belonging to trigrams seen more
+                              than once / (n_tokens - 2)
+
+    All 0.0 when the denominator would be empty. Rounded to 6 dp.
+
+    Fully batch-vectorized (mapInPandas, NO shuffle — per-doc metrics are
+    batch-local): one factorize over the flattened tokens, gram identities
+    as integer code combinations (hierarchically re-compressed so keys never
+    overflow), per-(doc, gram) counts via one np.unique per gram order, and
+    per-doc maxima via maximum.reduceat. No per-document Python loop.
+    """
+
+    def emit(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            toks = tokenize_series(pdf["text"], cfg)
+            lens = toks.str.len().to_numpy(np.int64)
+            n = len(pdf)
+            ids = pdf["id"].to_numpy(np.int64)
+            out = pd.DataFrame(
+                {
+                    "id": ids,
+                    "n_tokens": lens,
+                    "top_word_frac": np.zeros(n),
+                    "top_bigram_frac": np.zeros(n),
+                    "dup_trigram_frac": np.zeros(n),
+                }
+            )
+            if lens.sum() == 0:
+                yield out
+                continue
+            flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            c1, u1 = pd.factorize(flat, sort=False)
+            c1 = c1.astype(np.int64)
+            v1 = np.int64(len(u1))
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            doc_off = np.concatenate(([0], np.cumsum(lens)))
+            # within-doc position of each token (to mask cross-doc grams)
+            pos = np.arange(flat.size, dtype=np.int64) - np.repeat(doc_off[:-1], lens)
+
+            def per_doc_counts(keys, didx):
+                """per-(doc, gram) counts + per-doc (max count, dup-occurrence
+                count) from parallel (gram key, doc idx) arrays."""
+                ks = didx * (keys.max() + 1) + keys
+                uk, counts = np.unique(ks, return_counts=True)
+                gdoc = uk // (keys.max() + 1)
+                starts = np.concatenate(
+                    ([0], np.flatnonzero(gdoc[1:] != gdoc[:-1]) + 1)
+                )
+                mx = np.maximum.reduceat(counts, starts)
+                dup = np.add.reduceat(np.where(counts > 1, counts, 0), starts)
+                return gdoc[starts], mx, dup
+
+            # unigrams
+            gdoc, mx, _ = per_doc_counts(c1, doc_idx)
+            out.loc[gdoc, "top_word_frac"] = np.round(mx / lens[gdoc], 6)
+            # bigrams: gram = (c1[i], c1[i+1]), both tokens in the same doc
+            m2 = pos[1:] >= 1  # position i+1 has a predecessor in its doc
+            if m2.any():
+                raw2 = c1[:-1][m2] * v1 + c1[1:][m2]
+                u2, c2 = np.unique(raw2, return_inverse=True)
+                d2 = doc_idx[1:][m2]
+                gdoc, mx, _ = per_doc_counts(c2.astype(np.int64), d2)
+                out.loc[gdoc, "top_bigram_frac"] = np.round(
+                    2.0 * mx / lens[gdoc], 6
+                )
+                # trigrams: gram = (bigram at i, token i+2); re-compressed
+                # bigram codes keep the key < |u2| * v1 (no overflow)
+                m3 = pos[2:] >= 2
+                if m3.any():
+                    c2_full = np.full(flat.size - 1, -1, dtype=np.int64)
+                    c2_full[m2] = c2
+                    raw3 = c2_full[:-1][m3] * v1 + c1[2:][m3]
+                    _u3, c3 = np.unique(raw3, return_inverse=True)
+                    d3 = doc_idx[2:][m3]
+                    gdoc, _mx, dup = per_doc_counts(c3.astype(np.int64), d3)
+                    out.loc[gdoc, "dup_trigram_frac"] = np.round(
+                        dup / (lens[gdoc] - 2), 6
+                    )
+            yield out
+
+    return docs.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+    ).mapInPandas(emit, REPETITION_SCHEMA)
+
+
+def duckdb_repetition_sql(
+    cfg: EngineConfig = DEFAULT_CONFIG, table: str = "documents",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """Oracle: grams re-derived as position-indexed string concatenations,
+    counts/maxima as plain GROUP BYs — independent of the integer-code
+    kernel."""
+    from ..functions.analyzer import duckdb_tokenize_sql
+
+    tok = duckdb_tokenize_sql(text_col, cfg)
+    return f"""
+WITH t AS (SELECT {id_col} AS id, {tok} AS toks FROM {table}),
+u AS (
+  SELECT t.id, len(t.toks) AS n, u.i AS i,
+         t.toks[u.i] AS w1, t.toks[u.i + 1] AS w2, t.toks[u.i + 2] AS w3
+  FROM t, UNNEST(range(1, len(t.toks) + 1)) AS u(i)
+),
+uni AS (SELECT id, n, MAX(c) AS mx FROM
+          (SELECT id, n, w1, COUNT(*) AS c FROM u GROUP BY id, n, w1)
+        GROUP BY id, n),
+bi  AS (SELECT id, n, MAX(c) AS mx FROM
+          (SELECT id, n, w1 || ' ' || w2 AS g, COUNT(*) AS c
+           FROM u WHERE i <= n - 1 GROUP BY id, n, g)
+        GROUP BY id, n),
+tri AS (SELECT id, n, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM
+          (SELECT id, n, w1 || ' ' || w2 || ' ' || w3 AS g, COUNT(*) AS c
+           FROM u WHERE i <= n - 2 GROUP BY id, n, g)
+        GROUP BY id, n)
+SELECT d.{id_col} AS id,
+       CAST(COALESCE(len({tok}), 0) AS BIGINT) AS n_tokens,
+       round(COALESCE(uni.mx * 1.0 / uni.n, 0.0), 6) AS top_word_frac,
+       round(COALESCE(bi.mx * 2.0 / bi.n, 0.0), 6) AS top_bigram_frac,
+       round(COALESCE(tri.dup * 1.0 / (tri.n - 2), 0.0), 6) AS dup_trigram_frac
+FROM {table} d
+LEFT JOIN uni ON uni.id = d.{id_col}
+LEFT JOIN bi  ON bi.id = d.{id_col}
+LEFT JOIN tri ON tri.id = d.{id_col}
+"""
+
+
+# --------------------------------------------------------------------------
 # MinHash + banded LSH near-duplicate detection
 # --------------------------------------------------------------------------
 
@@ -690,6 +847,47 @@ reach(a, b) AS (
 )
 SELECT a AS id, least(a, min(b)) AS keeper_id
 FROM reach GROUP BY a
+"""
+
+
+def dedup_select(ids: DataFrame, clusters: DataFrame) -> DataFrame:
+    """(keeper_id, cluster_size) — the deduplicated corpus: one
+    representative row per duplicate cluster plus every singleton, with the
+    number of documents it stands for. This is the terminal step of the
+    near-dup pipeline (signatures -> banding -> verify -> ``dedup_clusters``
+    -> HERE): what a training-data run actually materializes.
+
+    ``ids`` is one ``id`` column covering the whole corpus; ``clusters`` is
+    ``dedup_clusters`` output (id, keeper_id), which only covers ids that
+    appeared in some pair — ids without a row are their own keepers.
+
+    Scale shape: one join on id (clusters side is bounded by the pair
+    graph, usually tiny vs the corpus; AQE picks broadcast when it fits)
+    and one aggregation keyed by keeper — keys are near-unique, no skew.
+    """
+    lab = (
+        ids.select(F.col("id").cast("long").alias("id"))
+        .join(clusters.select("id", "keeper_id"), "id", "left")
+        .select(F.coalesce("keeper_id", "id").alias("keeper_id"))
+    )
+    return lab.groupBy("keeper_id").agg(
+        F.count(F.lit(1)).cast("int").alias("cluster_size")
+    )
+
+
+def duckdb_dedup_select_sql(clusters_sql: str, ids_sql: str) -> str:
+    """Oracle: keeper labeling + cluster sizing re-derived in SQL over the
+    recursive-CTE component oracle."""
+    return f"""
+WITH clusters AS ({clusters_sql}),
+ids AS ({ids_sql}),
+lab AS (
+  SELECT COALESCE(c.keeper_id, i.id) AS keeper_id
+  FROM ids i LEFT JOIN clusters c ON c.id = i.id
+)
+SELECT CAST(keeper_id AS BIGINT) AS keeper_id,
+       CAST(COUNT(*) AS INT) AS cluster_size
+FROM lab GROUP BY keeper_id
 """
 
 

@@ -309,3 +309,54 @@ def test_token_counts_edges(spark):
     assert got[2] == (2, 3, 3)
     # "a-b 12 foo_bar" -> ws 3; bpe: ["a", "-", "b", " 12", " foo", "_", "bar"] = 7
     assert got[3][0] == 3 and got[3][1] == 7
+
+
+def test_repetition_stats_edges(spark):
+    from information_retrieval_spark.operators.textproc import repetition_stats
+
+    rows = [
+        (0, ""),                          # empty -> all zeros
+        (1, "solo"),                      # 1 token: no bigrams/trigrams
+        (2, "x x x x"),                   # fully repetitive
+        (3, "a b a b a b"),               # dominant bigram "a b"
+        (4, "u v w x y z"),               # all distinct -> minimal repetition
+        (5, "p q r"),                     # exactly one trigram (never dup)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (
+            r["n_tokens"], r["top_word_frac"],
+            r["top_bigram_frac"], r["dup_trigram_frac"],
+        )
+        for r in repetition_stats(docs).collect()
+    }
+    assert got[0] == (0, 0.0, 0.0, 0.0)
+    assert got[1] == (1, 1.0, 0.0, 0.0)
+    # "x x x x": top word 4/4; bigram "x x" 3 times -> 2*3/4 = 1.5;
+    # trigram "x x x" twice -> 2/2 = 1.0
+    assert got[2] == (4, 1.0, 1.5, 1.0)
+    # "a b a b a b": top word 3/6; "a b" 3 of 5 bigrams -> 2*3/6 = 1.0;
+    # trigrams: aba x2, bab x2 -> 4/4 = 1.0
+    assert got[3] == (6, 0.5, 1.0, 1.0)
+    assert got[4] == (6, round(1 / 6, 6), round(2 / 6, 6), 0.0)
+    assert got[5] == (3, round(1 / 3, 6), round(2 / 3, 6), 0.0)
+
+
+def test_dedup_select_keepers_and_singletons(spark):
+    from information_retrieval_spark.operators.textproc import (
+        dedup_clusters,
+        dedup_select,
+    )
+
+    # chain 1-2-3 plus pair 10-11; 20 and 21 are singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21)], "id long"
+    )
+    out = {
+        r["keeper_id"]: r["cluster_size"]
+        for r in dedup_select(ids, dedup_clusters(pairs)).collect()
+    }
+    assert out == {1: 3, 10: 2, 20: 1, 21: 1}
