@@ -40,6 +40,7 @@ from information_retrieval_spark.operators.query import (  # noqa: E402
     conjunctive_match,
     duckdb_bm25_sql,
     duckdb_conjunctive_sql,
+    duckdb_prefix_bm25_sql,
     duckdb_tok,
     naive_bm25,
     parse_queries,
@@ -402,6 +403,23 @@ def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fps.select("id", F.explode("fingerprints").alias("fp"))
 
 
+# prefix/wildcard query set: multi-term expansion ("s" -> scan/slow/sort/
+# spark/...), single-term ("hash"), and a no-match prefix ("zz")
+PREFIX_SET = ["ta", "s", "hash", "zz"]
+
+
+def _q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix/wildcard retrieval: dictionary expansion (lexicographic cap)
+    -> disjunctive block-max WAND over the expanded term set. Oracle
+    re-derives the expansion as a LIKE join against the corpus vocabulary
+    and the scores from first principles."""
+    from information_retrieval_spark.operators.query import prefix_topk
+
+    idx = _index(spark, sf_dir)
+    out = prefix_topk(spark, idx, PREFIX_SET, TOP_K, CFG)
+    return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
+
+
 def _q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Terminal dedup output: one representative per duplicate cluster plus
     every singleton, with cluster sizes — the deduplicated corpus a
@@ -558,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_match": _q_region_match,
         "dedup_keepers": _q_dedup_keepers,
         "repetition_stats": _q_repetition_stats,
+        "prefix_topk": _q_prefix_topk,
     }
 
 
@@ -742,6 +761,9 @@ FROM events GROUP BY event_type
             dedup_clusters_sql, "SELECT doc_id AS id FROM documents"
         ),
         "repetition_stats": duckdb_repetition_sql(CFG),
+        "prefix_topk": duckdb_prefix_bm25_sql(
+            corpus, PREFIX_SET, CFG, k=TOP_K, round_to=4
+        ),
         "minhash_near_dups": minhash_pairs_sql(
             fixtures["minhash_sigs"], n_bands=32, threshold=0.5
         ),

@@ -51,9 +51,11 @@ from .operators.regions import (
 )
 from .operators.query import (
     conjunctive_match,
+    expand_prefixes,
     naive_bm25,
     parse_queries,
     parse_query_terms,
+    prefix_topk,
 )
 from .operators.similarity import (
     cosine_topk,
@@ -92,6 +94,7 @@ __all__ = [
     "compact_index", "gc_stats", "record_deletions",
     "append_batch", "stream_index_updates", "stream_dedup",
     "wand_topk", "naive_bm25", "conjunctive_match",
+    "prefix_topk", "expand_prefixes",
     "parse_queries", "parse_query_terms",
     "positional_postings", "phrase_match", "proximity_match", "snippet_extract",
     "region_postings", "region_match", "tagged_documents",

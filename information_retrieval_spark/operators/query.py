@@ -57,6 +57,82 @@ def parse_query_terms(
     return [(i, t) for i, ts in enumerate(toks) for t in sorted(set(ts))]
 
 
+def normalize_prefixes(
+    prefixes: list[str], cfg: EngineConfig = DEFAULT_CONFIG
+) -> list[tuple[int, str]]:
+    """[(query_id, normalized_prefix)] — each prefix is passed through the
+    indexing analyzer and the FIRST token kept (same-analyzer contract, Q1);
+    prefixes that analyze to nothing are dropped (they can match no term).
+    Shared by the engine and the oracle builder — the expansion itself is
+    re-derived independently on each side."""
+    import pandas as pd
+
+    from ..functions.analyzer import tokenize_series
+
+    toks = tokenize_series(pd.Series(prefixes, dtype=object), cfg)
+    return [(i, ts[0]) for i, ts in enumerate(toks) if len(ts) > 0]
+
+
+def expand_prefixes(
+    index,
+    prefixes: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    max_expansions: int = 64,
+) -> list[tuple[int, str]]:
+    """[(query_id, term)] — dictionary terms starting with each prefix,
+    capped at the lexicographically-first ``max_expansions`` per query
+    (deterministic, mirrored exactly by the SQL oracle).
+
+    Scale shape: one column-pruned scan of the dictionary (|vocab| rows,
+    orders of magnitude below |postings|) with the startswith predicates
+    applied map-side against a broadcast prefix table; the per-query sort
+    behind the cap only shuffles the MATCHES. The driver collect is bounded
+    by n_queries * max_expansions. A one-character prefix over a 10^8-term
+    vocabulary still works — the cap bounds everything downstream — but
+    matches-to-sort can be large; that is inherent to wildcard expansion
+    (Lucene's rewrite has the same shape).
+    """
+    spark = index.dictionary.sparkSession
+    norm = normalize_prefixes(prefixes, cfg)
+    if not norm:
+        return []
+    qdf = spark.createDataFrame(norm, "query_id int, prefix string")
+    cand = index.dictionary.select("term").join(
+        F.broadcast(qdf), F.col("term").startswith(F.col("prefix"))
+    )
+    w = Window.partitionBy("query_id").orderBy("term")
+    rows = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(max_expansions))
+        .select("query_id", "term")
+        .collect()
+    )
+    return [(int(r["query_id"]), r["term"]) for r in rows]
+
+
+def prefix_topk(
+    spark: SparkSession,
+    index,
+    prefixes: list[str],
+    k: int,
+    cfg: EngineConfig | None = None,
+    max_expansions: int = 64,
+    **wand_kwargs,
+) -> DataFrame:
+    """(query_id, rank, docid, score) — prefix/wildcard retrieval
+    ("hash*"): expand each prefix against the dictionary, then score the
+    expanded term set disjunctively with the SAME block-max WAND machinery
+    as plain queries (an expanded prefix IS a multi-term query). Standard
+    IR surface the reference's dictionary layout implies but never ships
+    (/root/reference/index/index.h declares only the config surface; no
+    query code exists)."""
+    from .wand import wand_topk
+
+    cfg = cfg or index.cfg
+    pairs = expand_prefixes(index, prefixes, cfg, max_expansions)
+    return wand_topk(spark, index, pairs, k, cfg, **wand_kwargs)
+
+
 def naive_bm25(
     corpus: DataFrame,
     qterms: DataFrame,
@@ -179,6 +255,49 @@ def duckdb_bm25_sql(
     qvalues = ", ".join(
         f"({i}, '{q}')" for i, q in enumerate(queries)
     )
+    qterms_sql = f"""
+  SELECT DISTINCT query_id, qterm AS term FROM (
+    SELECT query_id, unnest({duckdb_tok('text', cfg)}) AS qterm
+    FROM (VALUES {qvalues}) AS queries(query_id, text)
+  )"""
+    return _duckdb_bm25_body(corpus_sql, qterms_sql, cfg, k, round_to)
+
+
+def duckdb_prefix_bm25_sql(
+    corpus_sql: str,
+    prefixes: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int | None = None,
+    round_to: int = 4,
+    max_expansions: int = 64,
+) -> str:
+    """Oracle twin of ``prefix_topk``: expansion is a LIKE join against the
+    corpus's own distinct-term vocabulary with the same lexicographic cap;
+    scoring is the shared disjunctive-BM25 body. Prefix normalization uses
+    the shared analyzer (same boundary as parse_query_terms); everything
+    downstream is re-derived in SQL."""
+    norm = normalize_prefixes(prefixes, cfg)
+    qvalues = ", ".join(
+        f"({qid}, '{p}')" for qid, p in norm
+    ) or "(0, CAST(NULL AS VARCHAR))"
+    qterms_sql = f"""
+  SELECT query_id, term FROM (
+    SELECT q.query_id, v.term,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY v.term) AS rn
+    FROM (VALUES {qvalues}) AS q(query_id, prefix)
+    JOIN (SELECT DISTINCT term FROM tf) v
+      ON q.prefix IS NOT NULL AND v.term LIKE q.prefix || '%'
+  ) WHERE rn <= {int(max_expansions)}"""
+    return _duckdb_bm25_body(corpus_sql, qterms_sql, cfg, k, round_to)
+
+
+def _duckdb_bm25_body(
+    corpus_sql: str,
+    qterms_sql: str,
+    cfg: EngineConfig,
+    k: int | None,
+    round_to: int,
+) -> str:
     topk_filter = f"WHERE rank <= {k}" if k is not None else ""
     rank_col = ", rank" if k is not None else ""
     return f"""
@@ -198,11 +317,7 @@ tf AS (
   )
   GROUP BY term, docid
 ),
-q AS (
-  SELECT query_id, unnest({duckdb_tok('text', cfg)}) AS qterm
-  FROM (VALUES {qvalues}) AS queries(query_id, text)
-),
-qterms AS (SELECT DISTINCT query_id, qterm AS term FROM q),
+qterms AS ({qterms_sql}),
 matched AS (SELECT qterms.query_id, tf.* FROM tf JOIN qterms USING (term)),
 df_t AS (SELECT query_id, term, count(*)::DOUBLE AS df FROM matched GROUP BY query_id, term),
 scored AS (

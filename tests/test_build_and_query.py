@@ -207,3 +207,30 @@ def test_partition_and_grouped_encoders_identical(spark):
     assert a == g and len(a) > 50
     runs.unpersist()
     docs.unpersist()
+
+
+def test_prefix_topk_matches_manual_expansion(spark, corpus, index):
+    """prefix_topk == wand_topk over the explicitly expanded term set, and
+    the lexicographic max_expansions cap binds deterministically."""
+    from information_retrieval_spark.operators.query import (
+        expand_prefixes,
+        normalize_prefixes,
+        prefix_topk,
+    )
+
+    # "Ident_1" normalizes through the analyzer; matches ident_1, ident_10..
+    pairs = expand_prefixes(index, ["Ident_1", "zzz_nope"], max_expansions=5)
+    terms = [t for q, t in pairs if q == 0]
+    assert terms == sorted(terms) and len(terms) == 5  # cap binds, lex order
+    assert all(t.startswith("ident_1") for t in terms)
+    assert not [t for q, t in pairs if q == 1]  # no expansion -> no terms
+
+    got = prefix_topk(spark, index, ["Ident_1"], 10, CFG, max_expansions=5)
+    want = wand_topk(spark, index, pairs, 10, CFG)
+    g = [(r["query_id"], r["rank"], r["docid"], round(r["score"], 6))
+         for r in got.orderBy("query_id", "rank").collect()]
+    w = [(r["query_id"], r["rank"], r["docid"], round(r["score"], 6))
+         for r in want.orderBy("query_id", "rank").collect()]
+    assert g == w and len(g) == 10
+
+    assert normalize_prefixes(["  ::/ "]) == []  # analyzes to nothing
