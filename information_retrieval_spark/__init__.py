@@ -33,6 +33,7 @@ from .operators.local_query import (
     LocalIndex,
     answer_queries,
     phrase_match_local,
+    prefix_local,
     proximity_match_local,
     query_index_local,
     route_query,
@@ -99,7 +100,7 @@ __all__ = [
     "positional_postings", "phrase_match", "proximity_match", "snippet_extract",
     "region_postings", "region_match", "tagged_documents",
     "LocalIndex", "query_index_local", "phrase_match_local", "proximity_match_local",
-    "snippet_local", "answer_queries", "route_query",
+    "snippet_local", "answer_queries", "route_query", "prefix_local",
     "federated_wand_topk", "federated_topk_local",
     "exact_dedup", "minhash_signatures", "oph_signatures",
     "lsh_near_dup_pairs", "exact_jaccard_pairs", "dedup_clusters",

@@ -48,6 +48,7 @@ class LocalIndex:
         meta = read_meta(root)
         if not meta.get("is_consistent", False):
             raise RuntimeError(f"index at {root} is not consistent; rebuild required")
+        self.root = root
         self.cfg = EngineConfig(
             **{
                 k: v
@@ -115,6 +116,35 @@ class LocalIndex:
         )
         return tab.to_pandas()
 
+    def expand_prefix_terms(
+        self, prefixes: list[str], max_expansions: int = 64
+    ) -> list[tuple[int, str]]:
+        """[(query_id, term)] — dictionary terms per analyzed prefix, capped
+        at the lexicographically-first ``max_expansions`` (identical
+        semantics to the Spark-side ``expand_prefixes``). One column-pruned
+        read of the dictionary's term column, pyarrow-side startswith."""
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        from .query import normalize_prefixes
+
+        norm = normalize_prefixes(prefixes, self.cfg)
+        if not norm:
+            return []
+        dict_dir = os.path.join(self.root, "dictionary")
+        terms = (
+            ds.dataset(dict_dir, format="parquet")
+            .to_table(columns=["term"])
+            .column("term")
+        )
+        out: list[tuple[int, str]] = []
+        for qid, p in norm:
+            hit = terms.filter(pc.starts_with(terms, p))
+            vals = np.sort(np.asarray(hit.to_pylist(), dtype=object))
+            out.extend((qid, str(t)) for t in vals[: int(max_expansions)])
+        return out
+
 
 def query_index_local(
     index: "LocalIndex | str",
@@ -125,6 +155,11 @@ def query_index_local(
     the persisted index, entirely in-process."""
     idx = LocalIndex(index) if isinstance(index, str) else index
     q_pairs = parse_query_terms(queries, idx.cfg)
+    return _rank_pairs(idx, q_pairs, k)
+
+
+def _rank_pairs(idx: "LocalIndex", q_pairs: list[tuple[int, str]], k: int) -> pd.DataFrame:
+    """Shared BMW ranking over explicit (query_id, term) pairs."""
     terms = sorted({t for _, t in q_pairs})
     blocks = idx.fetch_blocks(terms)
     idf = {
@@ -136,6 +171,19 @@ def query_index_local(
         del_arr=idx.deleted,
     )
     return pd.DataFrame(rows, columns=["query_id", "rank", "docid", "score"])
+
+
+def prefix_local(
+    index: "LocalIndex | str",
+    prefixes: list[str],
+    k: int = 10,
+    max_expansions: int = 64,
+) -> pd.DataFrame:
+    """(query_id, rank, docid, score) — Spark-free prefix/wildcard
+    retrieval: dictionary expansion (lexicographic cap, identical to the
+    Spark path) + the shared in-process BMW ranking."""
+    idx = LocalIndex(index) if isinstance(index, str) else index
+    return _rank_pairs(idx, idx.expand_prefix_terms(prefixes, max_expansions), k)
 
 
 def _positions_by_term(idx: "LocalIndex", terms: list[str]) -> dict:
@@ -299,6 +347,7 @@ def route_query(q: str) -> tuple[str, object]:
 
       '"big sorted run"'   -> ("phrase", inner text)
       'hash NEAR/3 join'   -> ("proximity", (a, b, window))
+      'hash*'              -> ("prefix", "hash")
       anything else        -> ("bm25", q)
     """
     global _NEAR_RE
@@ -312,6 +361,8 @@ def route_query(q: str) -> tuple[str, object]:
     m = _NEAR_RE.match(s)
     if m:
         return "proximity", (m.group(1), m.group(3), int(m.group(2)))
+    if len(s) >= 2 and s.endswith("*") and " " not in s and "*" not in s[:-1]:
+        return "prefix", s[:-1]
     return "bm25", q
 
 
@@ -347,6 +398,15 @@ def answer_queries(
             out[i]["hits"] = [
                 {"docid": int(d), "min_dist": int(m)}
                 for q, d, m in res.itertuples(index=False)
+                if q == qid
+            ]
+    px = [(i, arg) for i, (t, arg) in enumerate(routed) if t == "prefix"]
+    if px:
+        res = prefix_local(idx, [a for _, a in px], k=k)
+        for (i, _), qid in zip(px, range(len(px))):
+            out[i]["hits"] = [
+                {"rank": int(rk), "docid": int(d), "score": round(float(s), 4)}
+                for q, rk, d, s in res.itertuples(index=False)
                 if q == qid
             ]
     bm = [(i, arg) for i, (t, arg) in enumerate(routed) if t == "bm25"]

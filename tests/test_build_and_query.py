@@ -234,3 +234,44 @@ def test_prefix_topk_matches_manual_expansion(spark, corpus, index):
     assert g == w and len(g) == 10
 
     assert normalize_prefixes(["  ::/ "]) == []  # analyzes to nothing
+
+
+def test_prefix_local_matches_spark_path(spark, corpus, tmp_path_factory):
+    """The Spark-free prefix path (dictionary expansion via pyarrow + local
+    BMW) is rank-identical to prefix_topk over the same persisted index,
+    and '*' routing reaches it through answer_queries."""
+    from information_retrieval_spark.operators.local_query import (
+        LocalIndex,
+        answer_queries,
+        prefix_local,
+        route_query,
+    )
+    from information_retrieval_spark.operators.query import prefix_topk
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+        open_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("prefix") / "idx")
+    build_index_resumable(spark, corpus, root, CFG)
+    idx = open_index(spark, root)
+
+    prefixes = ["ident_1", "zzz_nope"]
+    want = [
+        (r["query_id"], r["rank"], r["docid"], round(r["score"], 6))
+        for r in prefix_topk(spark, idx, prefixes, 10, CFG, max_expansions=8)
+        .orderBy("query_id", "rank").collect()
+    ]
+    got = [
+        (int(q), int(rk), int(d), round(float(s), 6))
+        for q, rk, d, s in prefix_local(
+            LocalIndex(root), prefixes, k=10, max_expansions=8
+        ).itertuples(index=False)
+    ]
+    assert got == want and len(got) == 10
+
+    assert route_query("hash*") == ("prefix", "hash")
+    assert route_query("a b*") [0] == "bm25"      # multi-word stays ranked
+    assert route_query("*") == ("bm25", "*")      # bare star is not a prefix
+    ans = answer_queries(root, ["ident_1*"], k=5)
+    assert ans[0]["type"] == "prefix" and len(ans[0]["hits"]) == 5
