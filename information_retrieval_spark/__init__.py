@@ -11,16 +11,19 @@ Query:
     ``naive_bm25`` (oracle path), ``conjunctive_match`` (boolean AND),
     ``phrase_match`` / ``proximity_match`` + ``positional_postings``
     (mode-1 retrieval), ``snippet_extract`` (highlighting),
+    ``prefix_topk`` / ``expand_prefixes`` (wildcard), ``region_match`` /
+    ``region_postings`` (T9 structural search, <level!N> pseudo-tokens),
     ``federated_wand_topk`` (multi-index), ``LocalIndex`` /
-    ``query_index_local`` / ``snippet_local`` / ``answer_queries`` (the
-    Spark-free interactive path, with syntax routing),
-    ``parse_queries`` / ``parse_query_terms``.
+    ``query_index_local`` / ``snippet_local`` / ``prefix_local`` /
+    ``answer_queries`` (the Spark-free interactive path, with syntax
+    routing), ``parse_queries`` / ``parse_query_terms``.
 Training-data operators:
     ``exact_dedup``, ``minhash_signatures`` / ``oph_signatures`` /
     ``lsh_near_dup_pairs`` / ``exact_jaccard_pairs`` / ``dedup_clusters``,
     ``simhash`` / ``simhash_near_dup_pairs``, ``winnow_fingerprints``,
-    ``text_stats`` / ``token_counts`` / ``lang_id_ngram``, ``cosine_topk``
-    / ``lsh_bucketize`` / ``lsh_topk`` / ``ivf_topk`` /
+    ``dedup_select`` (final keeper table), ``text_stats`` /
+    ``repetition_stats`` / ``token_counts`` / ``lang_id_ngram``,
+    ``cosine_topk`` / ``lsh_bucketize`` / ``lsh_topk`` / ``ivf_topk`` /
     ``embedding_near_dup_pairs``, ``stream_dedup`` (stateful streaming).
 """
 
