@@ -13,7 +13,7 @@ Query:
     (mode-1 retrieval), ``snippet_extract`` (highlighting),
     ``prefix_topk`` / ``expand_prefixes`` (wildcard), ``region_match`` /
     ``region_postings`` (T9 structural search, <level!N> pseudo-tokens),
-    ``federated_wand_topk`` (multi-index), ``LocalIndex`` /
+    ``federated_wand_topk`` / ``merge_indexes`` (multi-index), ``LocalIndex`` /
     ``query_index_local`` / ``snippet_local`` / ``prefix_local`` /
     ``answer_queries`` (the Spark-free interactive path, with syntax
     routing), ``parse_queries`` / ``parse_query_terms``.
@@ -31,7 +31,11 @@ from .config import EngineConfig, DEFAULT_CONFIG
 from .corpus import capture_snapshot_id, corpus_from_documents, load_corpus
 from .operators.build import build_index, spimi_postings
 from .operators.compaction import compact_index, gc_stats, record_deletions
-from .operators.federation import federated_topk_local, federated_wand_topk
+from .operators.federation import (
+    federated_topk_local,
+    federated_wand_topk,
+    merge_indexes,
+)
 from .operators.local_query import (
     LocalIndex,
     answer_queries,
@@ -104,7 +108,7 @@ __all__ = [
     "region_postings", "region_match", "tagged_documents",
     "LocalIndex", "query_index_local", "phrase_match_local", "proximity_match_local",
     "snippet_local", "answer_queries", "route_query", "prefix_local",
-    "federated_wand_topk", "federated_topk_local",
+    "federated_wand_topk", "federated_topk_local", "merge_indexes",
     "exact_dedup", "minhash_signatures", "oph_signatures",
     "lsh_near_dup_pairs", "exact_jaccard_pairs", "dedup_clusters",
     "dedup_select", "repetition_stats",

@@ -48,6 +48,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..config import EngineConfig
 from .build import InvertedIndex, build_dictionary
 from .local_query import LocalIndex
 from .query import parse_query_terms
@@ -168,3 +169,155 @@ def federated_topk_local(
         del_arr=del_arr,
     )
     return pd.DataFrame(rows, columns=["query_id", "rank", "docid", "score"])
+
+
+# analyzer/codec fields that must agree for two indexes to be mergeable —
+# the STEMMING_LEVEL read-back contract generalized (index.cc:189-192)
+_MERGE_COMPAT_FIELDS = (
+    "token_pattern", "stemming_level", "bigram_indexing",
+    "doc_bucket_bits", "block_size", "k1", "b",
+)
+
+
+def merge_indexes(
+    spark: SparkSession, roots: list[str], out_root: str
+) -> "InvertedIndex":
+    """Physically consolidate several disjoint-bucket index roots into ONE
+    persisted index at ``out_root`` — the lifecycle counterpart of
+    query-time federation (the reference's MasterIndex mounts <=100
+    sub-indexes, masterindex.h:12-53; real deployments eventually fold
+    slices together so the mount list stays bounded).
+
+    Requirements: disjoint bucket ranges (same contract as federation) and
+    identical analyzer/codec config across roots. Docs / postings /
+    positional / regions planes are unioned bucket-partitioned (buckets
+    never straddle roots, so this is a pure concatenation — no shuffle);
+    per-root ``block_max_tfnorm`` is scaled by max(1, avgdl_global /
+    avgdl_root), the same admissible bound federation uses, so block-max
+    WAND stays exact under the merged stats without re-encoding;
+    the dictionary is rebuilt from the merged BLOCK rows (O(|blocks|), not
+    O(|postings|)); deletion ledgers are carried over; meta commits merged
+    stats + the union of the allocator counters, so streamed appends and
+    compaction continue to work on the merged index.
+
+    Optional planes must be consistently present: merging a positional root
+    with a non-positional one would silently produce an index whose
+    phrase queries miss half the corpus — that raises instead.
+    """
+    import os
+    import time
+    from dataclasses import replace
+
+    from ..sources.manifest import (
+        _append_manifest,
+        _paths,
+        read_meta,
+        write_meta,
+    )
+
+    if len(roots) < 2:
+        raise ValueError("merge_indexes needs at least two roots")
+    metas = [read_meta(r) for r in roots]
+    for r, m in zip(roots, metas):
+        if not m.get("is_consistent", False):
+            raise RuntimeError(f"index at {r} is not consistent; cannot merge")
+    _check_disjoint([_root_buckets(m) for m in metas], roots)
+    cfgs = [m["config"] for m in metas]
+    for f in _MERGE_COMPAT_FIELDS:
+        vals = {repr(c.get(f)) for c in cfgs}
+        if len(vals) > 1:
+            raise ValueError(
+                f"indexes disagree on {f} ({sorted(vals)}); an index merged "
+                "across analyzer/codec configs would be inconsistent"
+            )
+
+    n_docs, avgdl_g, total_tokens = _global_stats(metas)
+    in_paths = [_paths(r) for r in roots]
+    out = _paths(out_root)
+
+    # per-root reads + unionByName: a single multi-path read of several
+    # hive-partitioned roots trips CONFLICTING_DIRECTORY_STRUCTURES
+    def _union_read(paths: list[str]) -> DataFrame:
+        dfs = [spark.read.parquet(q) for q in paths]
+        u = dfs[0]
+        for d in dfs[1:]:
+            u = u.unionByName(d)
+        return u
+
+    # docs: pure bucket-partitioned concatenation
+    _union_read([p["docs"] for p in in_paths]).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(out["docs"])
+
+    # postings: concat with the admissible per-root block-max rescale
+    parts = []
+    for p, m in zip(in_paths, metas):
+        scale = max(1.0, avgdl_g / float(m["stats"]["avgdl"]))
+        df = spark.read.parquet(p["postings"])
+        parts.append(
+            df.withColumn(
+                "block_max_tfnorm", F.col("block_max_tfnorm") * F.lit(scale)
+            )
+        )
+    postings = parts[0]
+    for df in parts[1:]:
+        postings = postings.unionByName(df)
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(out["postings"])
+
+    # optional planes: all-or-none
+    for plane in ("positional", "regions"):
+        have = [os.path.isdir(p[plane]) for p in in_paths]
+        if any(have) and not all(have):
+            raise ValueError(
+                f"only some roots have a {plane}/ plane; merging would "
+                "silently drop coverage — rebuild the missing roots first"
+            )
+        if all(have):
+            _union_read([p[plane] for p in in_paths]).write.mode(
+                "overwrite"
+            ).partitionBy("bucket").parquet(out[plane])
+
+    # deletion ledgers carry over (compaction on the merged root GCs them)
+    del_in = [os.path.join(r, "deleted") for r in roots]
+    del_in = [d for d in del_in if os.path.isdir(d)]
+    if del_in:
+        _union_read(del_in).write.mode("overwrite").parquet(
+            os.path.join(out_root, "deleted")
+        )
+
+    build_dictionary(spark.read.parquet(out["postings"])).write.mode(
+        "overwrite"
+    ).parquet(out["dictionary"])
+
+    counters: dict[int, int] = {}
+    batches: list[str] = []
+    for m in metas:
+        counters.update(
+            {int(k): int(v) for k, v in m.get("bucket_counters", {}).items()}
+        )
+        batches.extend(m.get("stream_batches", []))
+    bases = [int(c.get("bucket_base", 0)) for c in cfgs]
+    spans = [b + int(c.get("n_doc_buckets", 1)) for b, c in zip(bases, cfgs)]
+    cfg = replace(
+        EngineConfig(
+            **{
+                k: v
+                for k, v in cfgs[0].items()
+                if k in EngineConfig.__dataclass_fields__ and k != "extras"
+            }
+        ),
+        bucket_base=min(bases),
+        n_doc_buckets=max(spans) - min(bases),
+    )
+    stats = {"n_docs": n_docs, "avgdl": avgdl_g, "total_tokens": total_tokens}
+    write_meta(out_root, cfg, stats, consistent=True,
+               bucket_counters=counters, stream_batches=batches)
+    now = time.time()
+    _append_manifest(
+        spark, out_root,
+        [("merge", -1, r, int(m["stats"]["n_docs"]), 0, 0.0, 0.0, 0.0,
+          len(roots), "complete", now) for r, m in zip(roots, metas)],
+    )
+    from ..sources.manifest import open_index
+
+    return open_index(spark, out_root)

@@ -97,3 +97,47 @@ def test_bucket_base_mounts_disjoint_corpora(spark, tmp_path_factory):
     assert len(out) and out["docid"].nunique() == len(out)
     buckets_hit = {int(d) >> shift for d in out["docid"]}
     assert any(b < 8 for b in buckets_hit) and any(b >= 8 for b in buckets_hit)
+
+
+def test_merge_indexes_rank_identical_to_combined(spark, roots, tmp_path_factory):
+    """Physically merged index == single combined-build index: same ranks
+    AND scores (global stats re-derived from the merged meta), and the
+    merged root stays a first-class index (counters preserved -> streamed
+    appends keep working)."""
+    from information_retrieval_spark.operators.federation import merge_indexes
+    from information_retrieval_spark.sources.manifest import read_meta
+
+    combined, ra, rb = roots
+    out = str(tmp_path_factory.mktemp("merged") / "idx")
+    midx = merge_indexes(spark, [ra, rb], out)
+
+    cidx = open_index(spark, combined)
+    qterms = parse_queries(spark, QUERIES, CFG)
+    got = _key(wand_topk(spark, midx, qterms, 5, CFG).collect())
+    want = _key(wand_topk(spark, cidx, qterms, 5, CFG).collect())
+    assert [(q, r, d, round(s, 9)) for q, r, d, s in got] == [
+        (q, r, d, round(s, 9)) for q, r, d, s in want
+    ]
+
+    ma, mb, mm = read_meta(ra), read_meta(rb), read_meta(out)
+    assert mm["stats"]["n_docs"] == ma["stats"]["n_docs"] + mb["stats"]["n_docs"]
+    assert set(mm["bucket_counters"]) == (
+        set(ma["bucket_counters"]) | set(mb["bucket_counters"])
+    )
+
+
+def test_merge_indexes_rejects_mismatched_config(spark, roots, tmp_path_factory):
+    from information_retrieval_spark.corpus import synthetic_corpus_pdf
+    from information_retrieval_spark.operators.federation import merge_indexes
+    from information_retrieval_spark.config import EngineConfig
+
+    _, ra, _ = roots
+    other = str(tmp_path_factory.mktemp("stem") / "idx")
+    pdf = synthetic_corpus_pdf(30, seed=7)[COLS]
+    cfg2 = EngineConfig(
+        n_doc_buckets=CFG.n_doc_buckets, block_size=CFG.block_size,
+        stemming_level=1, bucket_base=100,
+    )
+    build_index_resumable(spark, spark.createDataFrame(pdf), other, cfg2)
+    with pytest.raises(ValueError, match="stemming_level"):
+        merge_indexes(spark, [ra, other], str(tmp_path_factory.mktemp("m") / "x"))
