@@ -50,11 +50,16 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--master", default=None, help="override master for local dev")
     p.add_argument("--positional", action="store_true",
                    help="also build the mode-1 positional plane (index.h:51-58)")
+    p.add_argument("--enable-xpath", action="store_true",
+                   help="also build the T9 region plane: <level!N> pseudo-"
+                        "tokens from markup tags (index.h:60-66)")
     args = p.parse_args(argv)
 
     overrides = {}
     if args.positional:
         overrides["positional"] = True
+    if args.enable_xpath:
+        overrides["enable_xpath"] = True
     if args.buckets is not None:
         overrides["n_doc_buckets"] = args.buckets
     if args.block_size is not None:
