@@ -62,6 +62,7 @@ from information_retrieval_spark.operators.textproc import (  # noqa: E402
 from information_retrieval_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
     duckdb_cosine_topk_sql,
+    duckdb_knn_join_sql,
     ivf_assign,
     ivf_topk,
     ivf_train_centroids,
@@ -420,6 +421,17 @@ def _q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
 
 
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact cosine k-NN: the three lowest vec_ids as the query
+    side, top-5 each over the whole embeddings table (self included, sim
+    1.0 at rank 1 — a built-in sanity pin). Map-side partial top-k, final
+    rank bounded by batches*k."""
+    from information_retrieval_spark.operators.similarity import knn_join
+
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return knn_join(embs, embs.filter(F.col("vec_id") < 3), 5)
+
+
 def _q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Terminal dedup output: one representative per duplicate cluster plus
     every singleton, with cluster sizes — the deduplicated corpus a
@@ -577,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keepers": _q_dedup_keepers,
         "repetition_stats": _q_repetition_stats,
         "prefix_topk": _q_prefix_topk,
+        "knn_join": _q_knn_join,
     }
 
 
@@ -764,6 +777,7 @@ FROM events GROUP BY event_type
         "prefix_topk": duckdb_prefix_bm25_sql(
             corpus, PREFIX_SET, CFG, k=TOP_K, round_to=4
         ),
+        "knn_join": duckdb_knn_join_sql(5),
         "minhash_near_dups": minhash_pairs_sql(
             fixtures["minhash_sigs"], n_bands=32, threshold=0.5
         ),

@@ -23,7 +23,7 @@ Training-data operators:
     ``simhash`` / ``simhash_near_dup_pairs``, ``winnow_fingerprints``,
     ``dedup_select`` (final keeper table), ``text_stats`` /
     ``repetition_stats`` / ``token_counts`` / ``lang_id_ngram``,
-    ``cosine_topk`` / ``lsh_bucketize`` / ``lsh_topk`` / ``ivf_topk`` /
+    ``cosine_topk`` / ``knn_join`` / ``lsh_bucketize`` / ``lsh_topk`` / ``ivf_topk`` /
     ``embedding_near_dup_pairs``, ``stream_dedup`` (stateful streaming).
 """
 
@@ -71,6 +71,7 @@ from .operators.similarity import (
     ivf_assign,
     ivf_topk,
     ivf_train_centroids,
+    knn_join,
     lsh_bucketize,
     lsh_topk,
 )
@@ -115,5 +116,5 @@ __all__ = [
     "simhash", "simhash_near_dup_pairs", "winnow_fingerprints", "text_stats",
     "token_counts", "lang_id_ngram",
     "cosine_topk", "lsh_bucketize", "lsh_topk", "embedding_near_dup_pairs",
-    "ivf_train_centroids", "ivf_assign", "ivf_topk",
+    "ivf_train_centroids", "ivf_assign", "ivf_topk", "knn_join",
 ]

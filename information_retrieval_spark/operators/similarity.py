@@ -75,6 +75,109 @@ def cosine_topk(
     return topk.withColumn("rank", F.row_number().over(w)).select("rank", "vec_id", "sim")
 
 
+def knn_join(
+    embs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """(query_id, rank, vec_id, sim) — exact batched cosine k-NN: EVERY
+    query vector gets its top-k over the corpus in one pass (semantic
+    retrieval / cross-corpus near-dup, the batched big sibling of
+    ``cosine_topk``).
+
+    Scale shape: the query matrix is broadcast via the UDF closure (guarded
+    by ``max_queries`` — a corpus-sized query side belongs in
+    ``lsh_topk``/``ivf_topk`` buckets instead); each Arrow batch computes
+    ALL query sims as one float64 matmul and emits only its batch-local
+    top-k per query (argpartition under the global (sim DESC, vec_id ASC)
+    total order, so no global candidate can be lost); the final rank window
+    sees <= batches * k rows per query, never the corpus. One narrow
+    shuffle of candidates; no row ever carries more than (query_id, vec_id,
+    sim).
+    """
+    qrows = queries.select(
+        F.col(id_col).cast("long").alias("qid"), F.col(vec_col).alias("qv")
+    ).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"knn_join query side exceeds max_queries={max_queries}; bucket "
+            "the corpus (lsh_topk / ivf_topk) instead of brute-forcing a "
+            "corpus-sized query set"
+        )
+    out_schema = "query_id long, vec_id long, sim double"
+    spark = embs.sparkSession
+    if not qrows:
+        return spark.createDataFrame([], "query_id long, rank int, vec_id long, sim double")
+    qids = np.asarray([r["qid"] for r in qrows], dtype=np.int64)
+    Qm = np.asarray([list(r["qv"]) for r in qrows], dtype=np.float64)
+    Qn = Qm / np.maximum(np.linalg.norm(Qm, axis=1, keepdims=True), 1e-300)
+    kk = int(k)
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-300)
+            sims = np.round(En @ Qn.T, 6)  # rows: corpus batch, cols: queries
+            ids = pdf[id_col].to_numpy(np.int64)
+            n = ids.size
+            take = min(kk, n)
+            outs = []
+            for j in range(qids.size):
+                col = sims[:, j]
+                # batch-local top-k under the global (sim DESC, id ASC) order
+                order = np.lexsort((ids, -col))[:take]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(take, qids[j], dtype=np.int64),
+                            "vec_id": ids[order],
+                            "sim": col[order],
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    cands = embs.select(id_col, vec_col).mapInPandas(part, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select("query_id", "rank", "vec_id", "sim")
+    )
+
+
+def duckdb_knn_join_sql(
+    k: int, *, table: str = "embeddings", id_col: str = "vec_id",
+    vec_col: str = "embedding", query_filter: str = "vec_id < 3",
+) -> str:
+    """Oracle: full cross scoring + window rank in SQL — queries drawn from
+    the same table by ``query_filter``."""
+    return f"""
+WITH q AS (
+  SELECT CAST({id_col} AS BIGINT) AS query_id, {vec_col}::DOUBLE[] AS qv
+  FROM {table} WHERE {query_filter}
+),
+scored AS (
+  SELECT q.query_id, CAST(e.{id_col} AS BIGINT) AS vec_id,
+         round(list_cosine_similarity(e.{vec_col}::DOUBLE[], q.qv), 6) AS sim
+  FROM {table} e, q
+),
+r AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, sim FROM r WHERE rank <= {int(k)}
+"""
+
+
 def duckdb_cosine_topk_sql(
     qvec: list[float], k: int, *, table: str = "embeddings",
     id_col: str = "vec_id", vec_col: str = "embedding",

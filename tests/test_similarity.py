@@ -185,3 +185,26 @@ def test_ivf_oracle_fixture_matches_engine(spark, embs):
     )
     eng = ivf_train_centroids(embs, n_centroids=8, iters=4)
     assert np.array_equal(fix, eng)
+
+
+def test_knn_join_self_rank1_and_single_query_parity(spark, embs):
+    """Every query's rank-1 neighbor is itself (sim 1.0); a one-row query
+    side reproduces cosine_topk exactly; the max_queries guard trips."""
+    from information_retrieval_spark.operators.similarity import cosine_topk, knn_join
+
+    q = embs.filter(F.col("vec_id") < 4)
+    out = knn_join(embs, q, 5).toPandas()
+    assert sorted(out["query_id"].unique()) == [0, 1, 2, 3]
+    r1 = out[out["rank"] == 1]
+    assert (r1["vec_id"].to_numpy() == r1["query_id"].to_numpy()).all()
+    assert (r1["sim"] == 1.0).all()
+    assert (out.groupby("query_id")["rank"].max() == 5).all()
+
+    qvec = [float(v) for v in embs.filter(F.col("vec_id") == 2).collect()[0]["embedding"]]
+    single = cosine_topk(embs, qvec, 5).toPandas()
+    mine = out[out["query_id"] == 2].sort_values("rank")
+    assert list(mine["vec_id"]) == list(single.sort_values("rank")["vec_id"])
+    assert [round(s, 6) for s in mine["sim"]] == [round(s, 6) for s in single.sort_values("rank")["sim"]]
+
+    with pytest.raises(ValueError, match="max_queries"):
+        knn_join(embs, embs, 5, max_queries=3)
