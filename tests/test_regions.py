@@ -147,3 +147,52 @@ def test_regions_lifecycle(spark, tmp_path):
     compact_index(spark, root, cfg)
     idx = open_index(spark, root)
     assert region_match(idx.regions, [("needle", 2)]).count() == 6
+
+
+def test_depth_arithmetic_matches_per_token_reference(spark):
+    """Property: the batch cumsum depth/level kernel == a per-token Python
+    reference over random tag/word sequences (including malformed nesting),
+    across multiple docs in one batch."""
+    from hypothesis import given, settings, strategies as st
+
+    token = st.sampled_from(["<a>", "</a>", "<bb>", "</bb>", "w", "x7", "y_z"])
+    docs_strategy = st.lists(
+        st.lists(token, min_size=1, max_size=30), min_size=1, max_size=6
+    )
+
+    def reference(tokens):
+        """(term, level) per token — direct transcription of the documented
+        rule: open = depth after +1, close = depth before -1, word = depth."""
+        depth, out = 0, []
+        for t in tokens:
+            if t.startswith("</"):
+                out.append((f"</level!{depth}>", depth))
+                depth -= 1
+            elif t.startswith("<"):
+                depth += 1
+                out.append((f"<level!{depth}>", depth))
+            else:
+                out.append((t, depth))
+        return out
+
+    @settings(max_examples=25, deadline=None)
+    @given(docs_strategy)
+    def run(docs):
+        from information_retrieval_spark.operators.regions import region_postings
+
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "docid long, content string",
+        )
+        got = {}
+        for r in region_postings(df).collect():
+            for p, d in zip(r["positions"], r["depths"]):
+                got[(r["docid"], p)] = (r["term"], d)
+        want = {
+            (i, p): td
+            for i, toks in enumerate(docs)
+            for p, td in enumerate(reference(toks))
+        }
+        assert got == want
+
+    run()
