@@ -83,31 +83,28 @@ def expand_prefixes(
     capped at the lexicographically-first ``max_expansions`` per query
     (deterministic, mirrored exactly by the SQL oracle).
 
-    Scale shape: one column-pruned scan of the dictionary (|vocab| rows,
-    orders of magnitude below |postings|) with the startswith predicates
-    applied map-side against a broadcast prefix table; the per-query sort
-    behind the cap only shuffles the MATCHES. The driver collect is bounded
-    by n_queries * max_expansions. A one-character prefix over a 10^8-term
-    vocabulary still works — the cap bounds everything downstream — but
-    matches-to-sort can be large; that is inherent to wildcard expansion
-    (Lucene's rewrite has the same shape).
+    Scale shape: one column-pruned dictionary scan PER PREFIX with the
+    startswith predicate applied map-side and the cap taken as
+    ``orderBy(term).limit(cap)`` — Catalyst compiles that to
+    TakeOrderedAndProject, so every partition keeps only its own first
+    ``cap`` matches and the driver merges <= cap rows per partition. No
+    global sort, no single-partition window: a one-character prefix over a
+    10^8-term vocabulary never funnels its matches through one task (the
+    earlier row_number-window formulation did exactly that). n_queries
+    small jobs beat one skew-prone job for an interactive expansion.
     """
-    spark = index.dictionary.sparkSession
     norm = normalize_prefixes(prefixes, cfg)
-    if not norm:
-        return []
-    qdf = spark.createDataFrame(norm, "query_id int, prefix string")
-    cand = index.dictionary.select("term").join(
-        F.broadcast(qdf), F.col("term").startswith(F.col("prefix"))
-    )
-    w = Window.partitionBy("query_id").orderBy("term")
-    rows = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= int(max_expansions))
-        .select("query_id", "term")
-        .collect()
-    )
-    return [(int(r["query_id"]), r["term"]) for r in rows]
+    out: list[tuple[int, str]] = []
+    terms = index.dictionary.select("term")
+    for qid, p in norm:
+        rows = (
+            terms.filter(F.col("term").startswith(F.lit(p)))
+            .orderBy("term")
+            .limit(int(max_expansions))
+            .collect()
+        )
+        out.extend((qid, r["term"]) for r in rows)
+    return out
 
 
 def prefix_topk(

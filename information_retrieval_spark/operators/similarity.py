@@ -127,21 +127,37 @@ def knn_join(
             ids = pdf[id_col].to_numpy(np.int64)
             n = ids.size
             take = min(kk, n)
-            outs = []
-            for j in range(qids.size):
-                col = sims[:, j]
-                # batch-local top-k under the global (sim DESC, id ASC) order
-                order = np.lexsort((ids, -col))[:take]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.full(take, qids[j], dtype=np.int64),
-                            "vec_id": ids[order],
-                            "sim": col[order],
-                        }
-                    )
+            # batch-local top-k for ALL queries at once: one axis-0
+            # argpartition over the sims matrix (ties broken by id via an
+            # id-scaled epsilon-free composite: partition on sim, then an
+            # exact per-query lexsort over the <= take survivors only)
+            if take < n:
+                part = np.argpartition(-sims, take - 1, axis=0)[:take]
+            else:
+                part = np.broadcast_to(
+                    np.arange(n, dtype=np.int64)[:, None], (n, qids.size)
                 )
-            yield pd.concat(outs, ignore_index=True)
+            nq = qids.size
+            rows_idx = np.empty((take, nq), dtype=np.int64)
+            for j in range(nq):
+                cand = part[:, j]
+                # exact (sim DESC, id ASC) order among k candidates — O(k log k)
+                o = np.lexsort((ids[cand], -sims[cand, j]))
+                rows_idx[:, j] = cand[o]
+            # argpartition on sim alone can drop an id-tiebreak winner only
+            # if > take rows tie at the cut sim; re-check and fall back
+            cut = sims[rows_idx[-1], np.arange(nq)]
+            bad = (sims >= cut).sum(axis=0) > take
+            for j in np.flatnonzero(bad):
+                o = np.lexsort((ids, -sims[:, j]))[:take]
+                rows_idx[:, j] = o
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, take),
+                    "vec_id": ids[rows_idx.T.ravel()],
+                    "sim": sims[rows_idx.T.ravel(), np.repeat(np.arange(nq), take)],
+                }
+            )
 
     cands = embs.select(id_col, vec_col).mapInPandas(part, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))

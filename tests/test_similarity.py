@@ -208,3 +208,16 @@ def test_knn_join_self_rank1_and_single_query_parity(spark, embs):
 
     with pytest.raises(ValueError, match="max_queries"):
         knn_join(embs, embs, 5, max_queries=3)
+
+
+def test_knn_join_tie_fallback_exact(spark):
+    """>k sim-ties at the partition cut must resolve by id ASC (the
+    argpartition fast path re-checks the boundary and falls back exactly)."""
+    from information_retrieval_spark.operators.similarity import knn_join
+
+    rows = [(i, [1.0, 0.0]) for i in range(10)] + [(99, [0.0, 1.0])]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(1)
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    out = knn_join(e, q, 3).toPandas().sort_values("rank")
+    assert list(out["vec_id"]) == [0, 1, 2]
+    assert (out["sim"] == 1.0).all()
