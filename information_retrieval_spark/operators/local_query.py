@@ -121,8 +121,12 @@ class LocalIndex:
     ) -> list[tuple[int, str]]:
         """[(query_id, term)] — dictionary terms per analyzed prefix, capped
         at the lexicographically-first ``max_expansions`` (identical
-        semantics to the Spark-side ``expand_prefixes``). One column-pruned
-        read of the dictionary's term column, pyarrow-side startswith."""
+        semantics to the Spark-side ``expand_prefixes``). The dictionary
+        read pushes a per-prefix range predicate ``p <= term < p+1`` into
+        the Parquet scan — with the term column written sorted, row-group
+        min/max stats prune everything outside the prefix ranges, so an
+        interactive prefix query never materializes the full vocabulary
+        (which the Spark-side docstring sizes at 10^8 terms)."""
         import numpy as np
         import pyarrow.compute as pc
         import pyarrow.dataset as ds
@@ -133,9 +137,21 @@ class LocalIndex:
         if not norm:
             return []
         dict_dir = os.path.join(self.root, "dictionary")
+        flt = None
+        for _, p in norm:
+            lo = ds.field("term") >= p
+            # [p, p[:-1] + succ(last char)) is exactly the startswith(p)
+            # range; a max-code-point last char (impossible for analyzer
+            # tokens) degrades to the open-ended lower bound
+            f = (
+                lo & (ds.field("term") < p[:-1] + chr(ord(p[-1]) + 1))
+                if ord(p[-1]) < 0x10FFFF
+                else lo
+            )
+            flt = f if flt is None else (flt | f)
         terms = (
             ds.dataset(dict_dir, format="parquet")
-            .to_table(columns=["term"])
+            .to_table(columns=["term"], filter=flt)
             .column("term")
         )
         out: list[tuple[int, str]] = []

@@ -283,7 +283,7 @@ def duckdb_prefix_bm25_sql(
            row_number() OVER (PARTITION BY q.query_id ORDER BY v.term) AS rn
     FROM (VALUES {qvalues}) AS q(query_id, prefix)
     JOIN (SELECT DISTINCT term FROM tf) v
-      ON q.prefix IS NOT NULL AND v.term LIKE q.prefix || '%'
+      ON q.prefix IS NOT NULL AND starts_with(v.term, q.prefix)
   ) WHERE rn <= {int(max_expansions)}"""
     return _duckdb_bm25_body(corpus_sql, qterms_sql, cfg, k, round_to)
 

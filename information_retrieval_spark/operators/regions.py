@@ -90,8 +90,11 @@ def region_postings(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> Data
     doc) grouping — the same machinery as ``positional_postings``, plus the
     parallel ``depths`` array.
     """
+    from ..functions.analyzer import _stem_rules
+
     shift = cfg.doc_bucket_bits
     pattern = region_token_pattern(cfg)
+    rules = _stem_rules(cfg)  # validates the level too
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -110,13 +113,27 @@ def region_postings(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> Data
             delta = is_tag.astype(np.int64) - 2 * is_close.astype(np.int64)
             doc_off = np.concatenate(([0], np.cumsum(lens)))
             cum = np.cumsum(delta)
-            # per-doc reset: subtract the running sum just before each doc
-            base = cum[doc_off[:-1]] - delta[doc_off[:-1]]
-            depth = (cum - np.repeat(base, lens)).astype(np.int64)
+            # per-doc reset: subtract the running sum just before each doc.
+            # Indexed PER TOKEN (np.repeat first), never per doc — a doc
+            # with zero tokens at the end of the batch would otherwise make
+            # doc_off[:-1] index one past the end of cum/delta.
+            starts_tok = np.repeat(doc_off[:-1], lens)
+            base = cum[starts_tok] - delta[starts_tok]
+            depth = (cum - base).astype(np.int64)
             # token level: word/open = inclusive running sum; close = the
             # depth BEFORE its own -1 (the level of the region it closes)
             level = depth.copy()
             level[is_close] += 1
+            # same-analyzer contract (index.cc:189-192): word tokens get the
+            # SAME stem rules as the postings/positional planes — applied to
+            # the word subset only, vectorized C-speed str.replace chain
+            if rules:
+                wi = np.flatnonzero(~is_tag)
+                if wi.size:
+                    wflat = pd.Series(flat[wi])
+                    for pat, _, rep in rules:
+                        wflat = wflat.str.replace(pat, rep, regex=True)
+                    flat[wi] = wflat.to_numpy(dtype=object)
             if is_tag.any():
                 ti = np.flatnonzero(is_tag)
                 # tags are sparse (a handful per doc) — a small loop over

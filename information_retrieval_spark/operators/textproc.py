@@ -170,6 +170,12 @@ FROM m
 # in the engine and the DuckDB oracle)
 # --------------------------------------------------------------------------
 
+def _round6(x: np.ndarray) -> np.ndarray:
+    """Half-up rounding at 6 dp, bit-identical to the oracle's
+    ``floor(x * 1000000 + 0.5) / 1000000`` (values here are >= 0)."""
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
 REPETITION_SCHEMA = StructType(
     [
         StructField("id", LongType(), False),
@@ -196,7 +202,12 @@ def repetition_stats(
     - ``dup_trigram_frac``  = occurrences belonging to trigrams seen more
                               than once / (n_tokens - 2)
 
-    All 0.0 when the denominator would be empty. Rounded to 6 dp.
+    All 0.0 when the denominator would be empty. Rounded to 6 dp HALF-UP
+    (``floor(x * 1e6 + 0.5) / 1e6``) — NOT ``np.round``: these metrics are
+    ratios of small integers, so exactly-representable dyadic ties like
+    1/128 are realistic, and numpy's half-even would disagree with the
+    oracle's half-away rounding. The oracle SQL computes the identical
+    float64 expression.
 
     Fully batch-vectorized (mapInPandas, NO shuffle — per-doc metrics are
     batch-local): one factorize over the flattened tokens, gram identities
@@ -249,7 +260,7 @@ def repetition_stats(
 
             # unigrams
             gdoc, mx, _ = per_doc_counts(c1, doc_idx)
-            out.loc[gdoc, "top_word_frac"] = np.round(mx / lens[gdoc], 6)
+            out.loc[gdoc, "top_word_frac"] = _round6(mx / lens[gdoc])
             # bigrams: gram = (c1[i], c1[i+1]), both tokens in the same doc
             m2 = pos[1:] >= 1  # position i+1 has a predecessor in its doc
             if m2.any():
@@ -257,9 +268,7 @@ def repetition_stats(
                 u2, c2 = np.unique(raw2, return_inverse=True)
                 d2 = doc_idx[1:][m2]
                 gdoc, mx, _ = per_doc_counts(c2.astype(np.int64), d2)
-                out.loc[gdoc, "top_bigram_frac"] = np.round(
-                    2.0 * mx / lens[gdoc], 6
-                )
+                out.loc[gdoc, "top_bigram_frac"] = _round6(2.0 * mx / lens[gdoc])
                 # trigrams: gram = (bigram at i, token i+2); re-compressed
                 # bigram codes keep the key < |u2| * v1 (no overflow)
                 m3 = pos[2:] >= 2
@@ -270,8 +279,8 @@ def repetition_stats(
                     _u3, c3 = np.unique(raw3, return_inverse=True)
                     d3 = doc_idx[2:][m3]
                     gdoc, _mx, dup = per_doc_counts(c3.astype(np.int64), d3)
-                    out.loc[gdoc, "dup_trigram_frac"] = np.round(
-                        dup / (lens[gdoc] - 2), 6
+                    out.loc[gdoc, "dup_trigram_frac"] = _round6(
+                        dup / (lens[gdoc] - 2)
                     )
             yield out
 
@@ -310,9 +319,9 @@ tri AS (SELECT id, n, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM
         GROUP BY id, n)
 SELECT d.{id_col} AS id,
        CAST(COALESCE(len({tok}), 0) AS BIGINT) AS n_tokens,
-       round(COALESCE(uni.mx * 1.0 / uni.n, 0.0), 6) AS top_word_frac,
-       round(COALESCE(bi.mx * 2.0 / bi.n, 0.0), 6) AS top_bigram_frac,
-       round(COALESCE(tri.dup * 1.0 / (tri.n - 2), 0.0), 6) AS dup_trigram_frac
+       floor(COALESCE(uni.mx * 1.0 / uni.n, 0.0) * 1000000 + 0.5) / 1000000 AS top_word_frac,
+       floor(COALESCE(bi.mx * 2.0 / bi.n, 0.0) * 1000000 + 0.5) / 1000000 AS top_bigram_frac,
+       floor(COALESCE(tri.dup * 1.0 / (tri.n - 2), 0.0) * 1000000 + 0.5) / 1000000 AS dup_trigram_frac
 FROM {table} d
 LEFT JOIN uni ON uni.id = d.{id_col}
 LEFT JOIN bi  ON bi.id = d.{id_col}

@@ -196,3 +196,39 @@ def test_depth_arithmetic_matches_per_token_reference(spark):
         assert got == want
 
     run()
+
+
+def test_zero_token_doc_last_in_batch(spark):
+    """Regression: a doc that tokenizes to zero tokens at the END of an
+    Arrow batch used to raise IndexError in the depth kernel
+    (``cum[doc_off[:-1]]`` indexed one past the flattened arrays)."""
+    df = spark.createDataFrame(
+        [(1, "<doc> alpha </doc>"), (2, "...!!!"), (3, "")],
+        "docid long, content string",
+    ).coalesce(1)
+    t = {r["term"]: r for r in region_postings(df).collect()}
+    assert set(t) == {"<level!1>", "alpha", "</level!1>"}
+    assert t["alpha"]["depths"] == [1]
+
+
+def test_region_plane_applies_stem_rules(spark):
+    """Same-analyzer contract across planes: with stemming enabled the
+    regions plane must store the SAME stemmed vocabulary as the postings
+    and positional planes (used to store raw words)."""
+    from information_retrieval_spark.functions.analyzer import tokenize_series
+    import pandas as pd
+
+    cfg = EngineConfig(stemming_level=2)
+    df = spark.createDataFrame(
+        [(1, "<doc> running dogs <sec> quickly cities </sec> </doc>")],
+        "docid long, content string",
+    )
+    t = {r["term"]: r for r in region_postings(df, cfg).collect()}
+    expected_words = set(
+        tokenize_series(pd.Series(["running dogs quickly cities"]), cfg)[0]
+    )
+    words = {k for k in t if not k.startswith("<")}
+    assert words == expected_words  # runn, dog, quick, citi
+    # depths still follow the tag structure
+    assert t["quick"]["depths"] == [2]
+    assert t["dog"]["depths"] == [1]

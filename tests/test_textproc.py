@@ -360,3 +360,32 @@ def test_dedup_select_keepers_and_singletons(spark):
         for r in dedup_select(ids, dedup_clusters(pairs)).collect()
     }
     assert out == {1: 3, 10: 2, 20: 1, 21: 1}
+
+
+def test_repetition_rounding_matches_oracle_on_dyadic_ties(spark):
+    """Regression: a power-of-two token count makes top_word_frac an exactly
+    representable dyadic tie (1/128 = 0.0078125); np.round's half-even used
+    to emit 0.007812 while the DuckDB oracle's half-away gave 0.007813.
+    Both sides now compute floor(x * 1e6 + 0.5) / 1e6."""
+    import duckdb
+
+    from information_retrieval_spark.operators.textproc import (
+        duckdb_repetition_sql,
+        repetition_stats,
+    )
+
+    text = " ".join(f"w{i}" for i in range(128))  # 128 distinct tokens
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = repetition_stats(df).collect()[0]
+    assert r["top_word_frac"] == 0.007813  # half-UP, not half-even
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT CAST(1 AS BIGINT) AS doc_id, ? AS text",
+        [text],
+    )
+    oid, on_tok, ow, ob, ot = con.execute(duckdb_repetition_sql()).fetchone()
+    assert (on_tok, ow, ob, ot) == (
+        r["n_tokens"], r["top_word_frac"], r["top_bigram_frac"],
+        r["dup_trigram_frac"],
+    )
