@@ -42,12 +42,17 @@ from information_retrieval_spark.operators.query import (  # noqa: E402
     duckdb_conjunctive_sql,
     duckdb_prefix_bm25_sql,
     duckdb_tok,
+    duckdb_wildcard_bm25_sql,
     naive_bm25,
     parse_queries,
 )
 from information_retrieval_spark.operators.wand import wand_topk  # noqa: E402
+from information_retrieval_spark.operators.boolquery import (  # noqa: E402
+    duckdb_boolean_sql,
+)
 from information_retrieval_spark.operators.textproc import (  # noqa: E402
     duckdb_exact_dedup_sql,
+    duckdb_quality_filter_sql,
     duckdb_lang_id_sql,
     duckdb_text_stats_sql,
     duckdb_token_counts_sql,
@@ -421,6 +426,52 @@ def _q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
 
 
+# boolean-expression query set: AND/OR grouping, NOT, collection-scoped
+# complement inside a conjunction, and an absent term under OR
+BOOL_QUERY_SET = [
+    "hash AND (join OR merge)",
+    "table AND NOT key",
+    "NOT (slow OR fast) AND scan",
+    "zzz_nope OR value",
+]
+
+
+def _q_boolean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full boolean expression retrieval (AND/OR/NOT/parens, implicit AND):
+    the whole query batch evaluated in ONE codegen corpus scan — per-doc
+    token array + array_contains predicate trees, matched ids exploded.
+    The oracle compiles the SAME shared AST to SQL booleans over DuckDB's
+    own tokenization."""
+    from information_retrieval_spark.operators.boolquery import boolean_query
+
+    return boolean_query(_corpus(spark, sf_dir), BOOL_QUERY_SET, CFG)
+
+
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality admission: text_stats + repetition
+    signals -> first-failing-rule verdict (keep, fail_reason). Two
+    shuffle-free scans + one unique-key join."""
+    from information_retrieval_spark.operators.textproc import quality_filter
+
+    return quality_filter(_documents(spark, sf_dir), CFG)
+
+
+# wildcard set: prefix, suffix, infix, and an infix with no dictionary match
+WILDCARD_SET = ["ta*", "*ble", "*as*", "*zzz*"]
+
+
+def _q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-star wildcard retrieval (ta* / *ble / *as*): dictionary
+    expansion (lexicographic cap) -> disjunctive block-max WAND; the suffix
+    and infix modes generalize prefix_topk. Oracle re-derives the expansion
+    with starts_with/ends_with/contains joins against the corpus vocabulary."""
+    from information_retrieval_spark.operators.query import wildcard_topk
+
+    idx = _index(spark, sf_dir)
+    out = wildcard_topk(spark, idx, WILDCARD_SET, TOP_K, CFG)
+    return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
+
+
 def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched exact cosine k-NN: the three lowest vec_ids as the query
     side, top-5 each over the whole embeddings table (self included, sim
@@ -589,6 +640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keepers": _q_dedup_keepers,
         "repetition_stats": _q_repetition_stats,
         "prefix_topk": _q_prefix_topk,
+        "wildcard_topk": _q_wildcard_topk,
+        "boolean_query": _q_boolean_query,
+        "quality_filter": _q_quality_filter,
         "knn_join": _q_knn_join,
     }
 
@@ -777,6 +831,11 @@ FROM events GROUP BY event_type
         "prefix_topk": duckdb_prefix_bm25_sql(
             corpus, PREFIX_SET, CFG, k=TOP_K, round_to=4
         ),
+        "wildcard_topk": duckdb_wildcard_bm25_sql(
+            corpus, WILDCARD_SET, CFG, k=TOP_K, round_to=4
+        ),
+        "boolean_query": duckdb_boolean_sql(corpus, BOOL_QUERY_SET, CFG),
+        "quality_filter": duckdb_quality_filter_sql(CFG),
         "knn_join": duckdb_knn_join_sql(5),
         "minhash_near_dups": minhash_pairs_sql(
             fixtures["minhash_sigs"], n_bands=32, threshold=0.5

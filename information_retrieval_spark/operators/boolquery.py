@@ -1,0 +1,209 @@
+"""Boolean-expression retrieval: ``hash AND (join OR merge) AND NOT error``.
+
+The reference ships no query processor at all (SURVEY.md §2.7 — only the
+TCP port constants exist, /root/reference/index/index.h:43-45); its CLI
+surface implies set-oriented retrieval over the inverted index. This module
+completes the boolean surface started by ``query.conjunctive_match`` (pure
+AND) with a full expression language:
+
+    expr  := or
+    or    := and ("OR" and)*
+    and   := unary (("AND")? unary)*      -- adjacency is implicit AND
+    unary := "NOT" unary | "(" expr ")" | TERM
+
+``AND`` / ``OR`` / ``NOT`` are the UPPERCASE keywords (lowercase ``and`` is
+a content word); every TERM passes through the SAME indexing analyzer as
+document content (Q1 same-analyzer contract), so a term that analyzes to
+several tokens (``"foo-bar"``) means their conjunction and a term that
+analyzes to nothing (``"!!!"``) is FALSE. ``NOT`` is collection-scoped
+complement (docs NOT containing the operand).
+
+Execution is Spark-first: the whole query batch compiles to ONE Catalyst
+projection over one corpus scan — per-doc token array, one boolean column
+per query (``array_contains`` trees, all whole-stage codegen), matched
+query_ids packed into an array and exploded. No join, no shuffle, no
+Python. At 100 TB this is the honest full-scan evaluator the NOT operator
+forces in general; pure-AND queries should keep routing to the index-backed
+``conjunctive_match``/WAND paths instead.
+
+The DuckDB oracle compiles the SAME AST to a SQL boolean over
+``list_contains`` — parsing/analysis is shared (exactly the
+``normalize_prefixes`` boundary), evaluation is re-derived independently.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+from ..functions.analyzer import tokenize_expr
+from .build import build_docs_table
+
+_KEYWORDS = {"AND", "OR", "NOT"}
+
+
+class BooleanSyntaxError(ValueError):
+    pass
+
+
+def _lex(query: str) -> list[str]:
+    out: list[str] = []
+    for raw in query.replace("(", " ( ").replace(")", " ) ").split():
+        out.append(raw)
+    return out
+
+
+def parse_boolean(query: str, cfg: EngineConfig = DEFAULT_CONFIG) -> tuple:
+    """Parse to an AST of nested tuples:
+    ``('or'|'and', [children])``, ``('not', child)``,
+    ``('term', [analyzed tokens])``. Raises BooleanSyntaxError on malformed
+    input (unbalanced parens, dangling operators)."""
+    import pandas as pd
+
+    from ..functions.analyzer import tokenize_series
+
+    toks = _lex(query)
+    pos = 0
+
+    def peek() -> str | None:
+        return toks[pos] if pos < len(toks) else None
+
+    def take() -> str:
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_or() -> tuple:
+        kids = [parse_and()]
+        while peek() == "OR":
+            take()
+            kids.append(parse_and())
+        return kids[0] if len(kids) == 1 else ("or", kids)
+
+    def parse_and() -> tuple:
+        kids = [parse_unary()]
+        while True:
+            nxt = peek()
+            if nxt == "AND":
+                take()
+                kids.append(parse_unary())
+            elif nxt is not None and nxt not in ("OR", ")"):
+                kids.append(parse_unary())  # adjacency = implicit AND
+            else:
+                break
+        return kids[0] if len(kids) == 1 else ("and", kids)
+
+    def parse_unary() -> tuple:
+        nxt = peek()
+        if nxt is None:
+            raise BooleanSyntaxError(f"dangling operator in {query!r}")
+        if nxt == "NOT":
+            take()
+            return ("not", parse_unary())
+        if nxt == "(":
+            take()
+            inner = parse_or()
+            if peek() != ")":
+                raise BooleanSyntaxError(f"unbalanced '(' in {query!r}")
+            take()
+            return inner
+        if nxt == ")":
+            raise BooleanSyntaxError(f"unbalanced ')' in {query!r}")
+        word = take()
+        analyzed = tokenize_series(pd.Series([word], dtype=object), cfg)[0]
+        return ("term", sorted(set(analyzed)))
+
+    tree = parse_or()
+    if pos != len(toks):
+        raise BooleanSyntaxError(f"trailing tokens in {query!r}")
+    return tree
+
+
+def _to_column(node: tuple, toks: Column) -> Column:
+    kind = node[0]
+    if kind == "term":
+        terms = node[1]
+        if not terms:
+            return F.lit(False)
+        return reduce(
+            lambda a, b: a & b, (F.array_contains(toks, t) for t in terms)
+        )
+    if kind == "and":
+        return reduce(lambda a, b: a & b, (_to_column(c, toks) for c in node[1]))
+    if kind == "or":
+        return reduce(lambda a, b: a | b, (_to_column(c, toks) for c in node[1]))
+    if kind == "not":
+        return ~_to_column(node[1], toks)
+    raise AssertionError(node)
+
+
+def _to_sql(node: tuple, toks_col: str = "toks") -> str:
+    kind = node[0]
+    if kind == "term":
+        terms = node[1]
+        if not terms:
+            return "FALSE"
+        return (
+            "("
+            + " AND ".join(f"list_contains({toks_col}, '{t}')" for t in terms)
+            + ")"
+        )
+    if kind == "and":
+        return "(" + " AND ".join(_to_sql(c, toks_col) for c in node[1]) + ")"
+    if kind == "or":
+        return "(" + " OR ".join(_to_sql(c, toks_col) for c in node[1]) + ")"
+    if kind == "not":
+        return f"(NOT {_to_sql(node[1], toks_col)})"
+    raise AssertionError(node)
+
+
+def boolean_query(
+    corpus: DataFrame, queries: list[str], cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """(query_id, docid) for docs satisfying each boolean expression.
+
+    One corpus scan for the WHOLE query batch: the per-doc token array is
+    computed once, each query's predicate is an ``array_contains`` boolean
+    tree over it, and the ids of matched queries are packed into one array
+    and exploded — all inside whole-stage codegen (no join, no shuffle, no
+    Python). Adding a query adds a boolean column, not a scan.
+    """
+    preds = [parse_boolean(q, cfg) for q in queries]
+    docs = build_docs_table(corpus, cfg)
+    toks = tokenize_expr("content", cfg)
+    d = docs.select("docid", toks.alias("toks"))
+    hit_ids = F.filter(
+        F.array(
+            *[
+                F.when(_to_column(p, F.col("toks")), F.lit(i)).cast("int")
+                for i, p in enumerate(preds)
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        d.select("docid", F.explode(hit_ids).alias("query_id"))
+        .select("query_id", "docid")
+    )
+
+
+def duckdb_boolean_sql(
+    corpus_sql: str, queries: list[str], cfg: EngineConfig = DEFAULT_CONFIG
+) -> str:
+    """Oracle twin: same shared parse/analysis, evaluation re-derived as SQL
+    booleans over DuckDB's own regexp tokenization of the same corpus."""
+    from .docids import duckdb_docid_sql
+    from .query import duckdb_tok
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {i} AS query_id, docid FROM dt WHERE {_to_sql(parse_boolean(q, cfg))}"
+        for i, q in enumerate(queries)
+    )
+    return f"""
+WITH ids AS ({duckdb_docid_sql(corpus_sql, cfg)}),
+dt AS (SELECT docid, {duckdb_tok('content', cfg)} AS toks FROM ids)
+{arms}
+"""

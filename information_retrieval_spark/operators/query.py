@@ -130,6 +130,97 @@ def prefix_topk(
     return wand_topk(spark, index, pairs, k, cfg, **wand_kwargs)
 
 
+def normalize_wildcards(
+    patterns: list[str], cfg: EngineConfig = DEFAULT_CONFIG
+) -> list[tuple[int, str, str]]:
+    """[(query_id, mode, core)] with mode in {prefix, suffix, infix, exact}
+    from edge-star patterns (``ta*`` / ``*ble`` / ``*as*`` / ``table``).
+    The core passes through the indexing analyzer (first token kept, Q1
+    same-analyzer contract); patterns whose core analyzes to nothing are
+    dropped. Interior stars are not a supported surface (raises)."""
+    import pandas as pd
+
+    from ..functions.analyzer import tokenize_series
+
+    modes: list[tuple[int, str, str]] = []
+    cores: list[str] = []
+    for i, p in enumerate(patterns):
+        lead, trail = p.startswith("*"), p.endswith("*")
+        core = p.strip("*")
+        if "*" in core:
+            raise ValueError(f"interior '*' not supported: {p!r}")
+        mode = (
+            "infix" if (lead and trail)
+            else "suffix" if lead
+            else "prefix" if trail
+            else "exact"
+        )
+        modes.append((i, mode, core))
+        cores.append(core)
+    toks = tokenize_series(pd.Series(cores, dtype=object), cfg)
+    return [
+        (qid, mode, ts[0])
+        for (qid, mode, _), ts in zip(modes, toks)
+        if len(ts) > 0
+    ]
+
+
+def expand_wildcards(
+    index,
+    patterns: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    max_expansions: int = 64,
+) -> list[tuple[int, str]]:
+    """[(query_id, term)] — dictionary terms matching each edge-star
+    pattern, capped at the lexicographically-first ``max_expansions`` per
+    query (deterministic, mirrored by the SQL oracle).
+
+    Scale shape: same TakeOrderedAndProject discipline as
+    ``expand_prefixes`` — one column-pruned dictionary scan per pattern,
+    predicate map-side, per-partition cap, never a global sort. Prefix
+    cores additionally prune via the sorted term column's row-group min/max
+    stats; suffix/infix cores cannot (contains/endswith is not range-
+    expressible), so they scan the full pruned term column — the standard
+    production upgrade is a reversed-term dictionary twin that turns
+    suffix into prefix (public Lucene ReversedWildcardFilter trick), which
+    this layout supports but does not ship."""
+    out: list[tuple[int, str]] = []
+    terms = index.dictionary.select("term")
+    for qid, mode, core in normalize_wildcards(patterns, cfg):
+        t = F.col("term")
+        pred = {
+            "prefix": t.startswith(core),
+            "suffix": t.endswith(core),
+            "infix": t.contains(core),
+            "exact": t == core,
+        }[mode]
+        rows = (
+            terms.filter(pred).orderBy("term").limit(int(max_expansions)).collect()
+        )
+        out.extend((qid, r["term"]) for r in rows)
+    return out
+
+
+def wildcard_topk(
+    spark: SparkSession,
+    index,
+    patterns: list[str],
+    k: int,
+    cfg: EngineConfig | None = None,
+    max_expansions: int = 64,
+    **wand_kwargs,
+) -> DataFrame:
+    """(query_id, rank, docid, score) — wildcard retrieval over edge-star
+    patterns: dictionary expansion, then the expanded term set scored
+    disjunctively by the same block-max WAND machinery as plain queries
+    (generalizes ``prefix_topk`` to suffix/infix)."""
+    from .wand import wand_topk
+
+    cfg = cfg or index.cfg
+    pairs = expand_wildcards(index, patterns, cfg, max_expansions)
+    return wand_topk(spark, index, pairs, k, cfg, **wand_kwargs)
+
+
 def naive_bm25(
     corpus: DataFrame,
     qterms: DataFrame,
@@ -284,6 +375,42 @@ def duckdb_prefix_bm25_sql(
     FROM (VALUES {qvalues}) AS q(query_id, prefix)
     JOIN (SELECT DISTINCT term FROM tf) v
       ON q.prefix IS NOT NULL AND starts_with(v.term, q.prefix)
+  ) WHERE rn <= {int(max_expansions)}"""
+    return _duckdb_bm25_body(corpus_sql, qterms_sql, cfg, k, round_to)
+
+
+def duckdb_wildcard_bm25_sql(
+    corpus_sql: str,
+    patterns: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int | None = None,
+    round_to: int = 4,
+    max_expansions: int = 64,
+) -> str:
+    """Oracle twin of ``wildcard_topk``: expansion re-derived as a
+    starts_with/ends_with/contains join against the corpus's own distinct
+    vocabulary with the same lexicographic cap; scoring is the shared
+    disjunctive-BM25 body."""
+    norm = normalize_wildcards(patterns, cfg)
+    fns = {
+        "prefix": "starts_with(v.term, q.core)",
+        "suffix": "ends_with(v.term, q.core)",
+        "infix": "contains(v.term, q.core)",
+        "exact": "v.term = q.core",
+    }
+    qvalues = ", ".join(
+        f"({qid}, '{mode}', '{core}')" for qid, mode, core in norm
+    ) or "(0, 'exact', CAST(NULL AS VARCHAR))"
+    match = " OR ".join(
+        f"(q.mode = '{m}' AND {expr})" for m, expr in fns.items()
+    )
+    qterms_sql = f"""
+  SELECT query_id, term FROM (
+    SELECT q.query_id, v.term,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY v.term) AS rn
+    FROM (VALUES {qvalues}) AS q(query_id, mode, core)
+    JOIN (SELECT DISTINCT term FROM tf) v
+      ON q.core IS NOT NULL AND ({match})
   ) WHERE rn <= {int(max_expansions)}"""
     return _duckdb_bm25_body(corpus_sql, qterms_sql, cfg, k, round_to)
 

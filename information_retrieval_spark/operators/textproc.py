@@ -330,6 +330,115 @@ LEFT JOIN tri ON tri.id = d.{id_col}
 
 
 # --------------------------------------------------------------------------
+# Composite quality admission filter (Gopher-style, Rae et al. 2021 §A.1.1:
+# doc-length bounds, mean-word-length window, stopword evidence, lexical
+# diversity, repetition caps — public literature; the exact thresholds below
+# are OUR documented defaults, identical in engine and oracle)
+# --------------------------------------------------------------------------
+
+QUALITY_THRESHOLDS: dict[str, float] = {
+    "min_tokens": 20,
+    "max_tokens": 100_000,
+    "min_mean_token_len": 2.0,
+    "max_mean_token_len": 10.0,
+    "min_ttr": 0.32,
+    "max_top_word_frac": 0.20,
+    "max_top_bigram_frac": 0.25,
+    "max_dup_trigram_frac": 0.10,
+}
+
+# (rule_name, signal column, comparison) evaluated IN ORDER — fail_reason is
+# the FIRST failing rule (deterministic, mirrored in the oracle's CASE chain)
+_QUALITY_RULES: list[tuple[str, str, str, str]] = [
+    ("too_few_tokens", "n_tokens", "<", "min_tokens"),
+    ("too_many_tokens", "n_tokens", ">", "max_tokens"),
+    ("mean_token_len_low", "mean_token_len", "<", "min_mean_token_len"),
+    ("mean_token_len_high", "mean_token_len", ">", "max_mean_token_len"),
+    ("no_stopwords", "stopword_ratio", "<=", "ZERO"),
+    ("low_ttr", "ttr", "<", "min_ttr"),
+    ("top_word_repetition", "top_word_frac", ">", "max_top_word_frac"),
+    ("top_bigram_repetition", "top_bigram_frac", ">", "max_top_bigram_frac"),
+    ("dup_trigram_repetition", "dup_trigram_frac", ">", "max_dup_trigram_frac"),
+]
+
+
+def quality_filter(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """(id, keep, fail_reason) — the terminal admission verdict a
+    training-data pipeline applies before tokenization: combines the
+    shuffle-free ``text_stats`` projection (length / mean word length /
+    stopword evidence / type-token ratio) with the shuffle-free
+    ``repetition_stats`` kernel (Gopher repetition caps) and applies the
+    rule chain above. ``fail_reason`` is the FIRST failing rule name, or
+    ``'ok'``; ``keep = (fail_reason == 'ok')``.
+
+    Rules compare against the same 6-dp-rounded signals both operators
+    already emit, so the oracle (which reuses their SQL verbatim as CTEs)
+    sees bit-identical inputs.
+
+    Scale shape: each signal operator is one scan with NO shuffle; the only
+    shuffle is the final equi-join on the unique doc id (uniform key, no
+    skew). At 100 TB this runs as two codegen scans + one co-partitioned
+    join — the repetition kernel is the expensive scan and already
+    batch-vectorized.
+    """
+    th = {**QUALITY_THRESHOLDS, **(thresholds or {}), "ZERO": 0.0}
+    ts = text_stats(docs, cfg, id_col=id_col, text_col=text_col)
+    rep = repetition_stats(docs, cfg, id_col=id_col, text_col=text_col)
+    j = ts.join(
+        rep.select("id", "top_word_frac", "top_bigram_frac", "dup_trigram_frac"),
+        "id",
+    )
+    import operator
+
+    ops = {"<": operator.lt, ">": operator.gt, "<=": operator.le}
+    fail = F.coalesce(
+        *[
+            F.when(ops[op](F.col(col), F.lit(float(th[key]))), F.lit(name))
+            for name, col, op, key in _QUALITY_RULES
+        ],
+        F.lit("ok"),
+    )
+    return j.select(
+        "id",
+        (fail == F.lit("ok")).alias("keep"),
+        fail.alias("fail_reason"),
+    )
+
+
+def duckdb_quality_filter_sql(
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> str:
+    """Oracle twin: the two signal oracles verbatim as CTEs + the identical
+    first-failing-rule CASE chain."""
+    th = {**QUALITY_THRESHOLDS, **(thresholds or {}), "ZERO": 0.0}
+    cases = " ".join(
+        f"WHEN {col} {op} {float(th[key])!r} THEN '{name}'"
+        for name, col, op, key in _QUALITY_RULES
+    )
+    return f"""
+WITH ts AS ({duckdb_text_stats_sql(cfg, table, id_col, text_col)}),
+rep AS ({duckdb_repetition_sql(cfg, table, id_col, text_col)}),
+j AS (
+  SELECT ts.*, rep.top_word_frac, rep.top_bigram_frac, rep.dup_trigram_frac
+  FROM ts JOIN rep USING (id)
+),
+v AS (SELECT id, CASE {cases} ELSE 'ok' END AS fail_reason FROM j)
+SELECT id, fail_reason = 'ok' AS keep, fail_reason FROM v
+"""
+
+
+# --------------------------------------------------------------------------
 # MinHash + banded LSH near-duplicate detection
 # --------------------------------------------------------------------------
 

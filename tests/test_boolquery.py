@@ -1,0 +1,109 @@
+"""Boolean-expression retrieval: parser semantics, Spark/DuckDB parity,
+plan shape (one scan, predicate in codegen)."""
+
+import duckdb
+import pytest
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.operators.boolquery import (
+    BooleanSyntaxError,
+    boolean_query,
+    duckdb_boolean_sql,
+    parse_boolean,
+)
+
+CFG = EngineConfig()
+
+DOCS = [
+    (1, "alpha beta gamma"),
+    (2, "alpha delta"),
+    (3, "beta delta epsilon"),
+    (4, "gamma gamma gamma"),
+    (5, "epsilon omega"),  # > 8 bytes so the size admission filter keeps it
+]
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [(i, t, "src", "en") for i, t in DOCS],
+        "doc_id long, text string, source string, lang string",
+    )
+
+
+def _run(spark, queries):
+    from information_retrieval_spark.corpus import corpus_from_documents
+
+    out = boolean_query(corpus_from_documents(_corpus(spark)), queries, CFG)
+    # resolve synthetic docids back to doc_id via path suffix for readability
+    rows = out.collect()
+    return sorted((r["query_id"], r["docid"]) for r in rows)
+
+
+def test_parser_shapes():
+    assert parse_boolean("a AND b OR c") == (
+        "or",
+        [("and", [("term", ["a"]), ("term", ["b"])]), ("term", ["c"])],
+    )
+    # NOT binds tighter than AND; adjacency is implicit AND
+    assert parse_boolean("NOT a b") == (
+        "and",
+        [("not", ("term", ["a"])), ("term", ["b"])],
+    )
+    # multi-token atom = conjunction of its analyzed tokens
+    assert parse_boolean("Foo-Bar") == ("term", ["bar", "foo"])
+    # unanalyzable atom is FALSE (empty token list)
+    assert parse_boolean("!!!") == ("term", [])
+
+
+@pytest.mark.parametrize("bad", ["(a", "a)", "a AND", "NOT", "a OR )"])
+def test_parser_rejects_malformed(bad):
+    with pytest.raises(BooleanSyntaxError):
+        parse_boolean(bad)
+
+
+def test_boolean_query_matches_duckdb(spark):
+    from information_retrieval_spark.corpus import DOCUMENTS_AS_CORPUS_SQL
+
+    queries = [
+        "alpha AND (beta OR delta)",
+        "gamma AND NOT alpha",
+        "NOT (alpha OR beta)",
+        "zzz OR epsilon",
+        "!!! OR beta",          # FALSE atom is the OR identity
+        "NOT !!!",              # NOT FALSE = every doc
+    ]
+    got = _run(spark, queries)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES %s) t(doc_id, text, source, lang)"
+        % ", ".join(f"({i}, '{t}', 'src', 'en')" for i, t in DOCS)
+    )
+    want = sorted(
+        map(tuple, con.execute(duckdb_boolean_sql(DOCUMENTS_AS_CORPUS_SQL, queries, CFG)).fetchall())
+    )
+    assert got == want
+    # semantic pins on the tiny corpus (counts per query)
+    from collections import Counter
+
+    counts = Counter(q for q, _ in got)
+    assert counts[0] == 2   # docs 1, 2
+    assert counts[1] == 1   # doc 4
+    assert counts[2] == 2   # docs 4, 5
+    assert counts[3] == 2   # docs 3, 5
+    assert counts[4] == 2   # beta docs: 1, 3
+    assert counts[5] == len(DOCS)
+
+
+def test_boolean_query_single_scan_no_join(spark):
+    """The whole batch must compile to one scan: no Join/CartesianProduct
+    nodes, predicates inside the Generate's filter/array expression."""
+    from information_retrieval_spark.corpus import corpus_from_documents
+
+    out = boolean_query(
+        corpus_from_documents(_corpus(spark)),
+        ["alpha AND beta", "NOT gamma"],
+        CFG,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Scan") == 1

@@ -275,3 +275,45 @@ def test_prefix_local_matches_spark_path(spark, corpus, tmp_path_factory):
     assert route_query("*") == ("bm25", "*")      # bare star is not a prefix
     ans = answer_queries(root, ["ident_1*"], k=5)
     assert ans[0]["type"] == "prefix" and len(ans[0]["hits"]) == 5
+
+
+def test_wildcard_expansion_modes(spark, corpus, index):
+    """expand_wildcards: suffix/infix/exact modes select exactly the
+    matching dictionary terms (lex-capped), and wildcard_topk equals
+    wand_topk over the same expansion."""
+    from information_retrieval_spark.operators.query import (
+        expand_wildcards,
+        normalize_wildcards,
+        wildcard_topk,
+    )
+
+    assert normalize_wildcards(["ta*", "*ble", "*as*", "plain"]) == [
+        (0, "prefix", "ta"),
+        (1, "suffix", "ble"),
+        (2, "infix", "as"),
+        (3, "exact", "plain"),
+    ]
+    with pytest.raises(ValueError):
+        normalize_wildcards(["in*side"])
+
+    vocab = {r["term"] for r in index.dictionary.select("term").collect()}
+    pairs = expand_wildcards(index, ["*_1", "*dent_1*", "ident_1"], CFG,
+                             max_expansions=500)
+    by_q = {}
+    for q, t in pairs:
+        by_q.setdefault(q, []).append(t)
+    assert set(by_q[0]) == {t for t in vocab if t.endswith("_1")}
+    assert set(by_q[1]) == {t for t in vocab if "dent_1" in t}
+    assert by_q[2] == ["ident_1"]
+    for terms in by_q.values():
+        assert terms == sorted(terms)
+
+    from information_retrieval_spark.operators.wand import wand_topk as wt
+
+    got = wildcard_topk(spark, index, ["*dent_1*"], 10, CFG, max_expansions=500)
+    want = wt(spark, index, [(0, t) for t in by_q[1]], 10, CFG)
+    g = [(r["rank"], r["docid"], round(r["score"], 6))
+         for r in got.orderBy("rank").collect()]
+    w = [(r["rank"], r["docid"], round(r["score"], 6))
+         for r in want.orderBy("rank").collect()]
+    assert g == w and len(g) == 10

@@ -389,3 +389,47 @@ def test_repetition_rounding_matches_oracle_on_dyadic_ties(spark):
         r["n_tokens"], r["top_word_frac"], r["top_bigram_frac"],
         r["dup_trigram_frac"],
     )
+
+
+def test_quality_filter_rules_and_oracle(spark):
+    """quality_filter: first-failing-rule semantics on hand-built docs +
+    DuckDB oracle parity (thresholds shared, formulas re-derived)."""
+    import duckdb
+
+    from information_retrieval_spark.operators.textproc import (
+        duckdb_quality_filter_sql,
+        quality_filter,
+    )
+
+    good = "the quick brown fox jumps over a lazy dog and then it runs far " \
+           "away to the old mill by the river where many small birds sing"
+    docs = [
+        (1, good),                                   # ok
+        (2, "too short"),                            # too_few_tokens
+        (3, " ".join(f"w{i}" for i in range(30))),   # no stopwords
+        (4, "the " + "spam " * 29),                  # top_word_repetition…
+        (5, ("the cat sat on a mat " * 5).strip()),  # low ttr (dup trigrams too)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["id"]: (r["keep"], r["fail_reason"]) for r in quality_filter(df).collect()}
+    assert got[1] == (True, "ok")
+    assert got[2] == (False, "too_few_tokens")
+    assert got[3] == (False, "no_stopwords")
+    assert got[4][0] is False and "repetition" in got[4][1] or got[4][1] == "low_ttr"
+    assert got[5] == (False, "low_ttr")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES %s) t(doc_id, text)"
+        % ", ".join(f"({i}, '{t}')" for i, t in docs)
+    )
+    want = {r[0]: (r[1], r[2]) for r in con.execute(duckdb_quality_filter_sql()).fetchall()}
+    assert got == want
+
+    # threshold override flows to both engine and oracle
+    relaxed = {"min_tokens": 1, "min_ttr": 0.0}
+    got_r = {r["id"]: r["fail_reason"]
+             for r in quality_filter(df, thresholds=relaxed).collect()}
+    want_r = {r[0]: r[2] for r in con.execute(
+        duckdb_quality_filter_sql(thresholds=relaxed)).fetchall()}
+    assert got_r == want_r and got_r[2] == "ok"
