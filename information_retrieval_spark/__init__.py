@@ -11,18 +11,21 @@ Query:
     ``naive_bm25`` (oracle path), ``conjunctive_match`` (boolean AND),
     ``phrase_match`` / ``proximity_match`` + ``positional_postings``
     (mode-1 retrieval), ``snippet_extract`` (highlighting),
-    ``prefix_topk`` / ``expand_prefixes`` (wildcard), ``region_match`` /
+    ``prefix_topk`` / ``expand_prefixes`` and ``wildcard_topk`` /
+    ``expand_wildcards`` (edge-star wildcards), ``boolean_query``
+    (AND/OR/NOT expressions), ``region_match`` /
     ``region_postings`` (T9 structural search, <level!N> pseudo-tokens),
     ``federated_wand_topk`` / ``merge_indexes`` (multi-index), ``LocalIndex`` /
     ``query_index_local`` / ``snippet_local`` / ``prefix_local`` /
-    ``answer_queries`` (the Spark-free interactive path, with syntax
-    routing), ``parse_queries`` / ``parse_query_terms``.
+    ``wildcard_local`` / ``answer_queries`` (the Spark-free interactive
+    path, with syntax routing), ``parse_queries`` / ``parse_query_terms``.
 Training-data operators:
     ``exact_dedup``, ``minhash_signatures`` / ``oph_signatures`` /
     ``lsh_near_dup_pairs`` / ``exact_jaccard_pairs`` / ``dedup_clusters``,
     ``simhash`` / ``simhash_near_dup_pairs``, ``winnow_fingerprints``,
     ``dedup_select`` (final keeper table), ``text_stats`` /
-    ``repetition_stats`` / ``token_counts`` / ``lang_id_ngram``,
+    ``repetition_stats`` / ``quality_filter`` (composite admission) /
+    ``token_counts`` / ``lang_id_ngram``,
     ``cosine_topk`` / ``knn_join`` / ``lsh_bucketize`` / ``lsh_topk`` / ``ivf_topk`` /
     ``embedding_near_dup_pairs``, ``stream_dedup`` (stateful streaming).
 """
@@ -36,6 +39,7 @@ from .operators.federation import (
     federated_wand_topk,
     merge_indexes,
 )
+from .operators.boolquery import boolean_query, parse_boolean
 from .operators.local_query import (
     LocalIndex,
     answer_queries,
@@ -45,6 +49,7 @@ from .operators.local_query import (
     query_index_local,
     route_query,
     snippet_local,
+    wildcard_local,
 )
 from .operators.positional import (
     phrase_match,
@@ -60,10 +65,12 @@ from .operators.regions import (
 from .operators.query import (
     conjunctive_match,
     expand_prefixes,
+    expand_wildcards,
     naive_bm25,
     parse_queries,
     parse_query_terms,
     prefix_topk,
+    wildcard_topk,
 )
 from .operators.similarity import (
     cosine_topk,
@@ -85,6 +92,7 @@ from .operators.textproc import (
     lsh_near_dup_pairs,
     minhash_signatures,
     oph_signatures,
+    quality_filter,
     simhash,
     simhash_near_dup_pairs,
     text_stats,
@@ -103,16 +111,18 @@ __all__ = [
     "compact_index", "gc_stats", "record_deletions",
     "append_batch", "stream_index_updates", "stream_dedup",
     "wand_topk", "naive_bm25", "conjunctive_match",
-    "prefix_topk", "expand_prefixes",
+    "boolean_query", "parse_boolean",
+    "prefix_topk", "expand_prefixes", "wildcard_topk", "expand_wildcards",
     "parse_queries", "parse_query_terms",
     "positional_postings", "phrase_match", "proximity_match", "snippet_extract",
     "region_postings", "region_match", "tagged_documents",
     "LocalIndex", "query_index_local", "phrase_match_local", "proximity_match_local",
     "snippet_local", "answer_queries", "route_query", "prefix_local",
+    "wildcard_local",
     "federated_wand_topk", "federated_topk_local", "merge_indexes",
     "exact_dedup", "minhash_signatures", "oph_signatures",
     "lsh_near_dup_pairs", "exact_jaccard_pairs", "dedup_clusters",
-    "dedup_select", "repetition_stats",
+    "dedup_select", "repetition_stats", "quality_filter",
     "simhash", "simhash_near_dup_pairs", "winnow_fingerprints", "text_stats",
     "token_counts", "lang_id_ngram",
     "cosine_topk", "lsh_bucketize", "lsh_topk", "embedding_near_dup_pairs",

@@ -161,6 +161,58 @@ class LocalIndex:
             out.extend((qid, str(t)) for t in vals[: int(max_expansions)])
         return out
 
+    def expand_wildcard_terms(
+        self, patterns: list[str], max_expansions: int = 64
+    ) -> list[tuple[int, str]]:
+        """[(query_id, term)] for edge-star patterns (``ta*`` / ``*ble`` /
+        ``*as*`` / exact) — identical semantics to the Spark-side
+        ``expand_wildcards``. Prefix/exact cores keep the range-predicate
+        row-group pruning of ``expand_prefix_terms``; a suffix/infix core
+        forces one full (column-pruned) term read — the documented
+        production upgrade is a reversed-term dictionary twin that turns
+        suffix into prefix."""
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        from .query import normalize_wildcards
+
+        norm = normalize_wildcards(patterns, self.cfg)
+        if not norm:
+            return []
+        dict_dir = os.path.join(self.root, "dictionary")
+        flt = None
+        prunable = all(mode in ("prefix", "exact") for _, mode, _ in norm)
+        if prunable:
+            for _, mode, c in norm:
+                if mode == "exact":
+                    f = ds.field("term") == c
+                else:
+                    lo = ds.field("term") >= c
+                    f = (
+                        lo & (ds.field("term") < c[:-1] + chr(ord(c[-1]) + 1))
+                        if ord(c[-1]) < 0x10FFFF
+                        else lo
+                    )
+                flt = f if flt is None else (flt | f)
+        terms = (
+            ds.dataset(dict_dir, format="parquet")
+            .to_table(columns=["term"], filter=flt)
+            .column("term")
+        )
+        preds = {
+            "prefix": pc.starts_with,
+            "suffix": pc.ends_with,
+            "infix": pc.match_substring,
+            "exact": pc.equal,
+        }
+        out: list[tuple[int, str]] = []
+        for qid, mode, c in norm:
+            hit = terms.filter(preds[mode](terms, c))
+            vals = np.sort(np.asarray(hit.to_pylist(), dtype=object))
+            out.extend((qid, str(t)) for t in vals[: int(max_expansions)])
+        return out
+
 
 def query_index_local(
     index: "LocalIndex | str",
@@ -200,6 +252,19 @@ def prefix_local(
     Spark path) + the shared in-process BMW ranking."""
     idx = LocalIndex(index) if isinstance(index, str) else index
     return _rank_pairs(idx, idx.expand_prefix_terms(prefixes, max_expansions), k)
+
+
+def wildcard_local(
+    index: "LocalIndex | str",
+    patterns: list[str],
+    k: int = 10,
+    max_expansions: int = 64,
+) -> pd.DataFrame:
+    """(query_id, rank, docid, score) — Spark-free edge-star wildcard
+    retrieval (``*ble`` / ``*as*``): dictionary expansion + the shared
+    in-process BMW ranking (twin of the Spark-side ``wildcard_topk``)."""
+    idx = LocalIndex(index) if isinstance(index, str) else index
+    return _rank_pairs(idx, idx.expand_wildcard_terms(patterns, max_expansions), k)
 
 
 def _positions_by_term(idx: "LocalIndex", terms: list[str]) -> dict:
@@ -364,6 +429,7 @@ def route_query(q: str) -> tuple[str, object]:
       '"big sorted run"'   -> ("phrase", inner text)
       'hash NEAR/3 join'   -> ("proximity", (a, b, window))
       'hash*'              -> ("prefix", "hash")
+      '*ble' / '*as*'      -> ("wildcard", pattern)
       anything else        -> ("bm25", q)
     """
     global _NEAR_RE
@@ -379,6 +445,8 @@ def route_query(q: str) -> tuple[str, object]:
         return "proximity", (m.group(1), m.group(3), int(m.group(2)))
     if len(s) >= 2 and s.endswith("*") and " " not in s and "*" not in s[:-1]:
         return "prefix", s[:-1]
+    if len(s) >= 2 and " " not in s and "*" in s and "*" not in s.strip("*"):
+        return "wildcard", s
     return "bm25", q
 
 
@@ -420,6 +488,15 @@ def answer_queries(
     if px:
         res = prefix_local(idx, [a for _, a in px], k=k)
         for (i, _), qid in zip(px, range(len(px))):
+            out[i]["hits"] = [
+                {"rank": int(rk), "docid": int(d), "score": round(float(s), 4)}
+                for q, rk, d, s in res.itertuples(index=False)
+                if q == qid
+            ]
+    wc = [(i, arg) for i, (t, arg) in enumerate(routed) if t == "wildcard"]
+    if wc:
+        res = wildcard_local(idx, [a for _, a in wc], k=k)
+        for (i, _), qid in zip(wc, range(len(wc))):
             out[i]["hits"] = [
                 {"rank": int(rk), "docid": int(d), "score": round(float(s), 4)}
                 for q, rk, d, s in res.itertuples(index=False)

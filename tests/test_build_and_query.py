@@ -317,3 +317,45 @@ def test_wildcard_expansion_modes(spark, corpus, index):
     w = [(r["rank"], r["docid"], round(r["score"], 6))
          for r in want.orderBy("rank").collect()]
     assert g == w and len(g) == 10
+
+
+def test_wildcard_local_matches_spark_path(spark, corpus, tmp_path_factory):
+    """The Spark-free wildcard path (pyarrow expansion + local BMW) is
+    rank-identical to wildcard_topk over the same persisted index, and
+    leading-star routing reaches it through answer_queries."""
+    from information_retrieval_spark.operators.local_query import (
+        LocalIndex,
+        answer_queries,
+        route_query,
+        wildcard_local,
+    )
+    from information_retrieval_spark.operators.query import wildcard_topk
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+        open_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("wildcard") / "idx")
+    build_index_resumable(spark, corpus, root, CFG)
+    idx = open_index(spark, root)
+
+    patterns = ["*_1", "*dent_1*", "ident_1", "*zzz*"]
+    want = [
+        (r["query_id"], r["rank"], r["docid"], round(r["score"], 6))
+        for r in wildcard_topk(spark, idx, patterns, 10, CFG, max_expansions=8)
+        .orderBy("query_id", "rank").collect()
+    ]
+    got = [
+        (int(q), int(rk), int(d), round(float(s), 6))
+        for q, rk, d, s in wildcard_local(
+            LocalIndex(root), patterns, k=10, max_expansions=8
+        ).itertuples(index=False)
+    ]
+    assert got == want and len(got) == 30  # 10 each for q0-q2, none for *zzz*
+
+    assert route_query("*ble") == ("wildcard", "*ble")
+    assert route_query("*as*") == ("wildcard", "*as*")
+    assert route_query("ta*") == ("prefix", "ta")   # trailing star stays prefix
+    assert route_query("a*b")[0] == "bm25"          # interior star unrouted
+    ans = answer_queries(root, ["*dent_1*"], k=5)
+    assert ans[0]["type"] == "wildcard" and len(ans[0]["hits"]) == 5
