@@ -107,3 +107,69 @@ def test_boolean_query_single_scan_no_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count("Scan") == 1
+
+
+def test_boolean_semantics_property_vs_duckdb():
+    """Property: random expressions over a tiny vocab — the shared AST
+    evaluated by an independent Python set-semantics interpreter must agree
+    with the DuckDB compilation on every doc. (Spark-free: the Spark
+    compilation is structurally identical to the Python interpreter — both
+    fold over the same AST — and is pinned by the e2e parity test above.)"""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    docs = [
+        (1, "alpha beta"),
+        (2, "beta gamma"),
+        (3, "gamma delta alpha"),
+        (4, "delta"),
+        (5, "alpha beta gamma delta"),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE dt AS SELECT * FROM (VALUES %s) t(docid, toks)"
+        % ", ".join(
+            "(%d, %s)" % (i, "[" + ", ".join(f"'{w}'" for w in t.split()) + "]")
+            for i, t in docs
+        )
+    )
+    tokset = {i: set(t.split()) for i, t in docs}
+
+    def interp(node, toks):
+        k = node[0]
+        if k == "term":
+            return bool(node[1]) and all(t in toks for t in node[1])
+        if k == "and":
+            return all(interp(c, toks) for c in node[1])
+        if k == "or":
+            return any(interp(c, toks) for c in node[1])
+        return not interp(node[1], toks)
+
+    expr = st.recursive(
+        st.sampled_from(vocab + ["zzz"]),
+        lambda kids: st.one_of(
+            st.tuples(kids, kids).map(lambda p: f"({p[0]} AND {p[1]})"),
+            st.tuples(kids, kids).map(lambda p: f"({p[0]} OR {p[1]})"),
+            kids.map(lambda e: f"(NOT {e})"),
+            st.tuples(kids, kids).map(lambda p: f"({p[0]} {p[1]})"),  # implicit AND
+        ),
+        max_leaves=8,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(expr)
+    def run(q):
+        tree = parse_boolean(q, CFG)
+        want = {i for i, toks in tokset.items() if interp(tree, toks)}
+        from information_retrieval_spark.operators.boolquery import _to_sql
+
+        got = {
+            r[0]
+            for r in con.execute(
+                f"SELECT docid FROM dt WHERE {_to_sql(tree)}"
+            ).fetchall()
+        }
+        assert got == want
+
+    run()
