@@ -447,6 +447,20 @@ def _q_boolean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boolean_query(_corpus(spark, sf_dir), BOOL_QUERY_SET, CFG)
 
 
+def _q_boolean_query_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME boolean semantics evaluated against the PERSISTED inverted
+    index: pruned posting-block decode -> per-doc matched-term sets -> AST
+    in codegen; pure-NOT satisfiability via one docs-catalog anti-join.
+    Cost scales with matched postings, not corpus size. Oracle: identical
+    SQL as boolean_query (indexed == corpus-scan is the claim)."""
+    from information_retrieval_spark.operators.boolquery import (
+        boolean_query_indexed,
+    )
+
+    idx = _index(spark, sf_dir)
+    return boolean_query_indexed(spark, idx, BOOL_QUERY_SET, CFG)
+
+
 def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style composite quality admission: text_stats + repetition
     signals -> first-failing-rule verdict (keep, fail_reason). Two
@@ -642,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_topk": _q_prefix_topk,
         "wildcard_topk": _q_wildcard_topk,
         "boolean_query": _q_boolean_query,
+        "boolean_query_indexed": _q_boolean_query_indexed,
         "quality_filter": _q_quality_filter,
         "knn_join": _q_knn_join,
     }
@@ -835,6 +850,9 @@ FROM events GROUP BY event_type
             corpus, WILDCARD_SET, CFG, k=TOP_K, round_to=4
         ),
         "boolean_query": duckdb_boolean_sql(corpus, BOOL_QUERY_SET, CFG),
+        # deliberately the SAME oracle: the indexed evaluator must reproduce
+        # the corpus-scan semantics bit-for-bit
+        "boolean_query_indexed": duckdb_boolean_sql(corpus, BOOL_QUERY_SET, CFG),
         "quality_filter": duckdb_quality_filter_sql(CFG),
         "knn_join": duckdb_knn_join_sql(5),
         "minhash_near_dups": minhash_pairs_sql(

@@ -190,6 +190,124 @@ def boolean_query(
     )
 
 
+def collect_terms(node: tuple) -> set[str]:
+    kind = node[0]
+    if kind == "term":
+        return set(node[1])
+    if kind in ("and", "or"):
+        return set().union(*(collect_terms(c) for c in node[1]))
+    return collect_terms(node[1])
+
+
+def eval_on_set(node: tuple, toks: set[str]) -> bool:
+    """Reference interpreter over a plain token set (also decides whether an
+    expression is satisfied by a doc that matches NO query term at all)."""
+    kind = node[0]
+    if kind == "term":
+        return bool(node[1]) and all(t in toks for t in node[1])
+    if kind == "and":
+        return all(eval_on_set(c, toks) for c in node[1])
+    if kind == "or":
+        return any(eval_on_set(c, toks) for c in node[1])
+    return not eval_on_set(node[1], toks)
+
+
+def decoded_term_docids(index, terms: list[str]) -> DataFrame:
+    """(term, docid) pairs decoded from the PERSISTED block postings for the
+    given terms only: a `term IN` pruned scan (Parquet row-group pushdown,
+    same discipline as WAND) + one map-side vectorized VByte/delta decode
+    per Arrow batch — zero raw-document I/O."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import codec
+
+    def decode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n = pdf["n"].to_numpy(np.int64)
+            data = np.frombuffer(b"".join(pdf["docs_vb"].tolist()), np.uint8)
+            vals = codec.vbyte_decode(data).astype(np.int64)
+            # each row is one encoded block whose FIRST value is an absolute
+            # docid and the rest are gaps — a per-row-reset running sum
+            # (cumsum minus each row's base) restores absolutes for every
+            # row of the batch in one vectorized pass
+            starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+            cs = np.cumsum(vals)
+            base = np.repeat(cs[starts] - vals[starts], n)
+            yield pd.DataFrame(
+                {
+                    "term": np.repeat(pdf["term"].to_numpy(object), n),
+                    "docid": cs - base,
+                }
+            )
+
+    rows = index.postings.filter(F.col("term").isin(terms)).select(
+        "term", "docs_vb", "n"
+    )
+    return rows.mapInPandas(decode, "term string, docid long")
+
+
+def boolean_query_indexed(
+    spark,
+    index,
+    queries: list[str],
+    cfg: EngineConfig | None = None,
+    deleted: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, docid) — the SAME boolean semantics as ``boolean_query``
+    but evaluated against the PERSISTED inverted index instead of a raw
+    corpus re-scan: the expression's terms select their posting blocks
+    (pruned scan + map-side decode), per-doc matched-term sets are built
+    with one bounded shuffle (|matched postings|, not |corpus tokens|), and
+    every query's AST is evaluated over the set in codegen. Queries that a
+    doc with NO matched term satisfies (e.g. a top-level NOT) take the
+    complement against the docs catalog via one anti-join.
+
+    At 100 TB this is the right boolean path: cost scales with the matched
+    postings of the query's own terms, never with corpus size — except the
+    deliberate anti-join complement, which is inherently |docs|-shaped and
+    only runs when the query's semantics demand it.
+    """
+    cfg = cfg or index.cfg
+    trees = [parse_boolean(q, cfg) for q in queries]
+    terms = sorted(set().union(*(collect_terms(t) for t in trees)) or set())
+    pairs = (
+        decoded_term_docids(index, terms)
+        if terms
+        else spark.createDataFrame([], "term string, docid long")
+    )
+    if deleted is not None:
+        pairs = pairs.join(deleted.select("docid"), "docid", "left_anti")
+    sets = pairs.groupBy("docid").agg(F.collect_set("term").alias("toks"))
+    hit_ids = F.filter(
+        F.array(
+            *[
+                F.when(_to_column(t, F.col("toks")), F.lit(i)).cast("int")
+                for i, t in enumerate(trees)
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    out = sets.select("docid", F.explode(hit_ids).alias("query_id")).select(
+        "query_id", "docid"
+    )
+    empty_true = [i for i, t in enumerate(trees) if eval_on_set(t, set())]
+    if empty_true:
+        unmatched = index.docs.select("docid")
+        if deleted is not None:
+            unmatched = unmatched.join(deleted.select("docid"), "docid", "left_anti")
+        unmatched = unmatched.join(
+            pairs.select("docid").distinct(), "docid", "left_anti"
+        )
+        qid = spark.createDataFrame([(i,) for i in empty_true], "query_id int")
+        out = out.unionByName(
+            unmatched.crossJoin(F.broadcast(qid)).select("query_id", "docid")
+        )
+    return out
+
+
 def duckdb_boolean_sql(
     corpus_sql: str, queries: list[str], cfg: EngineConfig = DEFAULT_CONFIG
 ) -> str:

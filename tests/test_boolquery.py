@@ -3,6 +3,7 @@ plan shape (one scan, predicate in codegen)."""
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from information_retrieval_spark.config import EngineConfig
 from information_retrieval_spark.operators.boolquery import (
@@ -173,3 +174,75 @@ def test_boolean_semantics_property_vs_duckdb():
         assert got == want
 
     run()
+
+
+def test_boolean_query_indexed_matches_corpus_scan(spark):
+    """The index-backed evaluator (pruned postings decode + set semantics +
+    anti-join complement) is row-identical to the corpus-scan evaluator,
+    including pure-NOT queries and the deleted-docs filter."""
+    from information_retrieval_spark.corpus import corpus_from_documents
+    from information_retrieval_spark.operators.boolquery import (
+        boolean_query_indexed,
+    )
+    from information_retrieval_spark.operators.build import build_index
+
+    corpus = corpus_from_documents(_corpus(spark))
+    queries = [
+        "alpha AND (beta OR delta)",
+        "gamma AND NOT alpha",
+        "NOT (alpha OR beta)",     # satisfiable with zero matched terms
+        "zzz OR epsilon",
+        "NOT zzz",                 # every doc
+    ]
+    idx = build_index(spark, corpus, CFG)
+    want = sorted(
+        (r["query_id"], r["docid"])
+        for r in boolean_query(corpus, queries, CFG).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["docid"])
+        for r in boolean_query_indexed(spark, idx, queries, CFG).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # deleting a doc removes it from positive AND complement arms alike
+    victim = idx.docs.filter(F.col("path") == "doc/5").select("docid")
+    vid = victim.collect()[0]["docid"]
+    got_del = sorted(
+        (r["query_id"], r["docid"])
+        for r in boolean_query_indexed(spark, idx, queries, CFG, deleted=victim)
+        .collect()
+    )
+    assert got_del == [(q, d) for q, d in want if d != vid]
+
+
+def test_decoded_term_docids_roundtrip(spark):
+    """decoded_term_docids inverts the block encoder: (term, docid) pairs
+    from the encoded postings equal the raw tokenization's distinct pairs."""
+    from information_retrieval_spark.corpus import corpus_from_documents
+    from information_retrieval_spark.operators.boolquery import (
+        decoded_term_docids,
+    )
+    from information_retrieval_spark.operators.build import (
+        build_docs_table,
+        build_index,
+    )
+    from information_retrieval_spark.functions.analyzer import tokenize_expr
+
+    corpus = corpus_from_documents(_corpus(spark))
+    idx = build_index(spark, corpus, CFG)
+    terms = ["alpha", "gamma", "zzz"]
+    got = sorted(
+        (r["term"], r["docid"])
+        for r in decoded_term_docids(idx, terms).collect()
+    )
+    docs = build_docs_table(corpus, CFG)
+    want = sorted(
+        (r["term"], r["docid"])
+        for r in docs.select(
+            "docid", F.explode(F.array_distinct(tokenize_expr("content", CFG))).alias("term")
+        )
+        .filter(F.col("term").isin(terms))
+        .collect()
+    )
+    assert got == want
