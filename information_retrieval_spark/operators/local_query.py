@@ -267,6 +267,104 @@ def wildcard_local(
     return _rank_pairs(idx, idx.expand_wildcard_terms(patterns, max_expansions), k)
 
 
+def _term_docids_local(idx: "LocalIndex", terms: list[str]) -> dict:
+    """{term: sorted int64 ndarray of docids} decoded from the persisted
+    block postings (pushdown-pruned fetch, per-block VByte decode), deleted
+    docs masked. Terms absent from the index map to empty arrays."""
+    import numpy as np
+
+    blocks = idx.fetch_blocks(sorted(set(terms)))
+    out = {t: [] for t in terms}
+    for term, dvb, tvb, lvb in zip(
+        blocks["term"], blocks["docs_vb"], blocks["tfs_vb"], blocks["dls_vb"]
+    ):
+        d, _t, _l = codec.decode_block(dvb, tvb, lvb)
+        out.setdefault(term, []).append(np.asarray(d, dtype=np.int64))
+    final = {}
+    for t, chunks in out.items():
+        arr = (
+            np.unique(np.concatenate(chunks))
+            if chunks
+            else np.empty(0, dtype=np.int64)
+        )
+        if idx.deleted is not None and arr.size:
+            arr = arr[~np.isin(arr, idx.deleted)]
+        final[t] = arr
+    return final
+
+
+def boolean_local(
+    index: "LocalIndex | str", queries: list[str]
+) -> pd.DataFrame:
+    """(query_id, docid) — Spark-free boolean-expression retrieval
+    (AND/OR/NOT/parens) over the persisted index: the expression's terms
+    select their posting blocks (pyarrow pushdown fetch + block decode),
+    then the AST folds over vectorized membership masks. A query that a
+    zero-match doc satisfies (e.g. a top-level NOT) widens the candidate
+    set to the docs catalog — one column-pruned read of the docid column,
+    the in-process analog of the Spark path's anti-join complement.
+    Semantics identical to ``boolean_query(_indexed)``."""
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    from .boolquery import collect_terms, eval_on_set, parse_boolean
+
+    idx = LocalIndex(index) if isinstance(index, str) else index
+    trees = [parse_boolean(q, idx.cfg) for q in queries]
+    terms = sorted(set().union(*(collect_terms(t) for t in trees)) or set())
+    docids_by_term = _term_docids_local(idx, terms) if terms else {}
+
+    need_universe = any(eval_on_set(t, set()) for t in trees)
+    if need_universe:
+        tab = ds.dataset(
+            os.path.join(idx.root, "docs"), partitioning="hive", format="parquet"
+        ).to_table(columns=["docid"])
+        cand = np.unique(np.asarray(tab.column("docid")).astype(np.int64))
+        if idx.deleted is not None and cand.size:
+            cand = cand[~np.isin(cand, idx.deleted)]
+    else:
+        chunks = [a for a in docids_by_term.values() if a.size]
+        cand = (
+            np.unique(np.concatenate(chunks))
+            if chunks
+            else np.empty(0, dtype=np.int64)
+        )
+    member = {t: np.isin(cand, a) for t, a in docids_by_term.items()}
+
+    def fold(node) -> "np.ndarray":
+        kind = node[0]
+        if kind == "term":
+            if not node[1]:
+                return np.zeros(cand.size, dtype=bool)
+            m = member[node[1][0]].copy()
+            for t in node[1][1:]:
+                m &= member[t]
+            return m
+        if kind == "and":
+            m = fold(node[1][0])
+            for c in node[1][1:]:
+                m &= fold(c)
+            return m
+        if kind == "or":
+            m = fold(node[1][0])
+            for c in node[1][1:]:
+                m |= fold(c)
+            return m
+        return ~fold(node[1])
+
+    qs, ds_out = [], []
+    for i, tree in enumerate(trees):
+        hit = cand[fold(tree)]
+        qs.append(np.full(hit.size, i, dtype=np.int64))
+        ds_out.append(hit)
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(qs) if qs else np.empty(0, np.int64),
+            "docid": np.concatenate(ds_out) if ds_out else np.empty(0, np.int64),
+        }
+    )
+
+
 def _positions_by_term(idx: "LocalIndex", terms: list[str]) -> dict:
     """{term: {docid: ndarray positions}} from the persisted plane."""
     import numpy as np
@@ -430,6 +528,7 @@ def route_query(q: str) -> tuple[str, object]:
       'hash NEAR/3 join'   -> ("proximity", (a, b, window))
       'hash*'              -> ("prefix", "hash")
       '*ble' / '*as*'      -> ("wildcard", pattern)
+      'a AND (b OR c)'     -> ("boolean", q)   [uppercase keyword present]
       anything else        -> ("bm25", q)
     """
     global _NEAR_RE
@@ -447,6 +546,9 @@ def route_query(q: str) -> tuple[str, object]:
         return "prefix", s[:-1]
     if len(s) >= 2 and " " not in s and "*" in s and "*" not in s.strip("*"):
         return "wildcard", s
+    words = s.replace("(", " ").replace(")", " ").split()
+    if any(w in ("AND", "OR", "NOT") for w in words):
+        return "boolean", s
     return "bm25", q
 
 
@@ -491,6 +593,15 @@ def answer_queries(
             out[i]["hits"] = [
                 {"rank": int(rk), "docid": int(d), "score": round(float(s), 4)}
                 for q, rk, d, s in res.itertuples(index=False)
+                if q == qid
+            ]
+    bq = [(i, arg) for i, (t, arg) in enumerate(routed) if t == "boolean"]
+    if bq:
+        res = boolean_local(idx, [a for _, a in bq])
+        for (i, _), qid in zip(bq, range(len(bq))):
+            out[i]["hits"] = [
+                {"docid": int(d)}
+                for q, d in res.itertuples(index=False)
                 if q == qid
             ]
     wc = [(i, arg) for i, (t, arg) in enumerate(routed) if t == "wildcard"]

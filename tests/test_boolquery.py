@@ -246,3 +246,69 @@ def test_decoded_term_docids_roundtrip(spark):
         .collect()
     )
     assert got == want
+
+
+def test_boolean_local_matches_spark_paths(spark, tmp_path_factory):
+    """The Spark-free boolean evaluator (block decode + vectorized set
+    algebra) is row-identical to both Spark evaluators over the same
+    persisted index, honors the deletion ledger, and routes through
+    answer_queries on uppercase keywords."""
+    from information_retrieval_spark.corpus import corpus_from_documents
+    from information_retrieval_spark.operators.boolquery import (
+        boolean_query_indexed,
+    )
+    from information_retrieval_spark.operators.compaction import (
+        record_deletions,
+    )
+    from information_retrieval_spark.operators.local_query import (
+        LocalIndex,
+        answer_queries,
+        boolean_local,
+        route_query,
+    )
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+        open_index,
+    )
+
+    corpus = corpus_from_documents(_corpus(spark))
+    root = str(tmp_path_factory.mktemp("boollocal") / "idx")
+    idx = build_index_resumable(spark, corpus, root, CFG)
+
+    queries = [
+        "alpha AND (beta OR delta)",
+        "gamma AND NOT alpha",
+        "NOT (alpha OR beta)",
+        "zzz OR epsilon",
+    ]
+    want = sorted(
+        (r["query_id"], r["docid"])
+        for r in boolean_query_indexed(spark, idx, queries, CFG).collect()
+    )
+    li = LocalIndex(root)
+    got = sorted(
+        (int(q), int(d))
+        for q, d in boolean_local(li, queries).itertuples(index=False)
+    )
+    assert got == want and len(got) > 0
+
+    assert route_query("a AND b") == ("boolean", "a AND b")
+    assert route_query("NOT (a OR b)") == ("boolean", "NOT (a OR b)")
+    assert route_query("sand or land")[0] == "bm25"  # lowercase stays ranked
+    ans = answer_queries(root, ["alpha AND (beta OR delta)"], k=5)
+    assert ans[0]["type"] == "boolean"
+    assert sorted(h["docid"] for h in ans[0]["hits"]) == sorted(
+        d for q, d in want if q == 0
+    )
+
+    # tombstoned docs drop out of positive AND complement arms pre-compaction
+    from pyspark.sql import functions as SF
+
+    victim = open_index(spark, root).docs.filter(SF.col("path") == "doc/4").select("docid")
+    vid = victim.collect()[0]["docid"]
+    record_deletions(spark, root, victim)
+    got_del = sorted(
+        (int(q), int(d))
+        for q, d in boolean_local(LocalIndex(root), queries).itertuples(index=False)
+    )
+    assert got_del == [(q, d) for q, d in want if d != vid]
