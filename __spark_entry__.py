@@ -53,6 +53,7 @@ from information_retrieval_spark.operators.boolquery import (  # noqa: E402
 from information_retrieval_spark.operators.textproc import (  # noqa: E402
     duckdb_exact_dedup_sql,
     duckdb_quality_filter_sql,
+    duckdb_sequence_pack_sql,
     duckdb_lang_id_sql,
     duckdb_text_stats_sql,
     duckdb_token_counts_sql,
@@ -461,6 +462,17 @@ def _q_boolean_query_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boolean_query_indexed(spark, idx, BOOL_QUERY_SET, CFG)
 
 
+def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM sequence packing: concat-in-id-order token prefix sums cut into
+    512-token sequences — the global scan runs as range-bucketed partial
+    sums + broadcast bases (never a single-partition window); the oracle is
+    one global SQL window, which the bucketed formulation must reproduce
+    bit-for-bit."""
+    from information_retrieval_spark.operators.textproc import sequence_pack
+
+    return sequence_pack(_documents(spark, sf_dir), CFG, budget_tokens=512)
+
+
 def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style composite quality admission: text_stats + repetition
     signals -> first-failing-rule verdict (keep, fail_reason). Two
@@ -658,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_query": _q_boolean_query,
         "boolean_query_indexed": _q_boolean_query_indexed,
         "quality_filter": _q_quality_filter,
+        "sequence_pack": _q_sequence_pack,
         "knn_join": _q_knn_join,
     }
 
@@ -854,6 +867,7 @@ FROM events GROUP BY event_type
         # the corpus-scan semantics bit-for-bit
         "boolean_query_indexed": duckdb_boolean_sql(corpus, BOOL_QUERY_SET, CFG),
         "quality_filter": duckdb_quality_filter_sql(CFG),
+        "sequence_pack": duckdb_sequence_pack_sql(CFG, budget_tokens=512),
         "knn_join": duckdb_knn_join_sql(5),
         "minhash_near_dups": minhash_pairs_sql(
             fixtures["minhash_sigs"], n_bands=32, threshold=0.5

@@ -98,6 +98,7 @@ from .operators.textproc import (
     minhash_signatures,
     oph_signatures,
     quality_filter,
+    sequence_pack,
     simhash,
     simhash_near_dup_pairs,
     text_stats,
@@ -127,7 +128,7 @@ __all__ = [
     "federated_wand_topk", "federated_topk_local", "merge_indexes",
     "exact_dedup", "minhash_signatures", "oph_signatures",
     "lsh_near_dup_pairs", "exact_jaccard_pairs", "dedup_clusters",
-    "dedup_select", "repetition_stats", "quality_filter",
+    "dedup_select", "repetition_stats", "quality_filter", "sequence_pack",
     "simhash", "simhash_near_dup_pairs", "winnow_fingerprints", "text_stats",
     "token_counts", "lang_id_ngram",
     "cosine_topk", "lsh_bucketize", "lsh_topk", "embedding_near_dup_pairs",

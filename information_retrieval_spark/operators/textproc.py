@@ -23,7 +23,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
@@ -435,6 +435,117 @@ j AS (
 ),
 v AS (SELECT id, CASE {cases} ELSE 'ok' END AS fail_reason FROM j)
 SELECT id, fail_reason = 'ok' AS keep, fail_reason FROM v
+"""
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (training-data contexts): deterministic concatenation
+# order + global token prefix-sum -> fixed-budget sequence assignment
+# --------------------------------------------------------------------------
+
+def sequence_pack(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    budget_tokens: int = 512,
+    n_range_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, token_start, seq_id, seq_offset) — the standard LM
+    training-data packing step: documents are concatenated in ``id`` order
+    and cut into fixed ``budget_tokens`` sequences; each doc's span starts
+    at global token offset ``token_start`` = sum of all earlier docs'
+    token counts, so ``seq_id = token_start // budget`` and ``seq_offset =
+    token_start % budget`` (a doc longer than its sequence remainder spills
+    into the next sequence, exactly like GPT-style concat-and-chunk).
+
+    The global prefix sum is computed WITHOUT a single-partition window —
+    the thing a naive ``Window.orderBy(id)`` would do and the thing that
+    dies at 10^10 docs. Instead, the classic two-pass distributed scan:
+
+      1. deterministic order-preserving range buckets (``id // span``);
+      2. one small agg -> per-bucket token totals -> driver cumsum of
+         ``n_range_buckets`` values -> broadcast base offsets;
+      3. per-bucket window cumsum (bounded partitions, parallel).
+
+    The oracle re-derives the same numbers with one global SQL window —
+    the semantics are order-defined, so both formulations must agree
+    bit-for-bit.
+    """
+    toks = tokenize_expr(F.col(text_col), cfg)
+    d = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.array_size(toks).cast("long").alias("n_tokens"),
+    )
+    bounds = d.agg(F.min("id"), F.max("id")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    if lo is None:
+        return d.select(
+            "id", "n_tokens",
+            F.lit(0).cast("long").alias("token_start"),
+            F.lit(0).cast("long").alias("seq_id"),
+            F.lit(0).cast("long").alias("seq_offset"),
+        )
+    span = max(1, (int(hi) - int(lo)) // int(n_range_buckets) + 1)
+    d = d.withColumn("rb", ((F.col("id") - F.lit(int(lo))) / F.lit(span)).cast("long"))
+    totals = {
+        int(r["rb"]): int(r["s"])
+        for r in d.groupBy("rb").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    base, acc = {}, 0
+    for rb in sorted(totals):
+        base[rb] = acc
+        acc += totals[rb]
+    base_df = d.sparkSession.createDataFrame(
+        [(rb, b) for rb, b in base.items()], "rb long, base long"
+    )
+    w = Window.partitionBy("rb").orderBy("id")
+    start = (
+        F.col("base")
+        + F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    return (
+        d.join(F.broadcast(base_df), "rb")
+        .withColumn("token_start", F.coalesce(start, F.col("base")).cast("long"))
+        .select(
+            "id",
+            "n_tokens",
+            "token_start",
+            (F.col("token_start") / F.lit(int(budget_tokens))).cast("long").alias("seq_id"),
+            (F.col("token_start") % F.lit(int(budget_tokens))).cast("long").alias("seq_offset"),
+        )
+    )
+
+
+def duckdb_sequence_pack_sql(
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    budget_tokens: int = 512,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin: ONE global window cumsum (fine in DuckDB at test scale;
+    the engine's bucketed prefix-sum must reproduce it exactly)."""
+    from ..functions.analyzer import duckdb_tokenize_sql
+
+    tok = duckdb_tokenize_sql(text_col, cfg)
+    return f"""
+WITH d AS (
+  SELECT CAST({id_col} AS BIGINT) AS id, CAST(len({tok}) AS BIGINT) AS n_tokens
+  FROM {table}
+),
+s AS (
+  SELECT id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS token_start
+  FROM d
+)
+SELECT id, n_tokens, token_start,
+       token_start // {int(budget_tokens)} AS seq_id,
+       token_start % {int(budget_tokens)} AS seq_offset
+FROM s
 """
 
 

@@ -433,3 +433,46 @@ def test_quality_filter_rules_and_oracle(spark):
     want_r = {r[0]: r[2] for r in con.execute(
         duckdb_quality_filter_sql(thresholds=relaxed)).fetchall()}
     assert got_r == want_r and got_r[2] == "ok"
+
+
+def test_sequence_pack_semantics_and_plan(spark):
+    """sequence_pack: spill across sequence boundaries, sparse ids, empty
+    docs; the window partitions by range bucket — NEVER SinglePartition
+    (the naive global-orderBy window that dies at scale)."""
+    import duckdb
+
+    from information_retrieval_spark.operators.textproc import (
+        duckdb_sequence_pack_sql,
+        sequence_pack,
+    )
+
+    docs = [
+        (7, "d e"),              # start 0  -> seq 0, off 0
+        (100, "a b c"),          # start 2  -> seq 0, off 2 (spills into seq 1)
+        (101, ""),               # zero tokens: start 5 -> seq 1, off 1
+        (500, "f g h i j k"),    # start 5  -> seq 1, off 1
+        (900, "l"),              # start 11 -> seq 2, off 3
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = sequence_pack(df, budget_tokens=4, n_range_buckets=4)
+    got = {r["id"]: (r["n_tokens"], r["token_start"], r["seq_id"], r["seq_offset"])
+           for r in out.collect()}
+    assert got == {
+        7: (2, 0, 0, 0),
+        100: (3, 2, 0, 2),
+        101: (0, 5, 1, 1),
+        500: (6, 5, 1, 1),
+        900: (1, 11, 2, 3),
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES %s) t(doc_id, text)"
+        % ", ".join(f"({i}, '{t}')" for i, t in docs)
+    )
+    want = {r[0]: tuple(r[1:]) for r in con.execute(
+        duckdb_sequence_pack_sql(budget_tokens=4)).fetchall()}
+    assert got == want
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan  # the whole point of the bucketing
