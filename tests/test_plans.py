@@ -193,3 +193,43 @@ def test_prefix_expansion_scans_only_dictionary_columns(spark, root):
     scan = plan[plan.index("Scan parquet"):]
     pushed = scan[: scan.index("ReadSchema")]
     assert re.search(r"PushedFilters: \[.*In\(term", pushed), pushed[:500]
+
+
+def test_boolean_indexed_pushes_terms_and_skips_corpus(spark, root):
+    """boolean_query_indexed must prune the postings scan with the
+    expression's own terms (Parquet pushdown) and must NOT read document
+    content anywhere in the plan — cost scales with matched postings."""
+    from information_retrieval_spark.operators.boolquery import (
+        boolean_query_indexed,
+    )
+
+    idx = open_index(spark, root)
+    out = boolean_query_indexed(
+        spark, idx, ["ident_1 AND (ident_2 OR ident_3)"], CFG
+    )
+    plan = _plan(out)
+    assert re.search(r"PushedFilters:.*In\(term", plan)
+    assert "content" not in plan  # never touches raw documents
+    # complement-free query: no docs-catalog scan either (formatted explain
+    # prints each scan twice — tree line + numbered detail header)
+    assert plan.lower().count("scan parquet") == 2
+
+
+def test_quality_filter_single_join_no_extra_shuffle(spark):
+    """quality_filter = two shuffle-free signal scans + exactly one
+    equi-join shuffle pair on the unique id (no window, no extra
+    aggregation exchange)."""
+    from information_retrieval_spark.operators.textproc import quality_filter
+
+    pdf = synthetic_corpus_pdf(60, seed=9)
+    docs = spark.createDataFrame(
+        pdf.assign(doc_id=range(len(pdf)))[["doc_id", "content"]].rename(
+            columns={"content": "text"}
+        )
+    )
+    out = quality_filter(docs)
+    plan = _plan(out)
+    assert "Window" not in plan
+    n_exchange = plan.count("Exchange")
+    # one shuffle per join side at most (SMJ) — broadcast would be 1/0
+    assert n_exchange <= 2, plan
