@@ -1,0 +1,140 @@
+"""spark-submit entry: the end-to-end training-data curation pipeline.
+
+Chains the engine's training-data operators over a documents table — the
+job a 100 TB pretraining pipeline actually runs:
+
+  1. quality admission  — ``quality_filter`` (Gopher-style first-failing
+     rule over text_stats + repetition signals);
+  2. exact dedup        — ``exact_dedup`` keepers (sha256 hash groups);
+  3. near dedup         — MinHash signatures (dense, or OPH with
+     ``--oph``) → banded LSH candidate pairs → exact shingle-Jaccard
+     verify → connected-component clustering → ``dedup_select`` keepers;
+  4. sequence packing   — ``sequence_pack`` assigns every surviving doc
+     its (seq_id, seq_offset) in fixed ``--budget-tokens`` contexts.
+
+Output: ``<output>/curated`` parquet (id, n_tokens, token_start, seq_id,
+seq_offset) for the surviving docs, plus a one-line JSON funnel report on
+stdout (counts per drop reason — the accounting a pipeline owner reads).
+
+Every stage is the SAME operator the driver gate verifies against DuckDB;
+this CLI only composes them.
+
+Usage (local dev):
+    python jobs/curate.py --input /root/testdata/sf0.01/documents.parquet \
+        --output /tmp/curated [--threshold 0.5] [--budget-tokens 512] [--oph]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.session import make_session
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--threshold", type=float, default=0.5,
+                   help="estimated-Jaccard near-dup threshold")
+    p.add_argument("--verify-jaccard", type=float, default=0.5,
+                   help="exact shingle-Jaccard verification threshold")
+    p.add_argument("--budget-tokens", type=int, default=512)
+    p.add_argument("--oph", action="store_true",
+                   help="one-permutation-hashing signatures (the 100 TB path)")
+    p.add_argument("--n-bands", type=int, default=32)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    # the CC clustering's localCheckpoints live in the local-mode heap —
+    # size it like the other long-lived jobs rather than the 1g default
+    spark = make_session(
+        args.master, **{"spark.driver.memory": os.environ.get("IR_DRIVER_MEM", "8g")}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = EngineConfig.from_env()
+
+    from information_retrieval_spark.operators.textproc import (
+        dedup_clusters,
+        dedup_select,
+        exact_dedup,
+        exact_jaccard_pairs,
+        lsh_near_dup_pairs,
+        minhash_signatures,
+        oph_signatures,
+        quality_filter,
+        sequence_pack,
+    )
+
+    docs = spark.read.parquet(args.input)
+    n_input = docs.count()
+
+    # 1. quality admission
+    verdicts = quality_filter(docs, cfg).persist()
+    reasons = {
+        r["fail_reason"]: r["n"]
+        for r in verdicts.groupBy("fail_reason").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    kept_q = verdicts.filter(F.col("keep")).select("id")
+    docs_q = docs.join(
+        kept_q, docs["doc_id"].cast("long") == kept_q["id"], "left_semi"
+    ).persist()
+    n_quality = docs_q.count()
+
+    # 2. exact dedup: keep only each sha256 group's keeper
+    exact = exact_dedup(docs_q)
+    exact_keep = exact.filter(F.col("id") == F.col("keeper_id")).select("id")
+    docs_e = docs_q.join(
+        exact_keep, docs_q["doc_id"].cast("long") == exact_keep["id"], "left_semi"
+    ).persist()
+    n_exact = docs_e.count()
+
+    # 3. near dedup: signatures -> LSH bands -> exact verify -> clusters
+    sigs = (
+        oph_signatures(docs_e, cfg) if args.oph else minhash_signatures(docs_e, cfg)
+    )
+    cand = lsh_near_dup_pairs(sigs, n_bands=args.n_bands, threshold=args.threshold)
+    verified = exact_jaccard_pairs(
+        docs_e, cand.select("id_a", "id_b"), cfg
+    ).filter(F.col("jaccard") >= args.verify_jaccard)
+    clusters = dedup_clusters(verified.select("id_a", "id_b"))
+    ids = docs_e.select(F.col("doc_id").cast("long").alias("id"))
+    keepers = dedup_select(ids, clusters).select(
+        F.col("keeper_id").alias("id")
+    )
+    docs_n = docs_e.join(
+        keepers, docs_e["doc_id"].cast("long") == keepers["id"], "left_semi"
+    ).persist()
+    n_near = docs_n.count()
+
+    # 4. sequence packing over the survivors
+    packed = sequence_pack(docs_n, cfg, budget_tokens=args.budget_tokens)
+    out_dir = os.path.join(args.output, "curated")
+    packed.write.mode("overwrite").parquet(out_dir)
+    n_seqs = packed.agg(F.max("seq_id")).collect()[0][0]
+    total_tokens = packed.agg(F.sum("n_tokens")).collect()[0][0]
+
+    print(json.dumps({
+        "input_docs": n_input,
+        "after_quality": n_quality,
+        "quality_drop_reasons": {k: v for k, v in sorted(reasons.items()) if k != "ok"},
+        "after_exact_dedup": n_exact,
+        "after_near_dedup": n_near,
+        "total_tokens": int(total_tokens or 0),
+        "n_sequences": int(n_seqs or 0) + 1 if n_seqs is not None else 0,
+        "budget_tokens": args.budget_tokens,
+        "signatures": "oph" if args.oph else "minhash",
+        "output": out_dir,
+    }))
+
+
+if __name__ == "__main__":
+    main()
