@@ -302,11 +302,11 @@ def test_wildcard_expansion_modes(spark, corpus, index):
     by_q = {}
     for q, t in pairs:
         by_q.setdefault(q, []).append(t)
-    assert set(by_q[0]) == {t for t in vocab if t.endswith("_1")}
-    assert set(by_q[1]) == {t for t in vocab if "dent_1" in t}
+    # expansions are the lexicographically-first max_expansions matches
+    assert by_q[0] == sorted(t for t in vocab if t.endswith("_1"))[:500]
+    assert by_q[1] == sorted(t for t in vocab if "dent_1" in t)[:500]
+    assert len(by_q[1]) == 500  # the cap binds on this infix
     assert by_q[2] == ["ident_1"]
-    for terms in by_q.values():
-        assert terms == sorted(terms)
 
     from information_retrieval_spark.operators.wand import wand_topk as wt
 

@@ -405,7 +405,9 @@ def test_quality_filter_rules_and_oracle(spark):
            "away to the old mill by the river where many small birds sing"
     docs = [
         (1, good),                                   # ok
-        (2, "too short"),                            # too_few_tokens
+        # 9 distinct tokens incl. stopwords, low repetition: fails ONLY the
+        # length rule at defaults (relaxing min_tokens flips it to ok)
+        (2, "the old mill by a very quick brown fox"),
         (3, " ".join(f"w{i}" for i in range(30))),   # no stopwords
         (4, "the " + "spam " * 29),                  # top_word_repetition…
         (5, ("the cat sat on a mat " * 5).strip()),  # low ttr (dup trigrams too)
