@@ -53,6 +53,7 @@ from information_retrieval_spark.operators.boolquery import (  # noqa: E402
 from information_retrieval_spark.operators.textproc import (  # noqa: E402
     duckdb_exact_dedup_sql,
     duckdb_quality_filter_sql,
+    duckdb_decontaminate_sql,
     duckdb_sequence_pack_sql,
     duckdb_lang_id_sql,
     duckdb_text_stats_sql,
@@ -462,6 +463,21 @@ def _q_boolean_query_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boolean_query_indexed(spark, idx, BOOL_QUERY_SET, CFG)
 
 
+# the "leaked eval set": three corpus docs play the held-out benchmark
+DECON_PROBE_IDS = (7, 23, 101)
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (GPT-3/The Pile-style n-gram overlap): flag
+    every training doc sharing a token 3-gram with the probe docs. Broadcast
+    probe grams, codegen gram construction, id-keyed aggs only."""
+    from information_retrieval_spark.operators.textproc import decontaminate
+
+    docs = _documents(spark, sf_dir)
+    probes = docs.filter(F.col("doc_id").isin(*DECON_PROBE_IDS))
+    return decontaminate(docs, probes, CFG, n=3)
+
+
 def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM sequence packing: concat-in-id-order token prefix sums cut into
     512-token sequences — the global scan runs as range-bucketed partial
@@ -671,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_query_indexed": _q_boolean_query_indexed,
         "quality_filter": _q_quality_filter,
         "sequence_pack": _q_sequence_pack,
+        "decontaminate": _q_decontaminate,
         "knn_join": _q_knn_join,
     }
 
@@ -868,6 +885,9 @@ FROM events GROUP BY event_type
         "boolean_query_indexed": duckdb_boolean_sql(corpus, BOOL_QUERY_SET, CFG),
         "quality_filter": duckdb_quality_filter_sql(CFG),
         "sequence_pack": duckdb_sequence_pack_sql(CFG, budget_tokens=512),
+        "decontaminate": duckdb_decontaminate_sql(
+            f"doc_id IN {DECON_PROBE_IDS}", CFG, n=3
+        ),
         "knn_join": duckdb_knn_join_sql(5),
         "minhash_near_dups": minhash_pairs_sql(
             fixtures["minhash_sigs"], n_bands=32, threshold=0.5

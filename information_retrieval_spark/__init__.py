@@ -88,6 +88,7 @@ from .operators.similarity import (
     lsh_topk,
 )
 from .operators.textproc import (
+    decontaminate,
     dedup_clusters,
     dedup_select,
     repetition_stats,
@@ -129,6 +130,7 @@ __all__ = [
     "exact_dedup", "minhash_signatures", "oph_signatures",
     "lsh_near_dup_pairs", "exact_jaccard_pairs", "dedup_clusters",
     "dedup_select", "repetition_stats", "quality_filter", "sequence_pack",
+    "decontaminate",
     "simhash", "simhash_near_dup_pairs", "winnow_fingerprints", "text_stats",
     "token_counts", "lang_id_ngram",
     "cosine_topk", "lsh_bucketize", "lsh_topk", "embedding_near_dup_pairs",

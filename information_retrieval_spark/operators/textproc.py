@@ -448,7 +448,7 @@ def sequence_pack(
     cfg: EngineConfig = DEFAULT_CONFIG,
     *,
     budget_tokens: int = 512,
-    n_range_buckets: int = 256,
+    n_range_buckets: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -469,10 +469,17 @@ def sequence_pack(
          ``n_range_buckets`` values -> broadcast base offsets;
       3. per-bucket window cumsum (bounded partitions, parallel).
 
+    ``n_range_buckets`` is the parallelism floor of step 3 AND the driver
+    collect's bound in step 2 — size it to the DATA like ``n_doc_buckets``
+    (default: ``8 × cfg.shuffle_partitions``, min 1024; at 10^10 docs use
+    ~2^16 so no bucket's window exceeds executor memory).
+
     The oracle re-derives the same numbers with one global SQL window —
     the semantics are order-defined, so both formulations must agree
     bit-for-bit.
     """
+    if n_range_buckets is None:
+        n_range_buckets = max(1024, 8 * int(cfg.shuffle_partitions))
     toks = tokenize_expr(F.col(text_col), cfg)
     d = docs.select(
         F.col(id_col).cast("long").alias("id"),
@@ -955,6 +962,97 @@ def lsh_near_dup_pairs(
         .filter((F.col("est_jaccard") >= threshold) | F.col("star"))
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    probes: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "doc_id",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """(id, n_hits, contaminated) — eval-set decontamination (GPT-3 §C /
+    The Pile-style n-gram overlap, public literature): a training doc is
+    flagged when any of its token n-grams appears in the probe (eval) set.
+    ``n_hits`` counts the doc's DISTINCT overlapping n-grams.
+
+    Plan: the probe set's distinct grams are tiny relative to the corpus —
+    one broadcast hash join against the exploded per-doc distinct grams
+    (all gram construction in codegen: transform + slice + concat_ws), one
+    count agg on the unique id, one left join back for the zero-hit docs.
+    No corpus-sized shuffle: the only wide ops are keyed by the (uniform)
+    doc id. A doc shorter than ``n`` tokens contributes no grams and a
+    probe shorter than ``n`` matches nothing.
+    """
+
+    def grams(df: DataFrame, idc: str, tc: str) -> DataFrame:
+        toks = tokenize_expr(F.col(tc), cfg)
+        g = F.when(
+            F.array_size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.array_size(toks) - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(
+            F.col(idc).cast("long").alias("id"), F.explode(g).alias("gram")
+        )
+
+    probe_grams = grams(probes, probe_id_col, probe_text_col).select("gram").distinct()
+    hits = (
+        grams(docs, id_col, text_col)
+        .join(F.broadcast(probe_grams), "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    ids = docs.select(F.col(id_col).cast("long").alias("id"))
+    return (
+        ids.join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce(F.col("n_hits") > 0, F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
+def duckdb_decontaminate_sql(
+    probe_where: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    n: int = 5,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin: probes = ``SELECT ... FROM table WHERE {probe_where}``;
+    gram construction re-derived with DuckDB list slicing."""
+    from ..functions.analyzer import duckdb_tokenize_sql
+
+    tok = duckdb_tokenize_sql(text_col, cfg)
+    gram = (
+        f"CASE WHEN len(t) >= {n} THEN list_distinct(list_transform("
+        f"range(1, len(t) - {n} + 2), i -> array_to_string(t[i : i + {n - 1}], ' ')))"
+        " ELSE [] END"
+    )
+    return f"""
+WITH dt AS (SELECT CAST({id_col} AS BIGINT) AS id, {tok} AS t FROM {table}),
+dg AS (SELECT id, unnest({gram}) AS gram FROM dt),
+pt AS (SELECT {tok} AS t FROM {table} WHERE {probe_where}),
+pg AS (SELECT DISTINCT unnest({gram}) AS gram FROM pt),
+hits AS (
+  SELECT id, count(*) AS n_hits FROM dg JOIN pg USING (gram) GROUP BY id
+)
+SELECT d.id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits > 0, FALSE) AS contaminated
+FROM (SELECT CAST({id_col} AS BIGINT) AS id FROM {table}) d
+LEFT JOIN hits h USING (id)
+"""
 
 
 def exact_jaccard_pairs(

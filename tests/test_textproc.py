@@ -478,3 +478,45 @@ def test_sequence_pack_semantics_and_plan(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan  # the whole point of the bucketing
+
+
+def test_decontaminate_semantics_and_oracle(spark):
+    """decontaminate: exact n-gram overlap semantics (hand-pinned), short
+    docs/probes contribute nothing, zero-hit docs keep a row, DuckDB parity."""
+    import duckdb
+
+    from information_retrieval_spark.operators.textproc import (
+        decontaminate,
+        duckdb_decontaminate_sql,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the dog"),
+        (2, "a quick brown fox appears"),        # shares "quick brown fox"
+        (3, "totally unrelated words here"),
+        (4, "fox jumps over"),                   # exactly one 3-gram, shared
+        (5, "so on"),                            # < n tokens: no grams
+        (9, "the quick brown fox runs"),         # the probe doc itself
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    probes = df.filter(F.col("doc_id") == 9)
+    got = {r["id"]: (r["n_hits"], r["contaminated"])
+           for r in decontaminate(df, probes, n=3).collect()}
+    # probe grams: {the quick brown, quick brown fox, brown fox runs}
+    assert got == {
+        1: (2, True),    # the quick brown, quick brown fox
+        2: (1, True),    # quick brown fox
+        3: (0, False),
+        4: (0, False),   # "fox jumps over" not in probe grams
+        5: (0, False),
+        9: (3, True),
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES %s) t(doc_id, text)"
+        % ", ".join(f"({i}, '{t}')" for i, t in docs)
+    )
+    want = {r[0]: (r[1], r[2]) for r in con.execute(
+        duckdb_decontaminate_sql("doc_id = 9", n=3)).fetchall()}
+    assert got == want
