@@ -9,7 +9,10 @@ job a 100 TB pretraining pipeline actually runs:
   3. near dedup         — MinHash signatures (dense, or OPH with
      ``--oph``) → banded LSH candidate pairs → exact shingle-Jaccard
      verify → connected-component clustering → ``dedup_select`` keepers;
-  4. sequence packing   — ``sequence_pack`` assigns every surviving doc
+  4. decontamination    — ``decontaminate`` drops docs sharing a token
+     n-gram with the probe docs (``--probe-ids``, the leaked-eval-set
+     check); skipped when no probe ids are given;
+  5. sequence packing   — ``sequence_pack`` assigns every surviving doc
      its (seq_id, seq_offset) in fixed ``--budget-tokens`` contexts.
 
 Output: ``<output>/curated`` parquet (id, n_tokens, token_start, seq_id,
@@ -51,6 +54,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--oph", action="store_true",
                    help="one-permutation-hashing signatures (the 100 TB path)")
     p.add_argument("--n-bands", type=int, default=32)
+    p.add_argument("--probe-ids", type=int, nargs="*", default=None,
+                   help="doc_ids treated as the held-out eval set; docs "
+                        "sharing a --decon-n gram with them are dropped")
+    p.add_argument("--decon-n", type=int, default=8)
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -63,6 +70,7 @@ def main(argv: list[str] | None = None) -> None:
     cfg = EngineConfig.from_env()
 
     from information_retrieval_spark.operators.textproc import (
+        decontaminate,
         dedup_clusters,
         dedup_select,
         exact_dedup,
@@ -115,7 +123,19 @@ def main(argv: list[str] | None = None) -> None:
     ).persist()
     n_near = docs_n.count()
 
-    # 4. sequence packing over the survivors
+    # 4. eval-set decontamination (optional)
+    n_decon_dropped = 0
+    if args.probe_ids:
+        probes = docs.filter(F.col("doc_id").isin(*args.probe_ids))
+        flags = decontaminate(docs_n, probes, cfg, n=args.decon_n)
+        clean = flags.filter(~F.col("contaminated")).select("id")
+        before = docs_n.count()
+        docs_n = docs_n.join(
+            clean, docs_n["doc_id"].cast("long") == clean["id"], "left_semi"
+        ).persist()
+        n_decon_dropped = before - docs_n.count()
+
+    # 5. sequence packing over the survivors
     packed = sequence_pack(docs_n, cfg, budget_tokens=args.budget_tokens)
     out_dir = os.path.join(args.output, "curated")
     packed.write.mode("overwrite").parquet(out_dir)
@@ -128,6 +148,7 @@ def main(argv: list[str] | None = None) -> None:
         "quality_drop_reasons": {k: v for k, v in sorted(reasons.items()) if k != "ok"},
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_near,
+        "decontamination_dropped": n_decon_dropped,
         "total_tokens": int(total_tokens or 0),
         "n_sequences": int(n_seqs or 0) + 1 if n_seqs is not None else 0,
         "budget_tokens": args.budget_tokens,
