@@ -48,6 +48,7 @@ from information_retrieval_spark.operators.query import (  # noqa: E402
 )
 from information_retrieval_spark.operators.wand import wand_topk  # noqa: E402
 from information_retrieval_spark.operators.boolquery import (  # noqa: E402
+    duckdb_boolean_ranked_sql,
     duckdb_boolean_sql,
 )
 from information_retrieval_spark.operators.textproc import (  # noqa: E402
@@ -489,6 +490,19 @@ def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_pack(_documents(spark, sf_dir), CFG, budget_tokens=512)
 
 
+def _q_boolean_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ranked retrieval: the boolean verdict (index-backed) feeds
+    block-max WAND as its keep-list; BM25 scores each expression's positive
+    terms. Oracle = shared BM25 body rank-restricted to the boolean SQL."""
+    from information_retrieval_spark.operators.boolquery import (
+        boolean_ranked_topk,
+    )
+
+    idx = _index(spark, sf_dir)
+    out = boolean_ranked_topk(spark, idx, BOOL_QUERY_SET, TOP_K, CFG)
+    return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
+
+
 def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style composite quality admission: text_stats + repetition
     signals -> first-failing-rule verdict (keep, fail_reason). Two
@@ -685,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_topk": _q_wildcard_topk,
         "boolean_query": _q_boolean_query,
         "boolean_query_indexed": _q_boolean_query_indexed,
+        "boolean_ranked": _q_boolean_ranked,
         "quality_filter": _q_quality_filter,
         "sequence_pack": _q_sequence_pack,
         "decontaminate": _q_decontaminate,
@@ -883,6 +898,9 @@ FROM events GROUP BY event_type
         # deliberately the SAME oracle: the indexed evaluator must reproduce
         # the corpus-scan semantics bit-for-bit
         "boolean_query_indexed": duckdb_boolean_sql(corpus, BOOL_QUERY_SET, CFG),
+        "boolean_ranked": duckdb_boolean_ranked_sql(
+            corpus, BOOL_QUERY_SET, CFG, k=TOP_K, round_to=4
+        ),
         "quality_filter": duckdb_quality_filter_sql(CFG),
         "sequence_pack": duckdb_sequence_pack_sql(CFG, budget_tokens=512),
         "decontaminate": duckdb_decontaminate_sql(

@@ -42,6 +42,7 @@ from .operators.federation import (
 from .operators.boolquery import (
     boolean_query,
     boolean_query_indexed,
+    boolean_ranked_topk,
     parse_boolean,
 )
 from .operators.local_query import (
@@ -118,7 +119,8 @@ __all__ = [
     "compact_index", "gc_stats", "record_deletions",
     "append_batch", "stream_index_updates", "stream_dedup",
     "wand_topk", "naive_bm25", "conjunctive_match",
-    "boolean_query", "boolean_query_indexed", "parse_boolean",
+    "boolean_query", "boolean_query_indexed", "boolean_ranked_topk",
+    "parse_boolean",
     "prefix_topk", "expand_prefixes", "wildcard_topk", "expand_wildcards",
     "parse_queries", "parse_query_terms",
     "positional_postings", "phrase_match", "proximity_match", "snippet_extract",

@@ -308,6 +308,95 @@ def boolean_query_indexed(
     return out
 
 
+def positive_terms(node: tuple, neg: bool = False) -> set[str]:
+    """Terms under an EVEN number of NOTs — the ones whose presence the
+    expression rewards, i.e. the scoring set for ranked boolean retrieval."""
+    kind = node[0]
+    if kind == "term":
+        return set() if neg else set(node[1])
+    if kind == "not":
+        return positive_terms(node[1], not neg)
+    return set().union(*(positive_terms(c, neg) for c in node[1]))
+
+
+def boolean_ranked_topk(
+    spark,
+    index,
+    queries: list[str],
+    k: int,
+    cfg: EngineConfig | None = None,
+    deleted: DataFrame | None = None,
+    **wand_kwargs,
+) -> DataFrame:
+    """(query_id, rank, docid, score) — filtered ranked retrieval, the
+    shape real engines serve ("match the boolean expression, rank by
+    relevance"): the boolean verdict comes from the index-backed evaluator
+    and feeds block-max WAND as its keep-list; BM25 scores the expression's
+    POSITIVE terms (terms under an even number of NOTs). A pure-negative
+    query has nothing to score and returns no rows (documented semantics).
+
+    Scale shape: the filter is ``boolean_query_indexed`` (matched-postings
+    cost); the keep-list rides WAND's existing ``allowed`` machinery, which
+    broadcast-collects under its small-set cap and auto-falls-back to the
+    pre-rank semi-join above it — so a corpus-sized NOT complement does not
+    OOM the driver. One WAND call per query (query counts are interactive-
+    scale; each call is one pruned-scan job)."""
+    cfg = cfg or index.cfg
+    from .wand import wand_topk
+
+    trees = [parse_boolean(q, cfg) for q in queries]
+    matches = boolean_query_indexed(spark, index, queries, cfg, deleted=deleted)
+    outs = []
+    for i, tree in enumerate(trees):
+        pos = sorted(positive_terms(tree))
+        if not pos:
+            continue
+        keep = matches.filter(F.col("query_id") == i).select("docid")
+        outs.append(
+            wand_topk(
+                spark, index, [(i, t) for t in pos], k, cfg,
+                deleted=deleted, allowed=keep, **wand_kwargs,
+            )
+        )
+    if not outs:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, docid long, score double"
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def duckdb_boolean_ranked_sql(
+    corpus_sql: str,
+    queries: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int = 10,
+    round_to: int = 4,
+) -> str:
+    """Oracle twin of ``boolean_ranked_topk``: the shared BM25 body scored
+    over each query's positive terms, rank-restricted to the boolean SQL's
+    (query_id, docid) verdicts (restriction BEFORE the rank window, over
+    unrounded scores — identical tie-break discipline)."""
+    from .query import _duckdb_bm25_body
+
+    pos_pairs = []
+    for i, q in enumerate(queries):
+        for t in sorted(positive_terms(parse_boolean(q, cfg))):
+            pos_pairs.append((i, t))
+    qvalues = ", ".join(f"({i}, '{t}')" for i, t in pos_pairs) or (
+        "(0, CAST(NULL AS VARCHAR))"
+    )
+    qterms_sql = f"""
+  SELECT query_id, term FROM (VALUES {qvalues}) AS q(query_id, term)
+  WHERE term IS NOT NULL"""
+    return _duckdb_bm25_body(
+        corpus_sql, qterms_sql, cfg, k, round_to,
+        restrict_sql=duckdb_boolean_sql(corpus_sql, queries, cfg),
+    )
+
+
 def duckdb_boolean_sql(
     corpus_sql: str, queries: list[str], cfg: EngineConfig = DEFAULT_CONFIG
 ) -> str:

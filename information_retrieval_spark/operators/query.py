@@ -421,9 +421,19 @@ def _duckdb_bm25_body(
     cfg: EngineConfig,
     k: int | None,
     round_to: int,
+    restrict_sql: str | None = None,
 ) -> str:
+    """Shared disjunctive-BM25 SQL body. ``restrict_sql`` (query_id, docid)
+    optionally restricts the ranked universe BEFORE the rank window — the
+    oracle shape for filtered retrieval (ranking over UNROUNDED scores so
+    tie-breaks match the engine exactly)."""
     topk_filter = f"WHERE rank <= {k}" if k is not None else ""
     rank_col = ", rank" if k is not None else ""
+    restrict = (
+        f"JOIN ({restrict_sql}) rstr USING (query_id, docid)"
+        if restrict_sql
+        else ""
+    )
     return f"""
 WITH docids AS ({duckdb_docid_sql(corpus_sql, cfg)}),
 docs AS (
@@ -459,7 +469,7 @@ scored AS (
 ranked AS (
   SELECT query_id, docid, score,
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid ASC) AS rank
-  FROM scored
+  FROM scored {restrict}
 )
 SELECT query_id{rank_col}, docid, round(score, {round_to}) AS score
 FROM ranked

@@ -312,3 +312,45 @@ def test_boolean_local_matches_spark_paths(spark, tmp_path_factory):
         for q, d in boolean_local(LocalIndex(root), queries).itertuples(index=False)
     )
     assert got_del == [(q, d) for q, d in want if d != vid]
+
+
+def test_positive_terms_parity_and_pure_negative():
+    from information_retrieval_spark.operators.boolquery import positive_terms
+
+    assert positive_terms(parse_boolean("a AND (b OR c)")) == {"a", "b", "c"}
+    assert positive_terms(parse_boolean("a AND NOT b")) == {"a"}
+    # double negation flips back to positive
+    assert positive_terms(parse_boolean("NOT NOT a")) == {"a"}
+    assert positive_terms(parse_boolean("NOT (a OR NOT b)")) == {"b"}
+    assert positive_terms(parse_boolean("NOT a")) == set()
+
+
+def test_boolean_ranked_topk_filters_then_ranks(spark):
+    """boolean_ranked_topk == wand_topk over positive terms, restricted to
+    the boolean verdict; pure-negative queries yield no rows."""
+    from information_retrieval_spark.corpus import corpus_from_documents
+    from information_retrieval_spark.operators.boolquery import (
+        boolean_query_indexed,
+        boolean_ranked_topk,
+    )
+    from information_retrieval_spark.operators.build import build_index
+    from information_retrieval_spark.operators.wand import wand_topk
+
+    corpus = corpus_from_documents(_corpus(spark))
+    idx = build_index(spark, corpus, CFG)
+    queries = ["alpha AND NOT beta", "NOT alpha"]
+    got = sorted(
+        (r["query_id"], r["rank"], r["docid"], round(r["score"], 6))
+        for r in boolean_ranked_topk(spark, idx, queries, 10, CFG).collect()
+    )
+    assert all(q == 0 for q, *_ in got)  # pure-negative q1 yields nothing
+
+    keep = boolean_query_indexed(spark, idx, queries, CFG).filter(
+        F.col("query_id") == 0
+    ).select("docid")
+    want = sorted(
+        (r["query_id"], r["rank"], r["docid"], round(r["score"], 6))
+        for r in wand_topk(spark, idx, [(0, "alpha")], 10, CFG, allowed=keep)
+        .collect()
+    )
+    assert got == want and len(got) == 1  # only doc 2 has alpha without beta
