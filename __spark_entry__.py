@@ -40,6 +40,7 @@ from information_retrieval_spark.operators.query import (  # noqa: E402
     conjunctive_match,
     duckdb_bm25_sql,
     duckdb_conjunctive_sql,
+    duckdb_fuzzy_bm25_sql,
     duckdb_prefix_bm25_sql,
     duckdb_tok,
     duckdb_wildcard_bm25_sql,
@@ -515,6 +516,21 @@ def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # wildcard set: prefix, suffix, infix, and an infix with no dictionary match
 WILDCARD_SET = ["ta*", "*ble", "*as*", "*zzz*"]
 
+# misspelled queries: 1-edit, 2-edit (transposition), and unmatched
+FUZZY_SET = ["hasj", "tabel", "scann", "windoww", "zzzz"]
+
+
+def _q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell-tolerant retrieval: SymSpell delete-neighborhood candidates +
+    exact Levenshtein verify (edit distance <= 2) -> disjunctive block-max
+    WAND. Oracle re-derives the expansion as a brute-force levenshtein()
+    join over the corpus vocabulary."""
+    from information_retrieval_spark.operators.query import fuzzy_topk
+
+    idx = _index(spark, sf_dir)
+    out = fuzzy_topk(spark, idx, FUZZY_SET, TOP_K, CFG, max_edit=2)
+    return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
+
 
 def _q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-star wildcard retrieval (ta* / *ble / *as*): dictionary
@@ -697,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "prefix_topk": _q_prefix_topk,
         "wildcard_topk": _q_wildcard_topk,
+        "fuzzy_topk": _q_fuzzy_topk,
         "boolean_query": _q_boolean_query,
         "boolean_query_indexed": _q_boolean_query_indexed,
         "boolean_ranked": _q_boolean_ranked,
@@ -893,6 +910,9 @@ FROM events GROUP BY event_type
         ),
         "wildcard_topk": duckdb_wildcard_bm25_sql(
             corpus, WILDCARD_SET, CFG, k=TOP_K, round_to=4
+        ),
+        "fuzzy_topk": duckdb_fuzzy_bm25_sql(
+            corpus, FUZZY_SET, CFG, k=TOP_K, round_to=4, max_edit=2
         ),
         "boolean_query": duckdb_boolean_sql(corpus, BOOL_QUERY_SET, CFG),
         # deliberately the SAME oracle: the indexed evaluator must reproduce

@@ -49,6 +49,7 @@ from .operators.local_query import (
     LocalIndex,
     answer_queries,
     boolean_local,
+    fuzzy_local,
     phrase_match_local,
     prefix_local,
     proximity_match_local,
@@ -70,8 +71,10 @@ from .operators.regions import (
 )
 from .operators.query import (
     conjunctive_match,
+    expand_fuzzy,
     expand_prefixes,
     expand_wildcards,
+    fuzzy_topk,
     naive_bm25,
     parse_queries,
     parse_query_terms,
@@ -122,12 +125,13 @@ __all__ = [
     "boolean_query", "boolean_query_indexed", "boolean_ranked_topk",
     "parse_boolean",
     "prefix_topk", "expand_prefixes", "wildcard_topk", "expand_wildcards",
+    "fuzzy_topk", "expand_fuzzy",
     "parse_queries", "parse_query_terms",
     "positional_postings", "phrase_match", "proximity_match", "snippet_extract",
     "region_postings", "region_match", "tagged_documents",
     "LocalIndex", "query_index_local", "phrase_match_local", "proximity_match_local",
     "snippet_local", "answer_queries", "route_query", "prefix_local",
-    "wildcard_local", "boolean_local",
+    "wildcard_local", "boolean_local", "fuzzy_local",
     "federated_wand_topk", "federated_topk_local", "merge_indexes",
     "exact_dedup", "minhash_signatures", "oph_signatures",
     "lsh_near_dup_pairs", "exact_jaccard_pairs", "dedup_clusters",

@@ -254,6 +254,61 @@ def prefix_local(
     return _rank_pairs(idx, idx.expand_prefix_terms(prefixes, max_expansions), k)
 
 
+def fuzzy_local(
+    index: "LocalIndex | str",
+    terms: list[str],
+    k: int = 10,
+    max_edit: int = 1,
+    max_expansions: int = 64,
+) -> pd.DataFrame:
+    """(query_id, rank, docid, score) — Spark-free spell-tolerant
+    retrieval: Levenshtein-``max_edit`` dictionary neighborhood of each
+    analyzed term + the shared in-process BMW ranking (twin of the
+    Spark-side ``fuzzy_topk``).
+
+    The interactive shape: one column-pruned term read with a LENGTH
+    pre-filter (|len(t) - len(q)| <= d is necessary for lev <= d), then an
+    exact banded DP over the few surviving candidates. The Spark path owns
+    the 10^8-vocabulary shape (codegen delete-neighborhood join); this one
+    targets a resident process on a single index."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    from .query import parse_query_terms
+
+    idx = LocalIndex(index) if isinstance(index, str) else index
+    norm: list[tuple[int, str]] = parse_query_terms(terms, idx.cfg)
+    # parse_query_terms dedups per query; fuzzy queries are single terms
+    if not norm:
+        return pd.DataFrame(columns=["query_id", "rank", "docid", "score"])
+    dict_dir = os.path.join(idx.root, "dictionary")
+    tcol = (
+        ds.dataset(dict_dir, format="parquet").to_table(columns=["term"]).column("term")
+    )
+    lens = pc.utf8_length(tcol)
+
+    def lev(a: str, b: str) -> int:
+        m = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev = m.copy()
+            m[0] = i
+            for j, cb in enumerate(b, 1):
+                m[j] = min(prev[j] + 1, m[j - 1] + 1, prev[j - 1] + (ca != cb))
+        return int(m[-1])
+
+    pairs: list[tuple[int, str]] = []
+    for qid, q in norm:
+        mask = pc.and_(
+            pc.greater_equal(lens, len(q) - max_edit),
+            pc.less_equal(lens, len(q) + max_edit),
+        )
+        cands = tcol.filter(mask).to_pylist()
+        hits = sorted(t for t in set(cands) if lev(q, t) <= max_edit)
+        pairs.extend((qid, t) for t in hits[: int(max_expansions)])
+    return _rank_pairs(idx, pairs, k)
+
+
 def wildcard_local(
     index: "LocalIndex | str",
     patterns: list[str],
@@ -528,6 +583,7 @@ def route_query(q: str) -> tuple[str, object]:
       'hash NEAR/3 join'   -> ("proximity", (a, b, window))
       'hash*'              -> ("prefix", "hash")
       '*ble' / '*as*'      -> ("wildcard", pattern)
+      'hasj~' / 'tabel~2'  -> ("fuzzy", (term, max_edit))   [Lucene syntax]
       'a AND (b OR c)'     -> ("boolean", q)   [uppercase keyword present]
       anything else        -> ("bm25", q)
     """
@@ -546,6 +602,10 @@ def route_query(q: str) -> tuple[str, object]:
         return "prefix", s[:-1]
     if len(s) >= 2 and " " not in s and "*" in s and "*" not in s.strip("*"):
         return "wildcard", s
+    if " " not in s and "~" in s:
+        core, _, d = s.partition("~")
+        if core and "~" not in core and (d == "" or d.isdigit()):
+            return "fuzzy", (core, int(d) if d else 1)
     words = s.replace("(", " ").replace(")", " ").split()
     if any(w in ("AND", "OR", "NOT") for w in words):
         return "boolean", s
@@ -595,6 +655,13 @@ def answer_queries(
                 for q, rk, d, s in res.itertuples(index=False)
                 if q == qid
             ]
+    fz = [(i, arg) for i, (t, arg) in enumerate(routed) if t == "fuzzy"]
+    for i, (core, d) in fz:  # per-query: max_edit varies per query
+        res = fuzzy_local(idx, [core], k=k, max_edit=d)
+        out[i]["hits"] = [
+            {"rank": int(rk), "docid": int(dd), "score": round(float(s), 4)}
+            for _q, rk, dd, s in res.itertuples(index=False)
+        ]
     bq = [(i, arg) for i, (t, arg) in enumerate(routed) if t == "boolean"]
     if bq:
         res = boolean_local(idx, [a for _, a in bq])

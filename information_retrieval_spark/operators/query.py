@@ -221,6 +221,170 @@ def wildcard_topk(
     return wand_topk(spark, index, pairs, k, cfg, **wand_kwargs)
 
 
+def _delete_variants(term: str, d: int = 1) -> set[str]:
+    """The term plus every string reachable by deleting up to ``d`` chars
+    (the SymSpell neighborhood, Garbe 2012 — public algorithm). Two strings
+    within Levenshtein distance 1 ALWAYS share a member of each other's
+    1-delete neighborhoods, so joining neighborhoods has full recall at
+    d=1; exact verification prunes false positives."""
+    out = {term}
+    frontier = {term}
+    for _ in range(d):
+        frontier = {
+            v[:i] + v[i + 1:] for v in frontier for i in range(len(v))
+        }
+        out |= frontier
+    return out
+
+
+def expand_fuzzy(
+    index,
+    terms: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    max_edit: int = 1,
+    max_expansions: int = 64,
+) -> list[tuple[int, str]]:
+    """[(query_id, term)] — dictionary terms within Levenshtein distance
+    ``max_edit`` of each analyzed query term, capped at the
+    lexicographically-first ``max_expansions`` (deterministic, mirrored by
+    the SQL oracle).
+
+    Scale shape: NEVER a full-dictionary edit-distance scan. Candidates
+    come from a SymSpell delete-neighborhood equi-join — the query terms'
+    variants (a handful of strings) broadcast against the dictionary's
+    variants (computed in codegen: transform over char positions) — then
+    ``F.levenshtein`` verifies exactly on the few candidates. At 10^8
+    terms the production upgrade is persisting the exploded variant table
+    next to the dictionary (one-off build cost, same join); here it is
+    derived on the fly from the same pruned dictionary scan."""
+    import pandas as pd
+
+    from ..functions.analyzer import tokenize_series
+
+    spark = index.dictionary.sparkSession
+    toks = tokenize_series(pd.Series(terms, dtype=object), cfg)
+    norm = [(i, ts[0]) for i, ts in enumerate(toks) if len(ts) > 0]
+    if not norm:
+        return []
+    qvars = spark.createDataFrame(
+        [(qid, q, v) for qid, q in norm for v in _delete_variants(q, max_edit)],
+        "query_id int, qterm string, variant string",
+    )
+    t = F.col("term")
+    # dictionary-side neighborhood in codegen: term + each 1-delete (d=1);
+    # d=2 adds the second round (still O(len^2) variants per term)
+    var_arr = F.array_union(
+        F.array(t),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t)),
+                lambda i: F.concat(
+                    F.substring(t, F.lit(1), i - 1),
+                    t.substr(i + 1, F.length(t)),
+                ),
+            )
+        ),
+    )
+    if max_edit >= 2:
+        v = F.col("variant")
+        var_arr = F.array_distinct(
+            F.flatten(
+                F.transform(
+                    var_arr,
+                    lambda v: F.array_union(
+                        F.array(v),
+                        F.transform(
+                            F.sequence(F.lit(1), F.length(v)),
+                            lambda i: F.concat(
+                                F.substring(v, F.lit(1), i - 1),
+                                v.substr(i + 1, F.length(v)),
+                            ),
+                        ),
+                    ),
+                )
+            )
+        )
+    cand = (
+        index.dictionary.select("term", F.explode(var_arr).alias("variant"))
+        .join(F.broadcast(qvars), "variant")
+        .select("query_id", "qterm", "term")
+        .distinct()
+        .filter(F.levenshtein("qterm", "term") <= max_edit)
+    )
+    # verified candidates are neighborhood-sized (tiny); one materialization,
+    # then the per-query lexicographic cap costs no further dictionary scans
+    cand = cand.persist()
+    try:
+        out: list[tuple[int, str]] = []
+        for qid, _q in norm:
+            rows = (
+                cand.filter(F.col("query_id") == qid)
+                .select("term")
+                .orderBy("term")
+                .limit(int(max_expansions))
+                .collect()
+            )
+            out.extend((qid, r["term"]) for r in rows)
+    finally:
+        cand.unpersist()
+    return out
+
+
+def fuzzy_topk(
+    spark: SparkSession,
+    index,
+    terms: list[str],
+    k: int,
+    cfg: EngineConfig | None = None,
+    max_edit: int = 1,
+    max_expansions: int = 64,
+    **wand_kwargs,
+) -> DataFrame:
+    """(query_id, rank, docid, score) — spell-tolerant retrieval: each
+    query term expands to its Levenshtein-``max_edit`` dictionary
+    neighborhood (SymSpell candidates + exact verify), scored
+    disjunctively by the same block-max WAND as plain queries."""
+    from .wand import wand_topk
+
+    cfg = cfg or index.cfg
+    pairs = expand_fuzzy(index, terms, cfg, max_edit, max_expansions)
+    return wand_topk(spark, index, pairs, k, cfg, **wand_kwargs)
+
+
+def duckdb_fuzzy_bm25_sql(
+    corpus_sql: str,
+    terms: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int | None = None,
+    round_to: int = 4,
+    max_edit: int = 1,
+    max_expansions: int = 64,
+) -> str:
+    """Oracle twin of ``fuzzy_topk``: the expansion is re-derived as a
+    DIRECT levenshtein() filter over the corpus's own distinct vocabulary
+    (no neighborhood trick — the oracle is the brute-force definition the
+    SymSpell join must reproduce), same lexicographic cap, shared BM25
+    body."""
+    import pandas as pd
+
+    from ..functions.analyzer import tokenize_series
+
+    toks = tokenize_series(pd.Series(terms, dtype=object), cfg)
+    norm = [(i, ts[0]) for i, ts in enumerate(toks) if len(ts) > 0]
+    qvalues = ", ".join(f"({qid}, '{q}')" for qid, q in norm) or (
+        "(0, CAST(NULL AS VARCHAR))"
+    )
+    qterms_sql = f"""
+  SELECT query_id, term FROM (
+    SELECT q.query_id, v.term,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY v.term) AS rn
+    FROM (VALUES {qvalues}) AS q(query_id, qterm)
+    JOIN (SELECT DISTINCT term FROM tf) v
+      ON q.qterm IS NOT NULL AND levenshtein(q.qterm, v.term) <= {int(max_edit)}
+  ) WHERE rn <= {int(max_expansions)}"""
+    return _duckdb_bm25_body(corpus_sql, qterms_sql, cfg, k, round_to)
+
+
 def naive_bm25(
     corpus: DataFrame,
     qterms: DataFrame,

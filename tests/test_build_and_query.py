@@ -359,3 +359,71 @@ def test_wildcard_local_matches_spark_path(spark, corpus, tmp_path_factory):
     assert route_query("a*b")[0] == "bm25"          # interior star unrouted
     ans = answer_queries(root, ["*dent_1*"], k=5)
     assert ans[0]["type"] == "wildcard" and len(ans[0]["hits"]) == 5
+
+
+def _levenshtein(a: str, b: str) -> int:
+    m = np.arange(len(b) + 1)
+    for i, ca in enumerate(a, 1):
+        prev = m.copy()
+        m[0] = i
+        for j, cb in enumerate(b, 1):
+            m[j] = min(prev[j] + 1, m[j - 1] + 1, prev[j - 1] + (ca != cb))
+    return int(m[-1])
+
+
+def test_fuzzy_expansion_matches_brute_force(spark, corpus, index):
+    """expand_fuzzy (SymSpell delete-neighborhood join + exact verify) must
+    equal the brute-force Levenshtein definition over the vocabulary, at
+    both d=1 and d=2."""
+    from information_retrieval_spark.operators.query import expand_fuzzy
+
+    vocab = sorted(r["term"] for r in index.dictionary.select("term").collect())
+    queries = ["idnet_1", "ident_", "zzzz", "stopword_the"]
+    for d in (1, 2):
+        got = expand_fuzzy(index, queries, CFG, max_edit=d, max_expansions=16)
+        byq = {}
+        for q, t in got:
+            byq.setdefault(q, []).append(t)
+        for qid, q in enumerate(queries):
+            want = sorted(t for t in vocab if _levenshtein(q, t) <= d)[:16]
+            assert byq.get(qid, []) == want, (d, q)
+
+
+def test_fuzzy_local_matches_spark_path(spark, corpus, tmp_path_factory):
+    """The Spark-free fuzzy path (length-prefiltered DP over the pyarrow
+    dictionary) is rank-identical to fuzzy_topk, and 'term~' / 'term~2'
+    routes through answer_queries."""
+    from information_retrieval_spark.operators.local_query import (
+        LocalIndex,
+        answer_queries,
+        fuzzy_local,
+        route_query,
+    )
+    from information_retrieval_spark.operators.query import fuzzy_topk
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+        open_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("fuzzy") / "idx")
+    build_index_resumable(spark, corpus, root, CFG)
+    idx = open_index(spark, root)
+
+    terms = ["ident_", "zzzz"]  # "ident_" has 1-edit neighbors ident_0..9
+    want = [
+        (r["query_id"], r["rank"], r["docid"], round(r["score"], 6))
+        for r in fuzzy_topk(spark, idx, terms, 10, CFG, max_edit=1)
+        .orderBy("query_id", "rank").collect()
+    ]
+    got = [
+        (int(q), int(rk), int(d), round(float(s), 6))
+        for q, rk, d, s in fuzzy_local(LocalIndex(root), terms, k=10, max_edit=1)
+        .itertuples(index=False)
+    ]
+    assert got == want and len(got) == 10
+
+    assert route_query("hasj~") == ("fuzzy", ("hasj", 1))
+    assert route_query("tabel~2") == ("fuzzy", ("tabel", 2))
+    assert route_query("a~b")[0] == "bm25"      # non-numeric suffix unrouted
+    ans = answer_queries(root, ["ident_~"], k=5)
+    assert ans[0]["type"] == "fuzzy" and len(ans[0]["hits"]) == 5
