@@ -305,6 +305,35 @@ def main() -> None:
         wand_topk(spark, idx, qt, TOP_K, cfg).count()
         query_secs[f"q{i}"] = round(time.time() - t0, 4)
 
+    # extended query surface (round 3): one timed call per retrieval mode
+    # over the SAME warm in-memory index — evidence that the expansion
+    # machineries (dictionary range scan, SymSpell join, posting-set
+    # algebra) stay interactive-class, not just the plain-WAND path
+    from information_retrieval_spark.operators.boolquery import (
+        boolean_query_indexed,
+        boolean_ranked_topk,
+    )
+    from information_retrieval_spark.operators.query import (
+        fuzzy_topk,
+        prefix_topk,
+        wildcard_topk,
+    )
+
+    extended: dict[str, float] = {}
+    for name, fn in (
+        ("prefix", lambda: prefix_topk(spark, idx, ["ta", "s"], TOP_K, cfg)),
+        ("wildcard", lambda: wildcard_topk(spark, idx, ["*ble", "*as*"], TOP_K, cfg)),
+        ("fuzzy_d2", lambda: fuzzy_topk(spark, idx, ["hasj", "tabel"], TOP_K, cfg, max_edit=2)),
+        ("boolean", lambda: boolean_query_indexed(
+            spark, idx, ["hash AND (join OR merge)", "table AND NOT key"], cfg)),
+        ("boolean_ranked", lambda: boolean_ranked_topk(
+            spark, idx, ["hash AND (join OR merge)"], TOP_K, cfg)),
+    ):
+        fn().count()  # warm (plan compile + worker spin-up)
+        t0 = time.time()
+        fn().count()
+        extended[name] = round(time.time() - t0, 4)
+
     # Spark-free interactive path (the reference's query-daemon analog):
     # persist the index once, then per-query pyarrow fetch + in-process BMW
     from information_retrieval_spark.operators.local_query import (
@@ -336,6 +365,7 @@ def main() -> None:
         "build_sec": round(build_sec, 3),
         "docs_per_sec": round(docs_per_sec, 1),
         "queries": query_secs,
+        "queries_extended": extended,
         "queries_pyarrow_local": local_secs,
     }
     spark.stop()
