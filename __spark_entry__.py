@@ -40,6 +40,7 @@ from information_retrieval_spark.operators.query import (  # noqa: E402
     conjunctive_match,
     duckdb_bm25_sql,
     duckdb_conjunctive_sql,
+    duckdb_facet_sql,
     duckdb_fuzzy_bm25_sql,
     duckdb_prefix_bm25_sql,
     duckdb_tok,
@@ -440,6 +441,17 @@ BOOL_QUERY_SET = [
 ]
 
 
+def _q_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet counts (repo, lang) over the WAND top-k result set — the
+    search-result sidebar aggregation; cost scales with k·|queries|."""
+    from information_retrieval_spark.operators.query import facet_counts
+
+    idx = _index(spark, sf_dir)
+    qterms = parse_queries(spark, QUERY_SET, CFG)
+    topk = wand_topk(spark, idx, qterms, TOP_K, CFG)
+    return facet_counts(topk, idx.docs, ["repo", "lang"])
+
+
 def _q_boolean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full boolean expression retrieval (AND/OR/NOT/parens, implicit AND):
     the whole query batch evaluated in ONE codegen corpus scan — per-doc
@@ -714,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_topk": _q_prefix_topk,
         "wildcard_topk": _q_wildcard_topk,
         "fuzzy_topk": _q_fuzzy_topk,
+        "facets": _q_facets,
         "boolean_query": _q_boolean_query,
         "boolean_query_indexed": _q_boolean_query_indexed,
         "boolean_ranked": _q_boolean_ranked,
@@ -913,6 +926,12 @@ FROM events GROUP BY event_type
         ),
         "fuzzy_topk": duckdb_fuzzy_bm25_sql(
             corpus, FUZZY_SET, CFG, k=TOP_K, round_to=4, max_edit=2
+        ),
+        "facets": duckdb_facet_sql(
+            duckdb_bm25_sql(corpus, QUERY_SET, CFG, k=TOP_K, round_to=4),
+            duckdb_docid_sql(corpus, CFG),
+            ["repo", "lang"],
+            CFG,
         ),
         "boolean_query": duckdb_boolean_sql(corpus, BOOL_QUERY_SET, CFG),
         # deliberately the SAME oracle: the indexed evaluator must reproduce

@@ -72,6 +72,7 @@ from .operators.regions import (
 from .operators.query import (
     conjunctive_match,
     expand_fuzzy,
+    facet_counts,
     expand_prefixes,
     expand_wildcards,
     fuzzy_topk,
@@ -125,7 +126,7 @@ __all__ = [
     "boolean_query", "boolean_query_indexed", "boolean_ranked_topk",
     "parse_boolean",
     "prefix_topk", "expand_prefixes", "wildcard_topk", "expand_wildcards",
-    "fuzzy_topk", "expand_fuzzy",
+    "fuzzy_topk", "expand_fuzzy", "facet_counts",
     "parse_queries", "parse_query_terms",
     "positional_postings", "phrase_match", "proximity_match", "snippet_extract",
     "region_postings", "region_match", "tagged_documents",

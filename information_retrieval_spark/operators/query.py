@@ -641,6 +641,57 @@ FROM ranked
 """
 
 
+def facet_counts(
+    topk: DataFrame, docs: DataFrame, facet_cols: list[str]
+) -> DataFrame:
+    """(query_id, facet, value, n_docs) — facet aggregation over a ranked
+    result set (the search-result sidebar every engine serves): resolve the
+    <= k·|queries| winners against the docs catalog (broadcast of the
+    RESULT side — it is the small one) and count per facet value. One
+    explode per facet column inside codegen, one hash agg keyed by the
+    tiny (query, facet, value) space. Cost scales with k·|queries|, never
+    the catalog."""
+    resolved = docs.select("docid", *facet_cols).join(
+        F.broadcast(topk.select("query_id", "docid")), "docid"
+    )
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(c).alias("facet"), F.col(c).cast("string").alias("value"))
+                for c in facet_cols
+            ]
+        )
+    ).alias("fv")
+    return (
+        resolved.select("query_id", pairs)
+        .select("query_id", "fv.facet", "fv.value")
+        .groupBy("query_id", "facet", "value")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def duckdb_facet_sql(
+    topk_sql: str,
+    docids_sql: str,
+    facet_cols: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> str:
+    """Oracle twin of ``facet_counts``: the ranked-result SQL joined to the
+    docid derivation, one UNION ALL arm per facet column."""
+    arms = "\nUNION ALL\n".join(
+        f"SELECT query_id, '{c}' AS facet, CAST({c} AS VARCHAR) AS value FROM j"
+        for c in facet_cols
+    )
+    return f"""
+WITH t AS ({topk_sql}),
+ids AS ({docids_sql}),
+j AS (SELECT t.query_id, ids.* FROM t JOIN ids USING (docid))
+SELECT query_id, facet, value, count(*) AS n_docs
+FROM ({arms})
+GROUP BY query_id, facet, value
+"""
+
+
 def duckdb_tok(col_sql: str, cfg: EngineConfig = DEFAULT_CONFIG) -> str:
     from ..functions.analyzer import duckdb_tokenize_sql
 

@@ -427,3 +427,26 @@ def test_fuzzy_local_matches_spark_path(spark, corpus, tmp_path_factory):
     assert route_query("a~b")[0] == "bm25"      # non-numeric suffix unrouted
     ans = answer_queries(root, ["ident_~"], k=5)
     assert ans[0]["type"] == "fuzzy" and len(ans[0]["hits"]) == 5
+
+
+def test_facet_counts_semantics(spark, corpus, index):
+    """facet_counts: per-(query, facet, value) result-set counts that sum
+    back to each query's result size; broadcast of the small result side."""
+    from information_retrieval_spark.operators.query import facet_counts
+
+    qterms = parse_queries(spark, QUERIES[:2], CFG)
+    topk = wand_topk(spark, index, qterms, K, CFG)
+    n_per_q = {r["query_id"]: r["n"] for r in
+               topk.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    rows = facet_counts(topk, index.docs, ["repo", "lang"]).collect()
+    from collections import defaultdict
+
+    sums = defaultdict(int)
+    for r in rows:
+        assert r["facet"] in ("repo", "lang") and r["n_docs"] > 0
+        sums[(r["query_id"], r["facet"])] += r["n_docs"]
+    for qid, n in n_per_q.items():
+        assert sums[(qid, "repo")] == n and sums[(qid, "lang")] == n
+    plan = topk and facet_counts(topk, index.docs, ["repo"])
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in s or "BroadcastNestedLoop" not in s
