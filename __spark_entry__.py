@@ -42,6 +42,7 @@ from information_retrieval_spark.operators.query import (  # noqa: E402
     duckdb_conjunctive_sql,
     duckdb_facet_sql,
     duckdb_fuzzy_bm25_sql,
+    duckdb_mlt_sql,
     duckdb_prefix_bm25_sql,
     duckdb_tok,
     duckdb_wildcard_bm25_sql,
@@ -441,6 +442,25 @@ BOOL_QUERY_SET = [
 ]
 
 
+MLT_SEED_PATHS = ["doc/7", "doc/23"]
+
+
+def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this: each seed doc's top tf-idf terms become a
+    disjunctive WAND query; the seed is excluded from its own results.
+    Oracle re-derives term selection, scoring, and seed exclusion in SQL."""
+    from information_retrieval_spark.operators.query import more_like_this
+
+    idx = _index(spark, sf_dir)
+    seed_ids = [
+        r["docid"]
+        for p in MLT_SEED_PATHS
+        for r in idx.docs.filter(F.col("path") == p).select("docid").collect()
+    ]
+    out = more_like_this(spark, idx, seed_ids, TOP_K, CFG)
+    return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
+
+
 def _q_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facet counts (repo, lang) over the WAND top-k result set — the
     search-result sidebar aggregation; cost scales with k·|queries|."""
@@ -727,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_topk": _q_wildcard_topk,
         "fuzzy_topk": _q_fuzzy_topk,
         "facets": _q_facets,
+        "more_like_this": _q_more_like_this,
         "boolean_query": _q_boolean_query,
         "boolean_query_indexed": _q_boolean_query_indexed,
         "boolean_ranked": _q_boolean_ranked,
@@ -926,6 +947,9 @@ FROM events GROUP BY event_type
         ),
         "fuzzy_topk": duckdb_fuzzy_bm25_sql(
             corpus, FUZZY_SET, CFG, k=TOP_K, round_to=4, max_edit=2
+        ),
+        "more_like_this": duckdb_mlt_sql(
+            corpus, MLT_SEED_PATHS, CFG, k=TOP_K, round_to=4
         ),
         "facets": duckdb_facet_sql(
             duckdb_bm25_sql(corpus, QUERY_SET, CFG, k=TOP_K, round_to=4),

@@ -76,6 +76,7 @@ from .operators.query import (
     expand_prefixes,
     expand_wildcards,
     fuzzy_topk,
+    more_like_this,
     naive_bm25,
     parse_queries,
     parse_query_terms,
@@ -126,7 +127,7 @@ __all__ = [
     "boolean_query", "boolean_query_indexed", "boolean_ranked_topk",
     "parse_boolean",
     "prefix_topk", "expand_prefixes", "wildcard_topk", "expand_wildcards",
-    "fuzzy_topk", "expand_fuzzy", "facet_counts",
+    "fuzzy_topk", "expand_fuzzy", "facet_counts", "more_like_this",
     "parse_queries", "parse_query_terms",
     "positional_postings", "phrase_match", "proximity_match", "snippet_extract",
     "region_postings", "region_match", "tagged_documents",

@@ -641,6 +641,104 @@ FROM ranked
 """
 
 
+def more_like_this(
+    spark: SparkSession,
+    index,
+    seed_docids: list[int],
+    k: int,
+    cfg: EngineConfig | None = None,
+    max_terms: int = 16,
+    **wand_kwargs,
+) -> DataFrame:
+    """(query_id, rank, docid, score) — "find documents like this one"
+    (Lucene MoreLikeThis semantics, public): each seed doc's
+    ``max_terms`` highest tf·idf terms become a disjunctive query
+    (deterministic tie-break: score DESC, term ASC), scored by the same
+    block-max WAND; the seed itself is excluded from its results (rank
+    recomputed — removal of one row cannot reorder the others).
+
+    Scale shape: seed term extraction tokenizes ONLY the seed docs (a
+    broadcast join against the docs catalog), idf comes from the
+    dictionary; ranking is one WAND call for the whole seed batch.
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.analyzer import tokenize_expr as tok
+    from .wand import wand_topk
+
+    cfg = cfg or index.cfg
+    seeds = [(i, int(d)) for i, d in enumerate(seed_docids)]
+    seed_df = spark.createDataFrame(seeds, "query_id int, docid long")
+    tf = (
+        index.docs.join(F.broadcast(seed_df), "docid")
+        .select("query_id", F.explode(tok("content", cfg)).alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = float(index.n_docs)
+    scored = tf.join(index.dictionary.select("term", "df"), "term").withColumn(
+        "s",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        )
+        * F.col("tf"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("s"), F.asc("term"))
+    pairs = [
+        (r["query_id"], r["term"])
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(max_terms))
+        .select("query_id", "term")
+        .collect()
+    ]
+    topk = wand_topk(spark, index, pairs, k + 1, cfg, **wand_kwargs)
+    keep = topk.join(F.broadcast(seed_df), ["query_id", "docid"], "left_anti")
+    w2 = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        keep.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "docid", "score")
+    )
+
+
+def duckdb_mlt_sql(
+    corpus_sql: str,
+    seed_paths: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int = 10,
+    round_to: int = 4,
+    max_terms: int = 16,
+) -> str:
+    """Oracle twin of ``more_like_this`` with seeds addressed by path (the
+    oracle re-derives their docids): top tf·idf seed terms with the same
+    tie-break, shared BM25 body, seed excluded BEFORE the rank window."""
+    seed_values = " UNION ALL ".join(
+        f"SELECT {i} AS query_id, docid FROM docids WHERE path = '{p}'"
+        for i, p in enumerate(seed_paths)
+    )
+    qterms_sql = f"""
+  SELECT query_id, term FROM (
+    SELECT s.query_id, tf.term,
+           row_number() OVER (
+             PARTITION BY s.query_id
+             ORDER BY ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5)) * tf.tf DESC,
+                      tf.term ASC
+           ) AS rn
+    FROM ({seed_values}) s
+    JOIN tf ON tf.docid = s.docid
+    JOIN (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term) d USING (term)
+    CROSS JOIN stats st
+  ) WHERE rn <= {int(max_terms)}"""
+    restrict = f"""
+  SELECT s.query_id, dd.docid
+  FROM ({seed_values}) s CROSS JOIN docids dd
+  WHERE dd.docid <> s.docid"""
+    return _duckdb_bm25_body(
+        corpus_sql, qterms_sql, cfg, k, round_to, restrict_sql=restrict
+    )
+
+
 def facet_counts(
     topk: DataFrame, docs: DataFrame, facet_cols: list[str]
 ) -> DataFrame:

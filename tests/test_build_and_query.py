@@ -450,3 +450,47 @@ def test_facet_counts_semantics(spark, corpus, index):
     plan = topk and facet_counts(topk, index.docs, ["repo"])
     s = plan._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in s or "BroadcastNestedLoop" not in s
+
+
+def test_more_like_this_excludes_seed_and_ranks(spark, corpus, index):
+    """more_like_this: the seed never appears in its own results; the
+    ranking equals a manual WAND over the seed's top tf-idf terms with the
+    seed filtered out."""
+    import math
+
+    from information_retrieval_spark.functions.analyzer import tokenize_expr
+    from information_retrieval_spark.operators.build import build_docs_table
+    from information_retrieval_spark.operators.query import more_like_this
+
+    seed = index.docs.orderBy("docid").limit(1).collect()[0]
+    out = more_like_this(spark, index, [seed["docid"]], K, CFG, max_terms=8)
+    rows = [(r["rank"], r["docid"], round(r["score"], 9)) for r in
+            out.orderBy("rank").collect()]
+    assert len(rows) == K
+    assert all(d != seed["docid"] for _, d, _ in rows)
+    assert [r for r, _, _ in rows] == list(range(1, K + 1))
+
+    # manual expansion: top-8 tf*idf terms of the seed (score desc, term asc)
+    df_map = {r["term"]: r["df"] for r in index.dictionary.collect()}
+    from collections import Counter
+
+    toks = Counter(
+        t for r in build_docs_table(corpus, CFG)
+        .filter(F.col("docid") == seed["docid"])
+        .select(F.explode(tokenize_expr("content", CFG)).alias("t")).collect()
+        for t in [r["t"]]
+    )
+    n = index.n_docs
+    scored = sorted(
+        ((math.log(1 + (n - df_map[t] + 0.5) / (df_map[t] + 0.5)) * c, t)
+         for t, c in toks.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:8]
+    want_pairs = [(0, t) for _, t in sorted(scored, key=lambda x: x[1])]
+    manual = wand_topk(spark, index, want_pairs, K + 1, CFG)
+    manual_rows = [
+        (r["docid"], round(r["score"], 9))
+        for r in manual.orderBy("rank").collect()
+        if r["docid"] != seed["docid"]
+    ][:K]
+    assert [(d, s) for _, d, s in rows] == manual_rows
