@@ -44,6 +44,7 @@ from information_retrieval_spark.operators.query import (  # noqa: E402
     duckdb_fuzzy_bm25_sql,
     duckdb_mlt_sql,
     duckdb_prefix_bm25_sql,
+    duckdb_suggest_sql,
     duckdb_tok,
     duckdb_wildcard_bm25_sql,
     naive_bm25,
@@ -461,6 +462,15 @@ def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
 
 
+def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-box autocomplete: top dictionary completions per prefix by
+    collection frequency (cf DESC, term ASC)."""
+    from information_retrieval_spark.operators.query import suggest_terms
+
+    idx = _index(spark, sf_dir)
+    return suggest_terms(idx, PREFIX_SET, CFG, k=8)
+
+
 def _q_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facet counts (repo, lang) over the WAND top-k result set — the
     search-result sidebar aggregation; cost scales with k·|queries|."""
@@ -748,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_topk": _q_fuzzy_topk,
         "facets": _q_facets,
         "more_like_this": _q_more_like_this,
+        "suggest": _q_suggest,
         "boolean_query": _q_boolean_query,
         "boolean_query_indexed": _q_boolean_query_indexed,
         "boolean_ranked": _q_boolean_ranked,
@@ -948,6 +959,7 @@ FROM events GROUP BY event_type
         "fuzzy_topk": duckdb_fuzzy_bm25_sql(
             corpus, FUZZY_SET, CFG, k=TOP_K, round_to=4, max_edit=2
         ),
+        "suggest": duckdb_suggest_sql(corpus, PREFIX_SET, CFG, k=8),
         "more_like_this": duckdb_mlt_sql(
             corpus, MLT_SEED_PATHS, CFG, k=TOP_K, round_to=4
         ),

@@ -81,6 +81,7 @@ from .operators.query import (
     parse_queries,
     parse_query_terms,
     prefix_topk,
+    suggest_terms,
     wildcard_topk,
 )
 from .operators.similarity import (
@@ -128,6 +129,7 @@ __all__ = [
     "parse_boolean",
     "prefix_topk", "expand_prefixes", "wildcard_topk", "expand_wildcards",
     "fuzzy_topk", "expand_fuzzy", "facet_counts", "more_like_this",
+    "suggest_terms",
     "parse_queries", "parse_query_terms",
     "positional_postings", "phrase_match", "proximity_match", "snippet_extract",
     "region_postings", "region_match", "tagged_documents",

@@ -641,6 +641,69 @@ FROM ranked
 """
 
 
+def suggest_terms(
+    index,
+    prefixes: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int = 8,
+) -> "DataFrame":
+    """(query_id, rank, term, cf) — search-box autocomplete: the top-``k``
+    dictionary completions of each analyzed prefix ranked by collection
+    frequency (cf DESC, term ASC — deterministic). One column-pruned
+    dictionary scan per prefix with the startswith predicate map-side and
+    the cap as TakeOrderedAndProject (same discipline as
+    ``expand_prefixes``; the sorted term column row-group-prunes)."""
+    from pyspark.sql import Window as W
+
+    spark = index.dictionary.sparkSession
+    norm = normalize_prefixes(prefixes, cfg)
+    out = None
+    for qid, p in norm:
+        rows = (
+            index.dictionary.select("term", "cf")
+            .filter(F.col("term").startswith(F.lit(p)))
+            .orderBy(F.desc("cf"), F.asc("term"))
+            .limit(int(k))
+            .withColumn("query_id", F.lit(qid))
+        )
+        out = rows if out is None else out.unionByName(rows)
+    if out is None:
+        return spark.createDataFrame([], "query_id int, rank int, term string, cf long")
+    w = W.partitionBy("query_id").orderBy(F.desc("cf"), F.asc("term"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .select("query_id", "rank", "term", F.col("cf").cast("long").alias("cf"))
+    )
+
+
+def duckdb_suggest_sql(
+    corpus_sql: str,
+    prefixes: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int = 8,
+) -> str:
+    """Oracle twin: cf re-derived from the corpus token stream, the same
+    (cf DESC, term ASC) cap."""
+    norm = normalize_prefixes(prefixes, cfg)
+    qvalues = ", ".join(f"({qid}, '{p}')" for qid, p in norm) or (
+        "(0, CAST(NULL AS VARCHAR))"
+    )
+    return f"""
+WITH ids AS ({duckdb_docid_sql(corpus_sql, cfg)}),
+cf AS (
+  SELECT term, count(*) AS cf
+  FROM (SELECT unnest({duckdb_tok('content', cfg)}) AS term FROM ids)
+  GROUP BY term
+)
+SELECT query_id, rank, term, cf FROM (
+  SELECT q.query_id, cf.term, cf.cf,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY cf.cf DESC, cf.term ASC) AS rank
+  FROM (VALUES {qvalues}) AS q(query_id, prefix)
+  JOIN cf ON q.prefix IS NOT NULL AND starts_with(cf.term, q.prefix)
+) WHERE rank <= {int(k)}
+"""
+
+
 def more_like_this(
     spark: SparkSession,
     index,

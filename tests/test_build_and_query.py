@@ -494,3 +494,19 @@ def test_more_like_this_excludes_seed_and_ranks(spark, corpus, index):
         if r["docid"] != seed["docid"]
     ][:K]
     assert [(d, s) for _, d, s in rows] == manual_rows
+
+
+def test_suggest_terms_cf_ranked(spark, corpus, index):
+    """suggest_terms: completions ranked by collection frequency with the
+    deterministic (cf DESC, term ASC) tie-break, capped at k."""
+    from information_retrieval_spark.operators.query import suggest_terms
+
+    cf = {r["term"]: r["cf"] for r in index.dictionary.collect()}
+    got = [(r["query_id"], r["rank"], r["term"], r["cf"]) for r in
+           suggest_terms(index, ["ident_1", "zzz"], CFG, k=5)
+           .orderBy("query_id", "rank").collect()]
+    want_terms = sorted(
+        (t for t in cf if t.startswith("ident_1")),
+        key=lambda t: (-cf[t], t),
+    )[:5]
+    assert [(0, i + 1, t, cf[t]) for i, t in enumerate(want_terms)] == got
