@@ -49,6 +49,7 @@ from .operators.local_query import (
     LocalIndex,
     answer_queries,
     boolean_local,
+    boolean_ranked_local,
     fuzzy_local,
     phrase_match_local,
     prefix_local,
@@ -135,7 +136,7 @@ __all__ = [
     "region_postings", "region_match", "tagged_documents",
     "LocalIndex", "query_index_local", "phrase_match_local", "proximity_match_local",
     "snippet_local", "answer_queries", "route_query", "prefix_local",
-    "wildcard_local", "boolean_local", "fuzzy_local",
+    "wildcard_local", "boolean_local", "boolean_ranked_local", "fuzzy_local",
     "federated_wand_topk", "federated_topk_local", "merge_indexes",
     "exact_dedup", "minhash_signatures", "oph_signatures",
     "lsh_near_dup_pairs", "exact_jaccard_pairs", "dedup_clusters",

@@ -226,7 +226,12 @@ def query_index_local(
     return _rank_pairs(idx, q_pairs, k)
 
 
-def _rank_pairs(idx: "LocalIndex", q_pairs: list[tuple[int, str]], k: int) -> pd.DataFrame:
+def _rank_pairs(
+    idx: "LocalIndex",
+    q_pairs: list[tuple[int, str]],
+    k: int,
+    allowed_arr=None,
+) -> pd.DataFrame:
     """Shared BMW ranking over explicit (query_id, term) pairs."""
     terms = sorted({t for _, t in q_pairs})
     blocks = idx.fetch_blocks(terms)
@@ -236,9 +241,38 @@ def _rank_pairs(idx: "LocalIndex", q_pairs: list[tuple[int, str]], k: int) -> pd
     }
     rows = bmw_over_blocks(
         blocks, q_pairs, k, idf, idx.avgdl, float(idx.cfg.k1), float(idx.cfg.b),
-        del_arr=idx.deleted,
+        del_arr=idx.deleted, allowed_arr=allowed_arr,
     )
     return pd.DataFrame(rows, columns=["query_id", "rank", "docid", "score"])
+
+
+def boolean_ranked_local(
+    index: "LocalIndex | str", queries: list[str], k: int = 10
+) -> pd.DataFrame:
+    """(query_id, rank, docid, score) — Spark-free filtered ranked
+    retrieval (twin of ``boolean_ranked_topk``): the in-process boolean
+    verdict becomes the BMW keep-list; BM25 scores each expression's
+    positive terms. Pure-negative queries return no rows."""
+    import numpy as np
+
+    from .boolquery import parse_boolean, positive_terms
+
+    idx = LocalIndex(index) if isinstance(index, str) else index
+    verdicts = boolean_local(idx, queries)
+    frames = []
+    for i, q in enumerate(queries):
+        pos = sorted(positive_terms(parse_boolean(q, idx.cfg)))
+        if not pos:
+            continue
+        allowed = np.unique(
+            verdicts.loc[verdicts["query_id"] == i, "docid"].to_numpy("int64")
+        )
+        if allowed.size == 0:
+            continue
+        frames.append(_rank_pairs(idx, [(i, t) for t in pos], k, allowed_arr=allowed))
+    if not frames:
+        return pd.DataFrame(columns=["query_id", "rank", "docid", "score"])
+    return pd.concat(frames, ignore_index=True)
 
 
 def prefix_local(

@@ -354,3 +354,36 @@ def test_boolean_ranked_topk_filters_then_ranks(spark):
         .collect()
     )
     assert got == want and len(got) == 1  # only doc 2 has alpha without beta
+
+
+def test_boolean_ranked_local_matches_spark(spark, tmp_path_factory):
+    """boolean_ranked_local (in-process verdict -> BMW keep-list) is
+    rank-identical to boolean_ranked_topk over the same persisted index."""
+    from information_retrieval_spark.corpus import corpus_from_documents
+    from information_retrieval_spark.operators.boolquery import (
+        boolean_ranked_topk,
+    )
+    from information_retrieval_spark.operators.local_query import (
+        LocalIndex,
+        boolean_ranked_local,
+    )
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+        open_index,
+    )
+
+    corpus = corpus_from_documents(_corpus(spark))
+    root = str(tmp_path_factory.mktemp("boolrank") / "idx")
+    idx = build_index_resumable(spark, corpus, root, CFG)
+    queries = ["alpha AND (beta OR delta)", "gamma AND NOT alpha", "NOT alpha"]
+    want = sorted(
+        (r["query_id"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in boolean_ranked_topk(spark, open_index(spark, root), queries, 10, CFG)
+        .collect()
+    )
+    got = sorted(
+        (int(q), int(rk), int(d), round(float(s), 9))
+        for q, rk, d, s in boolean_ranked_local(LocalIndex(root), queries, k=10)
+        .itertuples(index=False)
+    )
+    assert got == want and len(got) > 0
