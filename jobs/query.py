@@ -48,7 +48,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--auto", action="store_true",
                    help="route each query by syntax (local engine): "
                         '\\"quoted\\" -> phrase, a NEAR/3 b -> proximity, '
-                        "term* -> prefix, else ranked BM25 "
+                        "term* -> prefix, *term / *term* -> wildcard, "
+                        "term~ / term~2 -> fuzzy, uppercase AND/OR/NOT -> "
+                        "boolean, else ranked BM25 "
                         "(with snippets if --snippets)")
     p.add_argument("queries", nargs="+")
     args = p.parse_args(argv)

@@ -126,10 +126,18 @@ def test_local_query_matches_spark_wand(spark, tmp_path_factory):
         for q, rk, d, s in out.itertuples(index=False)
     )
     assert local_rows == spark_rows and len(local_rows) > 0
-    # latency sanity: warm repeat answers in well under 100 ms
+    # Spark-free invariant: a warm repeat schedules ZERO Spark jobs (the
+    # property the latency claim rests on — asserted directly because wall
+    # time flakes under host noise; measured 0.59 s once while the oracle
+    # gate ran concurrently) plus a generous wall bound.
+    jobs_before = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
     t0 = time.time()
     query_index_local(li, ["ident_1 ident_2"], k=5)
-    assert time.time() - t0 < 0.5
+    assert time.time() - t0 < 3.0
+    assert (
+        len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
+        == jobs_before
+    )
 
 
 def test_snippet_local_matches_distributed(spark, tmp_path_factory):
