@@ -49,10 +49,7 @@ class BooleanSyntaxError(ValueError):
 
 
 def _lex(query: str) -> list[str]:
-    out: list[str] = []
-    for raw in query.replace("(", " ( ").replace(")", " ) ").split():
-        out.append(raw)
-    return out
+    return query.replace("(", " ( ").replace(")", " ) ").split()
 
 
 def parse_boolean(query: str, cfg: EngineConfig = DEFAULT_CONFIG) -> tuple:
@@ -112,6 +109,10 @@ def parse_boolean(query: str, cfg: EngineConfig = DEFAULT_CONFIG) -> tuple:
             return inner
         if nxt == ")":
             raise BooleanSyntaxError(f"unbalanced ')' in {query!r}")
+        if nxt in _KEYWORDS:  # AND/OR in operand position (NOT handled above)
+            raise BooleanSyntaxError(
+                f"operator {nxt!r} where a term was expected in {query!r}"
+            )
         word = take()
         analyzed = tokenize_series(pd.Series([word], dtype=object), cfg)[0]
         return ("term", sorted(set(analyzed)))
@@ -345,27 +346,35 @@ def boolean_ranked_topk(
     from .wand import wand_topk
 
     trees = [parse_boolean(q, cfg) for q in queries]
-    matches = boolean_query_indexed(spark, index, queries, cfg, deleted=deleted)
-    outs = []
-    for i, tree in enumerate(trees):
-        pos = sorted(positive_terms(tree))
-        if not pos:
-            continue
-        keep = matches.filter(F.col("query_id") == i).select("docid")
-        outs.append(
-            wand_topk(
-                spark, index, [(i, t) for t in pos], k, cfg,
-                deleted=deleted, allowed=keep, **wand_kwargs,
+    # persist: every per-query keep-list collect below re-reads this —
+    # without the cache the postings decode + collect_set shuffle (and the
+    # docs anti-join for complement queries) would re-run once per query
+    matches = boolean_query_indexed(
+        spark, index, queries, cfg, deleted=deleted
+    ).persist()
+    try:
+        outs = []
+        for i, tree in enumerate(trees):
+            pos = sorted(positive_terms(tree))
+            if not pos:
+                continue
+            keep = matches.filter(F.col("query_id") == i).select("docid")
+            outs.append(
+                wand_topk(
+                    spark, index, [(i, t) for t in pos], k, cfg,
+                    deleted=deleted, allowed=keep, **wand_kwargs,
+                )
             )
-        )
-    if not outs:
-        return spark.createDataFrame(
-            [], "query_id int, rank int, docid long, score double"
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+        if not outs:
+            return spark.createDataFrame(
+                [], "query_id int, rank int, docid long, score double"
+            )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+    finally:
+        matches.unpersist()
 
 
 def duckdb_boolean_ranked_sql(

@@ -309,11 +309,16 @@ def fuzzy_local(
     import pyarrow.compute as pc
     import pyarrow.dataset as ds
 
-    from .query import parse_query_terms
+    from ..functions.analyzer import tokenize_series
 
     idx = LocalIndex(index) if isinstance(index, str) else index
-    norm: list[tuple[int, str]] = parse_query_terms(terms, idx.cfg)
-    # parse_query_terms dedups per query; fuzzy queries are single terms
+    # SAME normalization as the Spark twin (expand_fuzzy): analyzer, FIRST
+    # token kept — parse_query_terms would expand every analyzed token and
+    # diverge from fuzzy_topk on inputs like "foo-bar"
+    toks = tokenize_series(pd.Series(terms, dtype=object), idx.cfg)
+    norm: list[tuple[int, str]] = [
+        (i, ts[0]) for i, ts in enumerate(toks) if len(ts) > 0
+    ]
     if not norm:
         return pd.DataFrame(columns=["query_id", "rank", "docid", "score"])
     dict_dir = os.path.join(idx.root, "dictionary")

@@ -261,6 +261,11 @@ def expand_fuzzy(
 
     from ..functions.analyzer import tokenize_series
 
+    if max_edit not in (1, 2):
+        # the dictionary-side neighborhood below is built to delete-depth 2;
+        # a deeper query-side neighborhood would silently LOSE recall (the
+        # two depth sets stop intersecting), so reject instead
+        raise ValueError(f"max_edit must be 1 or 2, got {max_edit}")
     spark = index.dictionary.sparkSession
     toks = tokenize_series(pd.Series(terms, dtype=object), cfg)
     norm = [(i, ts[0]) for i, ts in enumerate(toks) if len(ts) > 0]
@@ -286,7 +291,6 @@ def expand_fuzzy(
         ),
     )
     if max_edit >= 2:
-        v = F.col("variant")
         var_arr = F.array_distinct(
             F.flatten(
                 F.transform(

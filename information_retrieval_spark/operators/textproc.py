@@ -481,13 +481,17 @@ def sequence_pack(
     if n_range_buckets is None:
         n_range_buckets = max(1024, 8 * int(cfg.shuffle_partitions))
     toks = tokenize_expr(F.col(text_col), cfg)
+    # persist the tokenized projection: the two planning collects below
+    # (id bounds, per-bucket totals) would otherwise each re-tokenize the
+    # whole corpus
     d = docs.select(
         F.col(id_col).cast("long").alias("id"),
         F.array_size(toks).cast("long").alias("n_tokens"),
-    )
+    ).persist()
     bounds = d.agg(F.min("id"), F.max("id")).collect()[0]
     lo, hi = bounds[0], bounds[1]
     if lo is None:
+        d.unpersist()
         return d.select(
             "id", "n_tokens",
             F.lit(0).cast("long").alias("token_start"),
@@ -500,6 +504,9 @@ def sequence_pack(
         int(r["rb"]): int(r["s"])
         for r in d.groupBy("rb").agg(F.sum("n_tokens").alias("s")).collect()
     }
+    # release the planning cache; the returned (lazy) frame re-derives the
+    # projection once in the caller's action
+    d.unpersist()
     base, acc = {}, 0
     for rb in sorted(totals):
         base[rb] = acc

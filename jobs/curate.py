@@ -135,12 +135,18 @@ def main(argv: list[str] | None = None) -> None:
         ).persist()
         n_decon_dropped = before - docs_n.count()
 
-    # 5. sequence packing over the survivors
+    # 5. sequence packing over the survivors; funnel stats come from the
+    # just-written parquet (one extra cheap scan of the OUTPUT) rather than
+    # re-running the packing lineage per aggregate
     packed = sequence_pack(docs_n, cfg, budget_tokens=args.budget_tokens)
     out_dir = os.path.join(args.output, "curated")
     packed.write.mode("overwrite").parquet(out_dir)
-    n_seqs = packed.agg(F.max("seq_id")).collect()[0][0]
-    total_tokens = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    stats_row = (
+        spark.read.parquet(out_dir)
+        .agg(F.max("seq_id").alias("mx"), F.sum("n_tokens").alias("tt"))
+        .collect()[0]
+    )
+    n_seqs, total_tokens = stats_row["mx"], stats_row["tt"]
 
     print(json.dumps({
         "input_docs": n_input,

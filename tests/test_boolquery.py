@@ -56,7 +56,11 @@ def test_parser_shapes():
     assert parse_boolean("!!!") == ("term", [])
 
 
-@pytest.mark.parametrize("bad", ["(a", "a)", "a AND", "NOT", "a OR )"])
+@pytest.mark.parametrize(
+    "bad",
+    ["(a", "a)", "a AND", "NOT", "a OR )",
+     "a AND OR b", "a OR AND b", "AND a", "a NOT b AND AND c"],
+)
 def test_parser_rejects_malformed(bad):
     with pytest.raises(BooleanSyntaxError):
         parse_boolean(bad)

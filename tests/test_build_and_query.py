@@ -447,9 +447,13 @@ def test_facet_counts_semantics(spark, corpus, index):
         sums[(r["query_id"], r["facet"])] += r["n_docs"]
     for qid, n in n_per_q.items():
         assert sums[(qid, "repo")] == n and sums[(qid, "lang")] == n
-    plan = topk and facet_counts(topk, index.docs, ["repo"])
-    s = plan._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in s or "BroadcastNestedLoop" not in s
+    s = (
+        facet_counts(topk, index.docs, ["repo"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the RESULT side must broadcast — a SortMergeJoin here would shuffle
+    # the catalog, exactly the scale property the operator claims to avoid
+    assert "BroadcastHashJoin" in s, s
 
 
 def test_more_like_this_excludes_seed_and_ranks(spark, corpus, index):
