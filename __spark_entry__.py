@@ -59,6 +59,7 @@ from information_retrieval_spark.operators.textproc import (  # noqa: E402
     duckdb_exact_dedup_sql,
     duckdb_quality_filter_sql,
     duckdb_decontaminate_sql,
+    duckdb_related_terms_sql,
     duckdb_sequence_pack_sql,
     duckdb_lang_id_sql,
     duckdb_text_stats_sql,
@@ -462,6 +463,18 @@ def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
 
 
+RELATED_SEEDS = ["hash", "window", "zzz_nope"]
+
+
+def _q_related_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related searches: top doc-level-PMI co-occurring terms per seed
+    (Church & Hanks association), one distinct-pairs projection reused for
+    N/df/joint counts."""
+    from information_retrieval_spark.operators.textproc import related_terms
+
+    return related_terms(_documents(spark, sf_dir), RELATED_SEEDS, CFG, k=10)
+
+
 def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-box autocomplete: top dictionary completions per prefix by
     collection frequency (cf DESC, term ASC)."""
@@ -759,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facets": _q_facets,
         "more_like_this": _q_more_like_this,
         "suggest": _q_suggest,
+        "related_terms": _q_related_terms,
         "boolean_query": _q_boolean_query,
         "boolean_query_indexed": _q_boolean_query_indexed,
         "boolean_ranked": _q_boolean_ranked,
@@ -960,6 +974,7 @@ FROM events GROUP BY event_type
             corpus, FUZZY_SET, CFG, k=TOP_K, round_to=4, max_edit=2
         ),
         "suggest": duckdb_suggest_sql(corpus, PREFIX_SET, CFG, k=8),
+        "related_terms": duckdb_related_terms_sql(RELATED_SEEDS, CFG, k=10),
         "more_like_this": duckdb_mlt_sql(
             corpus, MLT_SEED_PATHS, CFG, k=TOP_K, round_to=4
         ),

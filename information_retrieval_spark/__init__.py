@@ -107,6 +107,7 @@ from .operators.textproc import (
     minhash_signatures,
     oph_signatures,
     quality_filter,
+    related_terms,
     sequence_pack,
     simhash,
     simhash_near_dup_pairs,
@@ -141,7 +142,7 @@ __all__ = [
     "exact_dedup", "minhash_signatures", "oph_signatures",
     "lsh_near_dup_pairs", "exact_jaccard_pairs", "dedup_clusters",
     "dedup_select", "repetition_stats", "quality_filter", "sequence_pack",
-    "decontaminate",
+    "decontaminate", "related_terms",
     "simhash", "simhash_near_dup_pairs", "winnow_fingerprints", "text_stats",
     "token_counts", "lang_id_ngram",
     "cosine_topk", "lsh_bucketize", "lsh_topk", "embedding_near_dup_pairs",

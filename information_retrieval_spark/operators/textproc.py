@@ -971,6 +971,144 @@ def lsh_near_dup_pairs(
     )
 
 
+def related_terms(
+    docs: DataFrame,
+    seed_terms: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    k: int = 10,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, rank, term, n_joint, pmi) — "related searches": for each
+    seed term, the ``k`` terms with the highest document-level pointwise
+    mutual information ``ln(n_joint · N / (df_seed · df_term))`` (public
+    Church & Hanks 1990 association measure), requiring ``n_joint >=
+    min_count`` co-occurrences, excluding the seed itself; deterministic
+    (pmi DESC, term ASC) tie-break, pmi rounded to 6 dp.
+
+    Plan: ONE distinct (docid, term) projection reused three ways — global
+    N and df from one hash agg, each seed's doc set as a broadcast
+    semi-join (bounded by df(seed)), joint counts as one agg per seed.
+    Everything is id/term-keyed; no corpus-sized shuffle beyond the single
+    distinct-pairs agg every co-occurrence statistic needs.
+    """
+    from pyspark.sql import Window as W
+
+    spark = docs.sparkSession
+    dt = (
+        docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.explode(F.array_distinct(tokenize_expr(F.col(text_col), cfg))).alias(
+                "term"
+            ),
+        )
+        .persist()
+    )
+    try:
+        n_docs = float(dt.select("id").distinct().count())
+        df_t = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df")).persist()
+        seeds = {
+            r["term"]: r["df"]
+            for r in df_t.filter(F.col("term").isin(list(seed_terms))).collect()
+        }
+        out = None
+        for qid, s in enumerate(seed_terms):
+            if s not in seeds:
+                continue
+            seed_docs = dt.filter(F.col("term") == s).select("id")
+            joint = (
+                dt.join(F.broadcast(seed_docs), "id")
+                .filter(F.col("term") != s)
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("n_joint"))
+                .filter(F.col("n_joint") >= int(min_count))
+                .join(df_t, "term")
+                .withColumn(
+                    "pmi_raw",
+                    F.log(
+                        F.col("n_joint")
+                        * F.lit(n_docs)
+                        / (F.lit(float(seeds[s])) * F.col("df"))
+                    ),
+                )
+                .withColumn("query_id", F.lit(qid))
+            )
+            out = joint if out is None else out.unionByName(joint)
+        if out is None:
+            return spark.createDataFrame(
+                [], "query_id int, rank int, term string, n_joint long, pmi double"
+            )
+        w = W.partitionBy("query_id").orderBy(F.desc("pmi_raw"), F.asc("term"))
+        return (
+            out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(k))
+            .select(
+                "query_id",
+                "rank",
+                "term",
+                F.col("n_joint").cast("long").alias("n_joint"),
+                F.round("pmi_raw", 6).alias("pmi"),
+            )
+        )
+    finally:
+        dt.unpersist()
+
+
+def duckdb_related_terms_sql(
+    seed_terms: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int = 10,
+    min_count: int = 2,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin: the same PMI definition re-derived from DuckDB's own
+    distinct (doc, term) pairs (rank over the UNROUNDED pmi, same
+    tie-break)."""
+    from ..functions.analyzer import duckdb_tokenize_sql
+
+    tok = duckdb_tokenize_sql(text_col, cfg)
+    seed_values = ", ".join(
+        f"({i}, '{s}')" for i, s in enumerate(seed_terms)
+    )
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT CAST({id_col} AS BIGINT) AS id, unnest({tok}) AS term
+  FROM {table}
+),
+n AS (SELECT count(DISTINCT id)::DOUBLE AS n_docs FROM dt),
+df AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+seeds AS (
+  SELECT v.query_id, v.term AS seed, df.df AS df_seed
+  FROM (VALUES {seed_values}) v(query_id, term) JOIN df USING (term)
+),
+joint AS (
+  SELECT s.query_id, s.seed, s.df_seed, dt.term, count(*) AS n_joint
+  FROM seeds s
+  JOIN dt sd ON sd.term = s.seed
+  JOIN dt ON dt.id = sd.id AND dt.term <> s.seed
+  GROUP BY s.query_id, s.seed, s.df_seed, dt.term
+),
+scored AS (
+  SELECT j.query_id, j.term, j.n_joint,
+         ln(j.n_joint * n.n_docs / (j.df_seed * df.df)) AS pmi_raw
+  FROM joint j JOIN df USING (term) CROSS JOIN n
+  WHERE j.n_joint >= {int(min_count)}
+),
+ranked AS (
+  SELECT query_id, term, n_joint, pmi_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY pmi_raw DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, term, CAST(n_joint AS BIGINT) AS n_joint,
+       round(pmi_raw, 6) AS pmi
+FROM ranked WHERE rank <= {int(k)}
+"""
+
+
 def decontaminate(
     docs: DataFrame,
     probes: DataFrame,

@@ -520,3 +520,49 @@ def test_decontaminate_semantics_and_oracle(spark):
     want = {r[0]: (r[1], r[2]) for r in con.execute(
         duckdb_decontaminate_sql("doc_id = 9", n=3)).fetchall()}
     assert got == want
+
+
+def test_related_terms_pmi_semantics(spark):
+    """related_terms: PMI ordering on a hand-built corpus — a term always
+    co-occurring with the seed outranks a ubiquitous term; min_count and
+    seed exclusion hold; DuckDB parity."""
+    import duckdb
+
+    from information_retrieval_spark.operators.textproc import (
+        duckdb_related_terms_sql,
+        related_terms,
+    )
+
+    docs = [
+        (1, "seedterm buddy filler"),
+        (2, "seedterm buddy other"),
+        (3, "seedterm common"),
+        (4, "common filler"),
+        (5, "common other unrelated"),
+        (6, "common words here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r["query_id"], r["rank"], r["term"], r["n_joint"], r["pmi"])
+           for r in related_terms(df, ["seedterm", "zzz"], k=5, min_count=1)
+           .orderBy("query_id", "rank").collect()]
+    # buddy: joint 2 of df 2 with seed df 3, N=6 -> pmi ln(2*6/(3*2))=ln(2)
+    # common: joint 1, df 4 -> ln(6/(3*4)) < 0
+    terms_ranked = [t for _, _, t, _, _ in got]
+    assert terms_ranked[0] == "buddy" and got[0][3] == 2
+    assert "seedterm" not in terms_ranked
+    assert all(q == 0 for q, *_ in got)  # zzz has no docs -> no rows
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES %s) t(doc_id, text)"
+        % ", ".join(f"({i}, '{t}')" for i, t in docs)
+    )
+    want = sorted(map(tuple, con.execute(
+        duckdb_related_terms_sql(["seedterm", "zzz"], k=5, min_count=1)
+    ).fetchall()))
+    assert sorted(got) == want
+
+    # min_count prunes singletons
+    got2 = {r["term"] for r in
+            related_terms(df, ["seedterm"], k=5, min_count=2).collect()}
+    assert got2 == {"buddy"}
