@@ -980,6 +980,7 @@ def related_terms(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    small_set_cap: int = 2_000_000,
 ) -> DataFrame:
     """(query_id, rank, term, n_joint, pmi) — "related searches": for each
     seed term, the ``k`` terms with the highest document-level pointwise
@@ -989,10 +990,19 @@ def related_terms(
     (pmi DESC, term ASC) tie-break, pmi rounded to 6 dp.
 
     Plan: ONE distinct (docid, term) projection reused three ways — global
-    N and df from one hash agg, each seed's doc set as a broadcast
-    semi-join (bounded by df(seed)), joint counts as one agg per seed.
-    Everything is id/term-keyed; no corpus-sized shuffle beyond the single
-    distinct-pairs agg every co-occurrence statistic needs.
+    N and df from one hash agg, ALL seeds' doc sets attached in a single
+    join (never a per-seed job: the seed table broadcasts |seeds| rows onto
+    the pairs projection, then one id-keyed join + one (query_id, term)
+    agg computes every seed's joint counts together), PMI and top-k in one
+    window. Everything is id/term-keyed; no corpus-sized shuffle beyond
+    the single distinct-pairs agg every co-occurrence statistic needs.
+
+    ``small_set_cap`` guards the seed-docs side of the id join: its row
+    count is Σ df(seed), which for a stopword seed is the corpus. Up to the
+    cap (known EXACTLY beforehand from the |seeds|-row df lookup — no extra
+    job) the seed docs broadcast; past it the join runs as a plain shuffle
+    join on the uniform doc id — same result, no driver/executor-memory
+    cliff.
     """
     from pyspark.sql import Window as W
 
@@ -1009,40 +1019,51 @@ def related_terms(
     try:
         n_docs = float(dt.select("id").distinct().count())
         df_t = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df")).persist()
-        seeds = {
-            r["term"]: r["df"]
-            for r in df_t.filter(F.col("term").isin(list(seed_terms))).collect()
-        }
-        out = None
-        for qid, s in enumerate(seed_terms):
-            if s not in seeds:
-                continue
-            seed_docs = dt.filter(F.col("term") == s).select("id")
-            joint = (
-                dt.join(F.broadcast(seed_docs), "id")
-                .filter(F.col("term") != s)
-                .groupBy("term")
-                .agg(F.count(F.lit(1)).alias("n_joint"))
-                .filter(F.col("n_joint") >= int(min_count))
-                .join(df_t, "term")
-                .withColumn(
-                    "pmi_raw",
-                    F.log(
-                        F.col("n_joint")
-                        * F.lit(n_docs)
-                        / (F.lit(float(seeds[s])) * F.col("df"))
-                    ),
-                )
-                .withColumn("query_id", F.lit(qid))
-            )
-            out = joint if out is None else out.unionByName(joint)
-        if out is None:
+        seeds_df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(seed_terms)], "query_id int, seed string"
+        )
+        # |seeds|-row lookup: df per seed (bounded collect — seeds are query
+        # input, never corpus-sized) drives the broadcast decision exactly.
+        seed_meta = [
+            (r["query_id"], r["seed"], int(r["df"]))
+            for r in df_t.join(
+                F.broadcast(seeds_df), df_t["term"] == seeds_df["seed"]
+            ).select("query_id", "seed", "df").collect()
+        ]
+        if not seed_meta:
             return spark.createDataFrame(
                 [], "query_id int, rank int, term string, n_joint long, pmi double"
             )
+        meta_df = spark.createDataFrame(
+            seed_meta, "query_id int, seed string, df_seed long"
+        )
+        # (query_id, seed, df_seed, id) for every seed occurrence — one pass
+        seed_docs = dt.join(
+            F.broadcast(meta_df), dt["term"] == meta_df["seed"]
+        ).select("query_id", "seed", "df_seed", "id")
+        total_seed_df = sum(d for _, _, d in seed_meta)
+        if total_seed_df <= int(small_set_cap):
+            seed_side = F.broadcast(seed_docs)
+        else:
+            seed_side = seed_docs  # shuffle join on the uniform doc id
+        joint = (
+            dt.join(seed_side, "id")
+            .filter(F.col("term") != F.col("seed"))
+            .groupBy("query_id", "df_seed", "term")
+            .agg(F.count(F.lit(1)).alias("n_joint"))
+            .filter(F.col("n_joint") >= int(min_count))
+            .join(df_t, "term")
+            .withColumn(
+                "pmi_raw",
+                F.log(
+                    F.col("n_joint") * F.lit(n_docs)
+                    / (F.col("df_seed") * F.col("df"))
+                ),
+            )
+        )
         w = W.partitionBy("query_id").orderBy(F.desc("pmi_raw"), F.asc("term"))
         return (
-            out.withColumn("rank", F.row_number().over(w))
+            joint.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= int(k))
             .select(
                 "query_id",
