@@ -737,6 +737,11 @@ class InvertedIndex:
     avgdl: float
     total_tokens: int
     cfg: EngineConfig
+    # the reversed-term dictionary twin (term_rev, term), range-sorted by
+    # term_rev so suffix wildcards range-prune (Lucene ReversedWildcardFilter
+    # trick); None for in-memory indexes and pre-twin on-disk roots —
+    # consumers fall back to the endswith scan
+    dictionary_rev: DataFrame | None = None
     positional: DataFrame | None = None
     # the persisted T9 region plane (operators/regions.py; None unless the
     # index was built with cfg.enable_xpath, reference index.h:60-66)

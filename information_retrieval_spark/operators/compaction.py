@@ -195,9 +195,12 @@ def compact_index(
             "term", "docid", "tf", "positions", "depths", "bucket"
         ).write.mode("overwrite").partitionBy("bucket").parquet(p["regions"])
 
-    # refresh dictionary + stats from the full (post-rewrite) tables
+    # refresh dictionary (+ reversed twin) + stats from the full
+    # (post-rewrite) tables
+    from ..sources.manifest import write_dictionary_planes
+
     postings_all = spark.read.parquet(p["postings"])
-    build_dictionary(postings_all).write.mode("overwrite").parquet(p["dictionary"])
+    write_dictionary_planes(spark, build_dictionary(postings_all), root)
     docs_all = spark.read.parquet(p["docs"])
     row = docs_all.agg(
         F.count(F.lit(1)).alias("n"),

@@ -285,9 +285,11 @@ def merge_indexes(
             os.path.join(out_root, "deleted")
         )
 
-    build_dictionary(spark.read.parquet(out["postings"])).write.mode(
-        "overwrite"
-    ).parquet(out["dictionary"])
+    from ..sources.manifest import write_dictionary_planes
+
+    write_dictionary_planes(
+        spark, build_dictionary(spark.read.parquet(out["postings"])), out_root
+    )
 
     counters: dict[int, int] = {}
     batches: list[str] = []

@@ -167,50 +167,89 @@ class LocalIndex:
         """[(query_id, term)] for edge-star patterns (``ta*`` / ``*ble`` /
         ``*as*`` / exact) — identical semantics to the Spark-side
         ``expand_wildcards``. Prefix/exact cores keep the range-predicate
-        row-group pruning of ``expand_prefix_terms``; a suffix/infix core
-        forces one full (column-pruned) term read — the documented
-        production upgrade is a reversed-term dictionary twin that turns
-        suffix into prefix."""
+        row-group pruning of ``expand_prefix_terms``; a SUFFIX core range-
+        prunes the same way against the reversed-term twin plane
+        (``dictionary_rev``, sorted by term_rev — Lucene
+        ReversedWildcardFilter trick) when the root carries one with a
+        matching generation tag; only infix (and suffix on a pre-twin root)
+        still costs one full column-pruned term read."""
         import numpy as np
         import pyarrow.compute as pc
         import pyarrow.dataset as ds
 
+        from ..sources.manifest import reversed_dictionary_path
         from .query import normalize_wildcards
 
         norm = normalize_wildcards(patterns, self.cfg)
         if not norm:
             return []
         dict_dir = os.path.join(self.root, "dictionary")
-        flt = None
-        prunable = all(mode in ("prefix", "exact") for _, mode, _ in norm)
-        if prunable:
-            for _, mode, c in norm:
-                if mode == "exact":
-                    f = ds.field("term") == c
-                else:
-                    lo = ds.field("term") >= c
-                    f = (
-                        lo & (ds.field("term") < c[:-1] + chr(ord(c[-1]) + 1))
-                        if ord(c[-1]) < 0x10FFFF
-                        else lo
-                    )
+        rev_dir = reversed_dictionary_path(self.root)
+
+        def _range(field: str, c: str):
+            # [c, c[:-1] + succ(last char)) is exactly startswith(c); a
+            # max-code-point last char degrades to the open lower bound
+            lo = ds.field(field) >= c
+            return (
+                lo & (ds.field(field) < c[:-1] + chr(ord(c[-1]) + 1))
+                if ord(c[-1]) < 0x10FFFF
+                else lo
+            )
+
+        # three scan groups, each ONE pruned read for its whole batch
+        fwd = [(q, m, c) for q, m, c in norm if m in ("prefix", "exact")]
+        rev = [
+            (q, m, c) for q, m, c in norm if m == "suffix" and rev_dir
+        ]
+        full = [x for x in norm if x not in fwd and x not in rev]
+
+        hits: dict[int, np.ndarray] = {}
+        if fwd:
+            flt = None
+            for _, m, c in fwd:
+                f = ds.field("term") == c if m == "exact" else _range("term", c)
                 flt = f if flt is None else (flt | f)
-        terms = (
-            ds.dataset(dict_dir, format="parquet")
-            .to_table(columns=["term"], filter=flt)
-            .column("term")
-        )
-        preds = {
-            "prefix": pc.starts_with,
-            "suffix": pc.ends_with,
-            "infix": pc.match_substring,
-            "exact": pc.equal,
-        }
+            terms = (
+                ds.dataset(dict_dir, format="parquet")
+                .to_table(columns=["term"], filter=flt)
+                .column("term")
+            )
+            for qid, m, c in fwd:
+                hit = terms.filter(
+                    pc.equal(terms, c) if m == "exact" else pc.starts_with(terms, c)
+                )
+                hits[qid] = np.sort(np.asarray(hit.to_pylist(), dtype=object))
+        if rev:
+            flt = None
+            for _, _, c in rev:
+                f = _range("term_rev", c[::-1])
+                flt = f if flt is None else (flt | f)
+            tab = ds.dataset(rev_dir, format="parquet").to_table(
+                columns=["term_rev", "term"], filter=flt
+            )
+            trev, term = tab.column("term_rev"), tab.column("term")
+            for qid, _, c in rev:
+                hit = term.filter(pc.starts_with(trev, c[::-1]))
+                hits[qid] = np.sort(np.asarray(hit.to_pylist(), dtype=object))
+        if full:
+            terms = (
+                ds.dataset(dict_dir, format="parquet")
+                .to_table(columns=["term"])
+                .column("term")
+            )
+            for qid, m, c in full:
+                hit = terms.filter(
+                    pc.ends_with(terms, c)
+                    if m == "suffix"
+                    else pc.match_substring(terms, c)
+                )
+                hits[qid] = np.sort(np.asarray(hit.to_pylist(), dtype=object))
+
         out: list[tuple[int, str]] = []
-        for qid, mode, c in norm:
-            hit = terms.filter(preds[mode](terms, c))
-            vals = np.sort(np.asarray(hit.to_pylist(), dtype=object))
-            out.extend((qid, str(t)) for t in vals[: int(max_expansions)])
+        for qid, _, _ in norm:
+            out.extend(
+                (qid, str(t)) for t in hits.get(qid, [])[: int(max_expansions)]
+            )
         return out
 
 

@@ -43,7 +43,12 @@ from ..corpus import CORPUS_SCHEMA
 from ..operators.build import build_dictionary, encode_postings, spimi_emit
 from ..operators.docids import KEY_COLS, admission_filter, bucket_expr
 from ..functions.analyzer import doc_len_expr, sha256_expr
-from ..sources.manifest import _paths, read_meta, write_meta
+from ..sources.manifest import (
+    _paths,
+    read_meta,
+    write_dictionary_planes,
+    write_meta,
+)
 
 
 def append_batch(
@@ -323,12 +328,17 @@ def merge_dictionary(
             F.coalesce("max_tfnorm", F.lit(0.0)), F.coalesce("d_mt", F.lit(0.0))
         ).alias("max_tfnorm"),
     )
-    dict_tmp = p["dictionary"] + "__tmp"
-    merged.write.mode("overwrite").parquet(dict_tmp)  # materializes old+delta
-    with open(os.path.join(dict_tmp, "_delta_tags.json"), "w") as f:
-        _json.dump((done + [tag])[-_DELTA_TAGS_KEEP:], f)
-    shutil.rmtree(p["dictionary"], ignore_errors=True)
-    os.replace(dict_tmp, p["dictionary"])
+    # tmp-write (materializes old+delta BEFORE the swap) + atomic replace +
+    # reversed twin all live in the shared plane writer; the replay ledger
+    # rides through dict_extra so it commits atomically WITH the merged rows
+    write_dictionary_planes(
+        spark,
+        merged,
+        root,
+        dict_extra={
+            "_delta_tags.json": _json.dumps((done + [tag])[-_DELTA_TAGS_KEEP:])
+        },
+    )
     return True
 
 
@@ -338,13 +348,9 @@ def refresh_dictionary(spark: SparkSession, root: str) -> None:
     ``merge_dictionary`` (incremental); run this on a schedule (or at
     compaction, which does it implicitly) to reset the merge lineage."""
     p = _paths(root)
-    dict_tmp = p["dictionary"] + "__tmp"
-    build_dictionary(spark.read.parquet(p["postings"])).write.mode("overwrite").parquet(dict_tmp)
-    # atomic-ish swap (single writer)
-    import shutil
-
-    shutil.rmtree(p["dictionary"], ignore_errors=True)
-    os.replace(dict_tmp, p["dictionary"])
+    write_dictionary_planes(
+        spark, build_dictionary(spark.read.parquet(p["postings"])), root
+    )
 
 
 def stream_index_updates(

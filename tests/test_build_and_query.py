@@ -361,6 +361,49 @@ def test_wildcard_local_matches_spark_path(spark, corpus, tmp_path_factory):
     assert ans[0]["type"] == "wildcard" and len(ans[0]["hits"]) == 5
 
 
+def test_suffix_reversed_twin_matches_fallback(
+    spark, corpus, index, tmp_path_factory
+):
+    """The reversed-dictionary suffix path (on-disk twin) returns expansions
+    identical to the endswith fallback (in-memory index / twin absent), and
+    a stale generation tag disables the twin instead of serving stale
+    terms — on BOTH the Spark and pyarrow-local paths."""
+    import os as _os
+
+    from information_retrieval_spark.operators.local_query import LocalIndex
+    from information_retrieval_spark.operators.query import expand_wildcards
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+        open_index,
+        read_dictionary_rev,
+    )
+
+    root = str(tmp_path_factory.mktemp("revdict") / "idx")
+    build_index_resumable(spark, corpus, root, CFG)
+    idx_disk = open_index(spark, root)
+    assert idx_disk.dictionary_rev is not None
+
+    patterns = ["*_1", "*ble", "*zzznope"]
+    # `index` fixture is in-memory -> no twin -> endswith fallback
+    assert index.dictionary_rev is None
+    want = expand_wildcards(index, patterns, CFG, max_expansions=50)
+    got_twin = expand_wildcards(idx_disk, patterns, CFG, max_expansions=50)
+    got_local = LocalIndex(root).expand_wildcard_terms(patterns, max_expansions=50)
+    assert got_twin == want and got_local == want and len(want) > 0
+
+    # stale tag: corrupt the rev plane's generation -> twin treated absent,
+    # results unchanged via fallback
+    with open(_os.path.join(root, "dictionary_rev", "_plane_tag"), "w") as f:
+        f.write("stale")
+    assert read_dictionary_rev(spark, root) is None
+    idx_stale = open_index(spark, root)
+    assert idx_stale.dictionary_rev is None
+    assert expand_wildcards(idx_stale, patterns, CFG, max_expansions=50) == want
+    assert (
+        LocalIndex(root).expand_wildcard_terms(patterns, max_expansions=50) == want
+    )
+
+
 def _levenshtein(a: str, b: str) -> int:
     m = np.arange(len(b) + 1)
     for i, ca in enumerate(a, 1):
