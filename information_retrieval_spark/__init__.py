@@ -30,7 +30,7 @@ Training-data operators:
     ``embedding_near_dup_pairs``, ``stream_dedup`` (stateful streaming).
 """
 
-from .config import EngineConfig, DEFAULT_CONFIG
+from .config import Configurator, EngineConfig, DEFAULT_CONFIG
 from .corpus import capture_snapshot_id, corpus_from_documents, load_corpus
 from .operators.build import build_index, spimi_postings
 from .operators.compaction import compact_index, gc_stats, record_deletions
@@ -121,7 +121,7 @@ from .streaming.incremental import append_batch, stream_index_updates
 from .streaming.stateful_dedup import stream_dedup
 
 __all__ = [
-    "EngineConfig", "DEFAULT_CONFIG",
+    "Configurator", "EngineConfig", "DEFAULT_CONFIG",
     "load_corpus", "corpus_from_documents", "capture_snapshot_id",
     "build_index", "spimi_postings", "build_index_resumable", "open_index",
     "compact_index", "gc_stats", "record_deletions",

@@ -25,10 +25,177 @@ All knobs that exist as config surface in the reference keep their meaning:
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field, asdict
 
 
 _SUFFIX = {"k": 1024, "m": 1024**2, "g": 1024**3}
+
+
+class Configurator:
+    """The reference's key→value configuration cascade, re-created with the
+    same first-set-wins semantics (addToHashTable is guarded by defined(),
+    /root/reference/utils/configurator.cc:125-126 — an earlier layer always
+    beats a later one):
+
+    1. command-line ``KEY=value`` parameters (leading dashes stripped,
+       configurator.cc:137-150),
+    2. the file named by a ``CONFIG=`` / ``CONFIGFILE=`` parameter
+       (case-insensitive, processed IN ARG ORDER so earlier CLI keys still
+       win, configurator.cc:145-147),
+    3. else the file named by ``$RETRIEVAL_CONFIG_FILE``
+       (configurator.cc:158-162),
+    4. ``~/.retrievalconf`` then ``/etc/retrievalconf``
+       (configurator.cc:179-191).
+
+    File format (processConfigFile, configurator.cc:101-132): ``KEY =
+    VALUE`` lines, ``#`` comments, whitespace-trimmed; a line without ``=``
+    is a logged syntax error and skipped.
+
+    Typed getters mirror configurator.cc:209-325: absent or malformed
+    values return the caller's default (int/int64 take a strict trailing
+    k/m/g suffix; bool accepts true/1/false/0 case-insensitively; double is
+    a C ``sscanf %lf`` prefix parse; the array getter returns the ``"..."``
+    quoted segments, or None on unbalanced quotes)."""
+
+    def __init__(
+        self,
+        home_file: str | None = None,
+        etc_file: str = "/etc/retrievalconf",
+    ) -> None:
+        self._kv: dict[str, str] = {}
+        # provenance per key ('cli' | 'file' | 'system') — the Spark bridge
+        # slots IR_* environment variables between 'file' and 'system'
+        self._layer: dict[str, str] = {}
+        self._home_file = home_file
+        self._etc_file = etc_file
+
+    # --- layering ---------------------------------------------------------
+    def define(self, key: str, value: str, layer: str = "cli") -> None:
+        """First definition wins (configurator.cc:125-126)."""
+        if key not in self._kv:
+            self._kv[key] = value
+            self._layer[key] = layer
+
+    def layer_of(self, key: str) -> str | None:
+        return self._layer.get(key)
+
+    def process_config_file(self, path: str, layer: str = "file") -> None:
+        try:
+            with open(path) as f:
+                lines = f.readlines()
+        except OSError:
+            return  # fopen == nullptr → silently absent (configurator.cc:104-105)
+        for raw in lines:
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            if "=" not in line:
+                continue  # syntax error: logged + skipped in the reference
+            key, _, value = line.partition("=")
+            self.define(key.strip(), value.strip(), layer=layer)
+
+    @classmethod
+    def from_command_line(
+        cls,
+        argv: list[str],
+        env: dict | None = None,
+        home_file: str | None = None,
+        etc_file: str = "/etc/retrievalconf",
+    ) -> "Configurator":
+        """initializeConfiguratorFromCommandLineParameters
+        (configurator.cc:134-164). ``argv`` excludes the program name."""
+        env = os.environ if env is None else env
+        self = cls(home_file=home_file, etc_file=etc_file)
+        config_file_given = False
+        for arg in argv:
+            key, eq, value = arg.partition("=")
+            if not eq or not key:
+                continue  # no '=' → StringTokenizer yields no value → skipped
+            key = key.lstrip("-")
+            if key.upper() in ("CONFIG", "CONFIGFILE"):
+                config_file_given = True
+                self.process_config_file(value.strip(), layer="file")
+            else:
+                self.define(key.strip(), value.strip(), layer="cli")
+        if not config_file_given and env.get("RETRIEVAL_CONFIG_FILE"):
+            self.process_config_file(env["RETRIEVAL_CONFIG_FILE"], layer="file")
+        home = self._home_file
+        if home is None:
+            home_dir = env.get("HOME")
+            home = (
+                os.path.join(home_dir, ".retrievalconf") if home_dir else None
+            )
+        if home:
+            self.process_config_file(home, layer="system")
+        if self._etc_file:
+            self.process_config_file(self._etc_file, layer="system")
+        return self
+
+    # --- typed getters ------------------------------------------------------
+    def get_value(self, key: str) -> str | None:
+        return self._kv.get(key)
+
+    def get_int(self, key: str, default: int = 0) -> int:
+        """Strict digits + optional single trailing k/m/g suffix
+        (configurator.cc:209-236); anything else → default."""
+        raw = self._kv.get(key)
+        if raw is None:
+            return default
+        toks = raw.split()
+        if not toks:
+            return default
+        s = toks[0]
+        body, mult = s, 1
+        if s and s[-1].lower() in _SUFFIX:
+            body, mult = s[:-1], _SUFFIX[s[-1].lower()]
+        if not body or not body.isdigit():
+            return default
+        return int(body) * mult
+
+    get_int64 = get_int  # Python ints are arbitrary precision
+
+    def get_bool(self, key: str, default: bool = False) -> bool:
+        raw = self._kv.get(key)
+        if raw is None:
+            return default
+        s = raw.strip()
+        if s.lower() == "true" or s == "1":
+            return True
+        if s.lower() == "false" or s == "0":
+            return False
+        return default
+
+    def get_double(self, key: str, default: float = 0.0) -> float:
+        raw = self._kv.get(key)
+        if raw is None:
+            return default
+        m = re.match(r"\s*[-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?", raw)
+        return float(m.group(0)) if m else default  # sscanf %lf prefix parse
+
+    def get_array(self, key: str) -> list[str] | None:
+        """getConfigurationArray (configurator.cc:295-325): the ``"..."``
+        quoted segments of the value; None when absent or quotes are
+        unbalanced."""
+        raw = self._kv.get(key)
+        if not raw:
+            return None
+        if raw.count('"') % 2 != 0:
+            return None
+        return re.findall(r'"([^"]*)"', raw)
+
+
+# reference config key → EngineConfig field (+ getter kind), the same names
+# Index::getConfiguration() reads (/root/reference/index/index.cc:21-47)
+_REFERENCE_KEYS = {
+    "MIN_FILE_SIZE": ("min_file_size", "int"),
+    "MAX_FILE_SIZE": ("max_file_size", "int"),
+    "MAX_UPDATE_SPACE": ("spimi_budget_bytes", "int"),
+    "STEMMING_LEVEL": ("stemming_level", "int"),
+    "BIGRAM_INDEXING": ("bigram_indexing", "bool"),
+    "ENABLE_XPATH": ("enable_xpath", "bool"),
+    "BASE_DIRECTORY": ("index_root", "str"),
+}
 
 
 def parse_size(value: str | int) -> int:
@@ -43,6 +210,22 @@ def parse_size(value: str | int) -> int:
     if s and s[-1] in _SUFFIX:
         return int(float(s[:-1]) * _SUFFIX[s[-1]])
     return int(s)
+
+
+# EngineConfig field → (IR_* environment variable, converter) — the
+# spark-submit-native layer of the cascade (shared by from_env/from_sources)
+_ENV_MAP = {
+    "min_file_size": ("IR_MIN_FILE_SIZE", parse_size),
+    "max_file_size": ("IR_MAX_FILE_SIZE", parse_size),
+    "spimi_budget_bytes": ("IR_SPIMI_BUDGET", parse_size),
+    "block_size": ("IR_BLOCK_SIZE", int),
+    "n_doc_buckets": ("IR_DOC_BUCKETS", int),
+    "k1": ("IR_BM25_K1", float),
+    "b": ("IR_BM25_B", float),
+    "stemming_level": ("IR_STEMMING_LEVEL", int),
+    "shuffle_partitions": ("IR_SHUFFLE_PARTITIONS", int),
+    "positional": ("IR_POSITIONAL", lambda v: v not in ("0", "false", "")),
+}
 
 
 @dataclass(frozen=True)
@@ -115,24 +298,70 @@ class EngineConfig:
     def from_env(cls, **overrides) -> "EngineConfig":
         """Precedence: overrides (CLI) > environment > defaults — the same
         cascade as /root/reference/utils/configurator.cc:134-164."""
-        env_map = {
-            "min_file_size": ("IR_MIN_FILE_SIZE", parse_size),
-            "max_file_size": ("IR_MAX_FILE_SIZE", parse_size),
-            "spimi_budget_bytes": ("IR_SPIMI_BUDGET", parse_size),
-            "block_size": ("IR_BLOCK_SIZE", int),
-            "n_doc_buckets": ("IR_DOC_BUCKETS", int),
-            "k1": ("IR_BM25_K1", float),
-            "b": ("IR_BM25_B", float),
-            "stemming_level": ("IR_STEMMING_LEVEL", int),
-            "shuffle_partitions": ("IR_SHUFFLE_PARTITIONS", int),
-            "positional": ("IR_POSITIONAL", lambda v: v not in ("0", "false", "")),
-        }
         kwargs = {}
-        for key, (env, conv) in env_map.items():
+        for key, (env, conv) in _ENV_MAP.items():
             if env in os.environ:
                 kwargs[key] = conv(os.environ[env])
         kwargs.update(overrides)
         return cls(**kwargs)
+
+    @classmethod
+    def from_sources(
+        cls,
+        argv: list[str] | None = None,
+        env: dict | None = None,
+        home_file: str | None = None,
+        etc_file: str = "/etc/retrievalconf",
+        **overrides,
+    ) -> "EngineConfig":
+        """The FULL configuration cascade, highest precedence first:
+
+        explicit kwargs > CLI ``KEY=value`` args > ``CONFIG=`` file (else
+        ``$RETRIEVAL_CONFIG_FILE``) > ``IR_*`` environment variables >
+        ``~/.retrievalconf`` / ``/etc/retrievalconf`` > dataclass defaults.
+
+        Layers 2-4 and 6 are the reference Configurator's exactly
+        (configurator.cc:134-191 via :class:`Configurator`); the ``IR_*``
+        variables are this engine's spark-submit-native addition, slotted
+        between the explicit layers (CLI/file) and the machine-wide files.
+        Reference key names map per ``_REFERENCE_KEYS``
+        (Index::getConfiguration, index.cc:21-47); additionally
+        ``DOCUMENT_LEVEL_INDEXING = 1`` turns on the positional plane
+        (index.h:51-58 — mode 1 persists word positions)."""
+        env = os.environ if env is None else env
+        cfgr = Configurator.from_command_line(
+            argv or [], env=env, home_file=home_file, etc_file=etc_file
+        )
+
+        def _extract(layers: tuple[str, ...]) -> dict:
+            out: dict = {}
+            for key, (fname, kind) in _REFERENCE_KEYS.items():
+                if cfgr.get_value(key) is None or cfgr.layer_of(key) not in layers:
+                    continue
+                fdefault = cls.__dataclass_fields__[fname].default
+                if kind == "int":
+                    out[fname] = cfgr.get_int(key, fdefault)
+                elif kind == "bool":
+                    out[fname] = cfgr.get_bool(key, fdefault)
+                else:
+                    out[fname] = cfgr.get_value(key)
+            dli = "DOCUMENT_LEVEL_INDEXING"
+            if cfgr.get_value(dli) is not None and cfgr.layer_of(dli) in layers:
+                out["positional"] = cfgr.get_int(dli, 2) == 1
+            return out
+
+        env_kwargs = {
+            fname: conv(env[evar])
+            for fname, (evar, conv) in _ENV_MAP.items()
+            if evar in env
+        }
+        merged = {
+            **_extract(("system",)),
+            **env_kwargs,
+            **_extract(("cli", "file")),
+            **overrides,
+        }
+        return cls(**merged)
 
     def to_meta(self) -> dict:
         """Serialisable analyzer/index metadata — the analog of the

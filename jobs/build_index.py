@@ -11,10 +11,13 @@ Local dev:
         --from-documents --output /tmp/idx
 
 The CLI mirrors the reference's ``ir --KEY=VALUE --DIRECTORY=...`` entry
-(/root/reference/executable/ir.cc:14-65): argv > environment > defaults via
-EngineConfig.from_env (the configurator cascade,
-/root/reference/utils/configurator.cc:134-164). Resumability: re-running the
-same command continues from the per-bucket manifest (SURVEY.md U1).
+(/root/reference/executable/ir.cc:14-65): ``--conf KEY=VALUE`` pairs (incl.
+``CONFIG=<file>``) feed the FULL configurator cascade — CLI > config file >
+IR_* env > ~/.retrievalconf / /etc/retrievalconf > defaults
+(EngineConfig.from_sources; /root/reference/utils/configurator.cc:134-191).
+Typed flags (--k1, --buckets, ...) are explicit kwargs and beat everything.
+Resumability: re-running the same command continues from the per-bucket
+manifest (SURVEY.md U1).
 """
 
 from __future__ import annotations
@@ -53,6 +56,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--enable-xpath", action="store_true",
                    help="also build the T9 region plane: <level!N> pseudo-"
                         "tokens from markup tags (index.h:60-66)")
+    p.add_argument("--conf", action="append", default=[], metavar="KEY=VALUE",
+                   help="reference-style configurator parameter (repeatable; "
+                        "STEMMING_LEVEL=2, MAX_UPDATE_SPACE=64m, CONFIG=<file>, "
+                        "... — index.cc:21-47 key names)")
     args = p.parse_args(argv)
 
     overrides = {}
@@ -68,7 +75,7 @@ def main(argv: list[str] | None = None) -> None:
         overrides["k1"] = args.k1
     if args.b is not None:
         overrides["b"] = args.b
-    cfg = EngineConfig.from_env(**overrides)
+    cfg = EngineConfig.from_sources(argv=args.conf, **overrides)
 
     spark = make_session(args.master, "ir-build-index", cfg)
     spark.sparkContext.setLogLevel("WARN")
