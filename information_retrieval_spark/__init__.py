@@ -116,7 +116,13 @@ from .operators.textproc import (
     winnow_fingerprints,
 )
 from .operators.wand import wand_topk
-from .sources.manifest import build_index_resumable, open_index
+from .serve import QueryDaemon
+from .sources.manifest import (
+    ConcurrentWriterError,
+    build_index_resumable,
+    open_index,
+    writer_lease,
+)
 from .streaming.incremental import append_batch, stream_index_updates
 from .streaming.stateful_dedup import stream_dedup
 
@@ -126,6 +132,7 @@ __all__ = [
     "build_index", "spimi_postings", "build_index_resumable", "open_index",
     "compact_index", "gc_stats", "record_deletions",
     "append_batch", "stream_index_updates", "stream_dedup",
+    "QueryDaemon", "writer_lease", "ConcurrentWriterError",
     "wand_topk", "naive_bm25", "conjunctive_match",
     "boolean_query", "boolean_query_indexed", "boolean_ranked_topk",
     "parse_boolean",

@@ -138,9 +138,24 @@ def compact_postings(
 def compact_index(
     spark: SparkSession, root: str, cfg: EngineConfig | None = None,
     small_set_cap: int = 2_000_000,
+    writer_wait_sec: float = 0.0,
 ) -> dict:
     """Partition-granular GC: rewrite only buckets containing deletions,
-    update docs/dictionary/meta, clear the ledger. Returns stats."""
+    update docs/dictionary/meta, clear the ledger. Returns stats.
+
+    Holds the root's single-writer lease for the whole rewrite → meta
+    commit span (U2; a concurrent ``append_batch``/``compact_index`` raises
+    ``ConcurrentWriterError`` or wait-polls up to ``writer_wait_sec``)."""
+    from ..sources.manifest import open_index, write_meta, _paths, writer_lease
+
+    with writer_lease(root, wait_sec=writer_wait_sec):
+        return _compact_index_locked(spark, root, cfg, small_set_cap)
+
+
+def _compact_index_locked(
+    spark: SparkSession, root: str, cfg: EngineConfig | None,
+    small_set_cap: int,
+) -> dict:
     from ..sources.manifest import open_index, write_meta, _paths
 
     index = open_index(spark, root)

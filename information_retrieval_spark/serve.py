@@ -1,0 +1,238 @@
+"""Resident TCP query daemon over the Spark-free local query path.
+
+The reference declares — but never ships — a connection daemon: a TCP port
+(``TCP_PORT``, default -1 = no server, /root/reference/index/index.h:43-45),
+a bounded pool of registered query users (``MAX_REGISTERED_USERS = 4`` with
+a counting ``registeredUserSemaphore``, index.h:93-94,137-150), a
+registration-id counter (index.h:143-144), and a 20 ms wait-poll interval
+while the index is being updated (``INDEX_WAIT_INTERVAL``, index.h:87-91).
+This module re-creates those semantics over :class:`LocalIndex`
+(operators/local_query.py — pyarrow reads, millisecond-class, no Spark):
+
+- **Registration**: each client connection P()s the reader semaphore before
+  its first query and V()s at disconnect; the (max+1)-th concurrent client
+  WAITS (is not refused), exactly like a semaphore initialised to
+  MAX_REGISTERED_USERS. Connections get strictly increasing registration
+  ids, visible via the ``stats`` op.
+- **Snapshot isolation**: every request runs against the LocalIndex opened
+  for the meta generation current at request start; when a writer promotes
+  a new index generation (``append_batch`` / ``compact_index`` commit a new
+  ``_index_meta.json`` via ``os.replace``), the daemon reopens on the next
+  request. A read racing the (tiny) non-atomic window of a dictionary-plane
+  swap retries on the INDEX_WAIT_INTERVAL poll until the new generation is
+  readable — the same wait-until-update-finishes discipline the reference's
+  update semaphore imposes (index.h:150-159).
+
+Protocol: newline-delimited JSON, one object per line.
+
+    {"op": "query", "queries": ["hash join", "tab*"], "k": 10}
+    {"op": "stats"}
+    {"op": "shutdown"}
+
+Responses are one JSON line each: ``{"ok": true, "results": [...]}`` with
+the ``answer_queries`` routing surface (bm25 / phrase / proximity / prefix /
+wildcard / fuzzy / boolean), or ``{"ok": false, "error": "..."}``.
+
+Scale shape: the daemon is a READ head over one index root. At 100 TB the
+corpus lives in many roots behind ``operators.federation``; you run one
+daemon per root (the reference's sub-index shape — a sub-index "cannot have
+its own connection daemon", index.h:184-186, the master front-ends them)
+and the distributed ``wand_topk`` path remains the corpus-scale scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import socketserver
+import threading
+import time
+
+from .operators.local_query import LocalIndex, answer_queries
+
+# the reference's update-wait poll interval, in ms (index.h:87-91)
+INDEX_WAIT_INTERVAL_MS = 20
+DEFAULT_MAX_REGISTERED_USERS = 4  # index.h:93-94
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self) -> None:  # one thread per connection
+        daemon: QueryDaemon = self.server.daemon  # type: ignore[attr-defined]
+        reg_id = daemon._register()
+        try:
+            for raw in self.rfile:
+                line = raw.strip()
+                if not line:
+                    continue
+                resp = daemon._dispatch(line, reg_id)
+                self.wfile.write((json.dumps(resp) + "\n").encode())
+                self.wfile.flush()
+                if resp.get("bye"):
+                    break
+        finally:
+            daemon._unregister(reg_id)
+
+
+class _Server(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+class QueryDaemon:
+    """See module docstring. ``port=0`` binds an ephemeral port (returned by
+    :meth:`start`); ``TCP_PORT = -1`` semantics (no server) belong to the
+    caller — see ``jobs/serve.py``."""
+
+    def __init__(
+        self,
+        root: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_registered_users: int = DEFAULT_MAX_REGISTERED_USERS,
+        retry_timeout_sec: float = 5.0,
+    ) -> None:
+        self.root = root
+        self.host, self.port = host, int(port)
+        self.retry_timeout_sec = float(retry_timeout_sec)
+        self._slots = threading.Semaphore(int(max_registered_users))
+        self.max_registered_users = int(max_registered_users)
+        self._reg_lock = threading.Lock()
+        self._registration_id = 0  # index.h:143-144
+        self._registered: set[int] = set()
+        self._snap_lock = threading.Lock()
+        self._meta_raw: bytes | None = None
+        self._idx: LocalIndex | None = None
+        self._server: _Server | None = None
+        self._thread: threading.Thread | None = None
+        self._queries_served = 0
+
+    # --- lifecycle -------------------------------------------------------
+    def start(self) -> int:
+        self._snapshot()  # fail fast on an inconsistent index
+        self._server = _Server((self.host, self.port), _Handler)
+        self._server.daemon = self  # type: ignore[attr-defined]
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, name="ir-query-daemon", daemon=True
+        )
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+
+    def __enter__(self) -> "QueryDaemon":
+        self.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # --- registration (registeredUserSemaphore P/V) -----------------------
+    def _register(self) -> int:
+        self._slots.acquire()  # P(): the 5th concurrent reader WAITS here
+        with self._reg_lock:
+            self._registration_id += 1
+            rid = self._registration_id
+            self._registered.add(rid)
+        return rid
+
+    def _unregister(self, rid: int) -> None:
+        with self._reg_lock:
+            self._registered.discard(rid)
+        self._slots.release()  # V()
+
+    # --- snapshot management ----------------------------------------------
+    def _snapshot(self) -> LocalIndex:
+        """The LocalIndex for the CURRENT meta generation; reopened when the
+        writer's atomic ``_index_meta.json`` commit changes it."""
+        meta_path = os.path.join(self.root, "_index_meta.json")
+        with self._snap_lock:
+            try:
+                with open(meta_path, "rb") as f:
+                    raw = f.read()
+            except OSError:
+                raw = b""
+            if self._idx is None or raw != self._meta_raw:
+                self._idx = LocalIndex(self.root)
+                self._meta_raw = raw
+            return self._idx
+
+    def _invalidate(self) -> None:
+        with self._snap_lock:
+            self._idx = None
+
+    def _answer(self, queries: list[str], k: int, snippet_window) -> list[dict]:
+        deadline = time.monotonic() + self.retry_timeout_sec
+        while True:
+            idx = self._snapshot()
+            try:
+                return answer_queries(
+                    idx, queries, k=k, snippet_window=snippet_window
+                )
+            except Exception:
+                # a writer is mid-promotion (plane swap window) — wait-poll
+                # like the reference's INDEX_WAIT_INTERVAL and reopen
+                if time.monotonic() >= deadline:
+                    raise
+                self._invalidate()
+                time.sleep(INDEX_WAIT_INTERVAL_MS / 1000.0)
+
+    # --- dispatch -----------------------------------------------------------
+    def _dispatch(self, line: bytes, reg_id: int) -> dict:
+        try:
+            req = json.loads(line)
+            if not isinstance(req, dict):
+                raise ValueError("request must be a JSON object")
+        except ValueError as e:
+            return {"ok": False, "error": f"bad request: {e}"}
+        op = req.get("op", "query")
+        if op == "stats":
+            with self._reg_lock:
+                return {
+                    "ok": True,
+                    "registered_user_count": len(self._registered),
+                    "max_registered_users": self.max_registered_users,
+                    "registration_id": self._registration_id,
+                    "queries_served": self._queries_served,
+                    "root": self.root,
+                }
+        if op == "shutdown":
+            threading.Thread(target=self.stop, daemon=True).start()
+            return {"ok": True, "bye": True}
+        if op == "query":
+            queries = req.get("queries")
+            if queries is None:
+                queries = [req["query"]] if "query" in req else []
+            if not isinstance(queries, list) or not all(
+                isinstance(q, str) for q in queries
+            ):
+                return {"ok": False, "error": "queries must be a list of strings"}
+            try:
+                results = self._answer(
+                    queries,
+                    int(req.get("k", 10)),
+                    req.get("snippet_window"),
+                )
+            except Exception as e:
+                return {"ok": False, "error": str(e)}
+            with self._reg_lock:
+                self._queries_served += len(queries)
+            return {"ok": True, "registration_id": reg_id, "results": results}
+        return {"ok": False, "error": f"unknown op: {op!r}"}
+
+
+def request(host: str, port: int, payload: dict, timeout: float = 30.0) -> dict:
+    """One-shot client helper: send one JSON line, read one JSON line."""
+    with socket.create_connection((host, port), timeout=timeout) as s:
+        f = s.makefile("rwb")
+        f.write((json.dumps(payload) + "\n").encode())
+        f.flush()
+        line = f.readline()
+    if not line:
+        raise ConnectionError("daemon closed the connection without replying")
+    return json.loads(line)

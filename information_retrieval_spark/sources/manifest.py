@@ -321,6 +321,7 @@ def build_index_resumable(
     root: str,
     cfg: EngineConfig = DEFAULT_CONFIG,
     input_snapshot: str = "",
+    writer_wait_sec: float = 0.0,
 ) -> InvertedIndex:
     """Build (or resume building) a persisted index at ``root``.
 
@@ -328,7 +329,24 @@ def build_index_resumable(
       per bucket. Stage 2 'postings': per-bucket SPIMI emit + encode; only
       buckets without a complete manifest row are (re)built. Finally the
       dictionary + meta are rewritten from the full postings table.
+
+    Holds the root's single-writer lease (U2). A crashed build's stale
+    lease (dead holder pid) is broken automatically, so the resume story
+    is unchanged.
     """
+    with writer_lease(root, wait_sec=writer_wait_sec):
+        return _build_index_resumable_locked(
+            spark, corpus, root, cfg, input_snapshot
+        )
+
+
+def _build_index_resumable_locked(
+    spark: SparkSession,
+    corpus: DataFrame,
+    root: str,
+    cfg: EngineConfig,
+    input_snapshot: str,
+) -> InvertedIndex:
     p = _paths(root)
     os.makedirs(root, exist_ok=True)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -59,9 +59,17 @@ def append_batch(
     batch_id: int = -1,
     refresh_dict: bool = True,
     force: bool = False,
+    writer_wait_sec: float = 0.0,
 ) -> dict:
     """Append one micro-batch of corpus rows to a persisted index —
     idempotent, and O(1) in the size of the existing index.
+
+    Single-writer: the whole read-counters → stage → promote → commit span
+    holds the root's :class:`writer_lease` (U2 — the updateSemaphore
+    analog, reference index.h:150-153); a second concurrent writer raises
+    ``ConcurrentWriterError`` (or wait-polls up to ``writer_wait_sec``).
+    The lease must cover the counter READ too — two writers reading the
+    same allocator state would mint colliding docids.
 
     - **No docs-table rescan** (ADVICE r1): each bucket's next local row id
       comes from the ``bucket_counters`` map in ``_index_meta.json``, not
@@ -78,6 +86,23 @@ def append_batch(
       with the deterministic docid window this makes the sink effectively
       exactly-once.
     """
+    from ..sources.manifest import writer_lease
+
+    with writer_lease(root, wait_sec=writer_wait_sec):
+        return _append_batch_locked(
+            spark, batch_df, root, cfg, batch_id, refresh_dict, force
+        )
+
+
+def _append_batch_locked(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    root: str,
+    cfg: EngineConfig,
+    batch_id: int,
+    refresh_dict: bool,
+    force: bool,
+) -> dict:
     import shutil
 
     p = _paths(root)

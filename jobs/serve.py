@@ -1,0 +1,69 @@
+"""Resident query daemon over a persisted index (Spark-free).
+
+Usage:
+    python jobs/serve.py --index /path/to/index [--conf TCP_PORT=7331] \
+        [--conf MAX_SIMULTANEOUS_READERS=4]
+
+The reference declares the daemon surface as configuration — ``TCP_PORT``
+(default -1 = no server, /root/reference/index/index.h:43-45) and
+``MAX_SIMULTANEOUS_READERS`` (default 4, index.cc:31) — and this CLI reads
+the SAME keys through the full configurator cascade (``--conf KEY=VALUE``
+incl. ``CONFIG=<file>``, then ``$RETRIEVAL_CONFIG_FILE``,
+``~/.retrievalconf``, ``/etc/retrievalconf``). With ``TCP_PORT=-1`` the
+daemon refuses to start, exactly like the reference's no-server default;
+``TCP_PORT=0`` binds an ephemeral port and prints it.
+
+Protocol: newline-delimited JSON (see information_retrieval_spark/serve.py).
+
+    echo '{"op": "query", "queries": ["hash join"], "k": 5}' | nc host port
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from information_retrieval_spark.config import Configurator
+from information_retrieval_spark.serve import (
+    DEFAULT_MAX_REGISTERED_USERS,
+    QueryDaemon,
+)
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--index", required=True, help="persisted index root")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--conf", action="append", default=[], metavar="KEY=VALUE",
+                   help="configurator parameter (TCP_PORT=..., "
+                        "MAX_SIMULTANEOUS_READERS=..., CONFIG=<file>)")
+    args = p.parse_args(argv)
+
+    cfgr = Configurator.from_command_line(args.conf)
+    port = cfgr.get_int("TCP_PORT", -1)  # DEFAULT_TCP_PORT (index.h:43-45)
+    if port < 0:
+        print(json.dumps({"error": "TCP_PORT=-1: no server (reference default); "
+                                   "pass --conf TCP_PORT=<port>"}))
+        sys.exit(2)
+    readers = cfgr.get_int(
+        "MAX_SIMULTANEOUS_READERS", DEFAULT_MAX_REGISTERED_USERS
+    )
+    daemon = QueryDaemon(
+        args.index, host=args.host, port=port, max_registered_users=readers
+    )
+    bound = daemon.start()
+    print(json.dumps({"listening": f"{args.host}:{bound}",
+                      "max_registered_users": readers,
+                      "index": args.index}), flush=True)
+    try:
+        daemon._thread.join()
+    except KeyboardInterrupt:
+        daemon.stop()
+
+
+if __name__ == "__main__":
+    main()
