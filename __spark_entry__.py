@@ -715,6 +715,23 @@ def _q_federated_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
 
 
+def _q_federated_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extended surface over a federated mount (round 4): indexed
+    boolean evaluation across two persisted roots opened as one synthetic
+    index (open_federated_index — union postings/docs, global stats).
+    Oracle: the SAME corpus-scan boolean SQL as boolean_query — federated
+    indexed evaluation must reproduce single-corpus semantics exactly."""
+    from information_retrieval_spark.operators.boolquery import (
+        boolean_query_indexed,
+    )
+    from information_retrieval_spark.operators.federation import (
+        open_federated_index,
+    )
+
+    fed = open_federated_index(spark, _federated_roots(spark, sf_dir))
+    return boolean_query_indexed(spark, fed, BOOL_QUERY_SET, CFG)
+
+
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH approximate top-k (no SQL oracle — recall vs brute force is
     pytest-verified; returns the probed-bucket rerank)."""
@@ -743,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_naive": _q_bm25_naive,
         "bm25_topk_wand": _q_bm25_wand,
         "federated_bm25": _q_federated_bm25,
+        "federated_boolean": _q_federated_boolean,
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
@@ -940,6 +958,8 @@ FROM tf GROUP BY term
         # federation must equal ONE combined index over the union corpus —
         # the oracle is deliberately the identical single-corpus BM25 SQL
         "federated_bm25": bm25,
+        # federated indexed boolean == single-corpus boolean scan
+        "federated_boolean": duckdb_boolean_sql(corpus, BOOL_QUERY_SET, CFG),
         "dedup_exact": duckdb_exact_dedup_sql(),
         "ngram_jaccard": ngram_sql,
         "dedup_clusters": dedup_clusters_sql,

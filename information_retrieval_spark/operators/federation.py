@@ -79,6 +79,94 @@ def _global_stats(metas: list[dict]) -> tuple[int, float, int]:
     return n, (toks / n if n else 1.0), toks
 
 
+def open_federated_index(spark: SparkSession, roots: list[str]) -> InvertedIndex:
+    """Mount several persisted index roots as ONE synthetic
+    :class:`InvertedIndex` — the MasterIndex mount operation
+    (masterindex.h:12-53) as a first-class open.
+
+    The returned index is a full citizen of the ENTIRE query surface:
+    ``wand_topk``, ``prefix_topk`` / ``wildcard_topk`` / ``fuzzy_topk``
+    (dictionary re-summed from the union block rows), ``suggest_terms`` /
+    ``more_like_this`` / ``facet_counts``, ``boolean_query_indexed`` /
+    ``boolean_ranked_topk`` (union postings + docs), and — when EVERY root
+    carries the plane — phrase/proximity via ``.positional`` and T9 region
+    queries via ``.regions``. Partial plane coverage raises (a federated
+    phrase query silently missing half the corpus is worse than an error),
+    the same all-or-none contract as ``merge_indexes``.
+
+    Statistics are global (idf from summed df, avgdl from summed tokens)
+    and per-root ``block_max_tfnorm`` is scaled by max(1, avgdl_g/avgdl_r)
+    — the admissible bound proven in the module docstring — so block-max
+    pruning stays exact and results are rank-identical to one combined
+    index over the union corpus.
+
+    Scale shape: all unions are lazy ``unionByName`` over bucket-disjoint
+    parquet tables — no shuffle is introduced; term/bucket pushdown reaches
+    every root's scan exactly as in the single-root plan. The reversed-
+    dictionary twin is per-root on disk; the synthetic index does not
+    carry one (suffix wildcards fall back to the bounded |vocab| scan).
+    """
+    from ..sources.manifest import open_index, read_meta
+
+    if not roots:
+        raise ValueError("open_federated_index: no index roots given")
+    metas = [read_meta(r) for r in roots]
+    _check_disjoint([_root_buckets(m) for m in metas], roots)
+    cfgs = [m["config"] for m in metas]
+    for f_ in _MERGE_COMPAT_FIELDS:
+        vals = {repr(c.get(f_)) for c in cfgs}
+        if len(vals) > 1:
+            raise ValueError(
+                f"indexes disagree on {f_} ({sorted(vals)}); federation "
+                "across analyzer/codec configs would be inconsistent"
+            )
+    idxs = [open_index(spark, r) for r in roots]
+    n_docs, avgdl_g, toks = _global_stats(metas)
+
+    def _union(frames: list[DataFrame]) -> DataFrame:
+        u = frames[0]
+        for d in frames[1:]:
+            u = u.unionByName(d)
+        return u
+
+    parts = []
+    for idx in idxs:
+        scale = max(1.0, avgdl_g / float(idx.avgdl))
+        parts.append(
+            idx.postings.withColumn(
+                "block_max_tfnorm", F.col("block_max_tfnorm") * F.lit(scale)
+            )
+        )
+    postings = _union(parts)
+    docs = _union([idx.docs for idx in idxs])
+
+    planes: dict[str, DataFrame | None] = {}
+    for plane in ("positional", "regions"):
+        have = [getattr(idx, plane) is not None for idx in idxs]
+        if any(have) and not all(have):
+            missing = [r for r, h in zip(roots, have) if not h]
+            raise ValueError(
+                f"only some roots carry a {plane}/ plane (missing: "
+                f"{missing}); a federated query over it would silently "
+                "miss those slices — rebuild them first"
+            )
+        planes[plane] = (
+            _union([getattr(idx, plane) for idx in idxs]) if all(have) else None
+        )
+
+    return InvertedIndex(
+        docs=docs,
+        postings=postings,
+        dictionary=build_dictionary(postings),  # df/cf re-sum globally
+        n_docs=n_docs,
+        avgdl=avgdl_g,
+        total_tokens=toks,
+        cfg=idxs[0].cfg,
+        positional=planes["positional"],
+        regions=planes["regions"],
+    )
+
+
 def federated_wand_topk(
     spark: SparkSession,
     roots: list[str],
@@ -90,38 +178,7 @@ def federated_wand_topk(
     """(query_id, rank, docid, score) — block-max WAND across several
     persisted index roots with GLOBAL collection statistics; rank-identical
     to one combined index over the union corpus."""
-    from ..sources.manifest import open_index, read_meta
-
-    if not roots:
-        raise ValueError("federated_wand_topk: no index roots given")
-    metas = [read_meta(r) for r in roots]
-    _check_disjoint([_root_buckets(m) for m in metas], roots)
-    idxs = [open_index(spark, r) for r in roots]
-    n_docs, avgdl_g, toks = _global_stats(metas)
-
-    parts = []
-    for idx in idxs:
-        scale = max(1.0, avgdl_g / float(idx.avgdl))
-        parts.append(
-            idx.postings.withColumn(
-                "block_max_tfnorm", F.col("block_max_tfnorm") * F.lit(scale)
-            )
-        )
-    postings = parts[0]
-    for p in parts[1:]:
-        postings = postings.unionByName(p)
-    docs = idxs[0].docs
-    for idx in idxs[1:]:
-        docs = docs.unionByName(idx.docs)
-    fed = InvertedIndex(
-        docs=docs,
-        postings=postings,
-        dictionary=build_dictionary(postings),  # df/cf re-sum globally
-        n_docs=n_docs,
-        avgdl=avgdl_g,
-        total_tokens=toks,
-        cfg=idxs[0].cfg,
-    )
+    fed = open_federated_index(spark, roots)
     return wand_topk(spark, fed, qterms, k, fed.cfg, mode=mode, deleted=deleted)
 
 
