@@ -355,6 +355,21 @@ def main() -> None:
         query_index_local(li, [q], k=TOP_K)
         local_secs[f"q{i}"] = round(time.time() - t0, 4)
 
+    # training-data curation funnel (round 4): the end-to-end pipeline
+    # (quality → exact dedup → OPH LSH near-dedup → decontamination →
+    # packing) timed per stage at the benchmark SF — the same composition
+    # jobs/curate.py ships and the driver gate verifies operator-by-operator
+    curate_report = None
+    if os.environ.get("IR_BENCH_CURATE", "1") != "0":
+        from information_retrieval_spark.pipeline import curate as run_curate
+
+        docs_tbl = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        curate_report = run_curate(
+            spark, docs_tbl, cfg,
+            output=f"/tmp/ir_bench_curated_{os.path.basename(SF_DIR.rstrip('/'))}",
+            oph=True, probe_ids=[7, 23, 101],
+        )
+
     out = {
         "metric": "index-build + BM25 block-max-WAND top-k wall time",
         "unit": "sec",
@@ -368,6 +383,8 @@ def main() -> None:
         "queries_extended": extended,
         "queries_pyarrow_local": local_secs,
     }
+    if curate_report is not None:
+        out["curate"] = curate_report
     spark.stop()
 
     if SCALING:

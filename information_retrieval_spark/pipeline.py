@@ -1,0 +1,151 @@
+"""The end-to-end training-data curation pipeline as a library function.
+
+``jobs/curate.py`` is the spark-submit wrapper; ``bench.py`` times the same
+function per stage at the benchmark scale factor. Every stage is the SAME
+operator the driver gate verifies against DuckDB — this module only
+composes them:
+
+  quality admission → exact dedup → near dedup (MinHash/OPH → banded LSH →
+  exact-Jaccard verify → CC clustering → keeper select) → optional
+  eval-set decontamination → sequence packing.
+
+Scale shape: no stage collects data to the driver (funnel counts are
+single-row aggregates); candidate generation is banded/bucketed, clustering
+is the published MapReduce-CC algorithm, packing is a distributed prefix
+sum. The funnel report carries per-stage wall seconds and docs/sec so a
+pipeline owner sees where the 100 TB run spends its time.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .config import EngineConfig, DEFAULT_CONFIG
+
+
+def curate(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    output: str,
+    threshold: float = 0.5,
+    verify_jaccard: float = 0.5,
+    budget_tokens: int = 512,
+    oph: bool = False,
+    n_bands: int = 32,
+    probe_ids: list[int] | None = None,
+    decon_n: int = 8,
+) -> dict:
+    """Run the full curation funnel over a ``documents``-shaped DataFrame,
+    write the packed survivors to ``<output>/curated``, and return the
+    funnel report (counts per drop reason + per-stage timings)."""
+    from .operators.textproc import (
+        decontaminate,
+        dedup_clusters,
+        dedup_select,
+        exact_dedup,
+        exact_jaccard_pairs,
+        lsh_near_dup_pairs,
+        minhash_signatures,
+        oph_signatures,
+        quality_filter,
+        sequence_pack,
+    )
+
+    stage_secs: dict[str, float] = {}
+    n_input = docs.count()
+
+    # 1. quality admission
+    t0 = time.time()
+    verdicts = quality_filter(docs, cfg).persist()
+    reasons = {
+        r["fail_reason"]: r["n"]
+        for r in verdicts.groupBy("fail_reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    kept_q = verdicts.filter(F.col("keep")).select("id")
+    docs_q = docs.join(
+        kept_q, docs["doc_id"].cast("long") == kept_q["id"], "left_semi"
+    ).persist()
+    n_quality = docs_q.count()
+    stage_secs["quality"] = time.time() - t0
+
+    # 2. exact dedup: keep only each sha256 group's keeper
+    t0 = time.time()
+    exact = exact_dedup(docs_q)
+    exact_keep = exact.filter(F.col("id") == F.col("keeper_id")).select("id")
+    docs_e = docs_q.join(
+        exact_keep, docs_q["doc_id"].cast("long") == exact_keep["id"], "left_semi"
+    ).persist()
+    n_exact = docs_e.count()
+    stage_secs["exact_dedup"] = time.time() - t0
+
+    # 3. near dedup: signatures -> LSH bands -> exact verify -> clusters
+    t0 = time.time()
+    sigs = oph_signatures(docs_e, cfg) if oph else minhash_signatures(docs_e, cfg)
+    cand = lsh_near_dup_pairs(sigs, n_bands=n_bands, threshold=threshold)
+    verified = exact_jaccard_pairs(docs_e, cand.select("id_a", "id_b"), cfg).filter(
+        F.col("jaccard") >= verify_jaccard
+    )
+    clusters = dedup_clusters(verified.select("id_a", "id_b"))
+    ids = docs_e.select(F.col("doc_id").cast("long").alias("id"))
+    keepers = dedup_select(ids, clusters).select(F.col("keeper_id").alias("id"))
+    docs_n = docs_e.join(
+        keepers, docs_e["doc_id"].cast("long") == keepers["id"], "left_semi"
+    ).persist()
+    n_near = docs_n.count()
+    stage_secs["near_dedup"] = time.time() - t0
+
+    # 4. eval-set decontamination (optional)
+    n_decon_dropped = 0
+    if probe_ids:
+        t0 = time.time()
+        probes = docs.filter(F.col("doc_id").isin(*probe_ids))
+        flags = decontaminate(docs_n, probes, cfg, n=decon_n)
+        clean = flags.filter(~F.col("contaminated")).select("id")
+        before = docs_n.count()
+        docs_n = docs_n.join(
+            clean, docs_n["doc_id"].cast("long") == clean["id"], "left_semi"
+        ).persist()
+        n_decon_dropped = before - docs_n.count()
+        stage_secs["decontaminate"] = time.time() - t0
+
+    # 5. sequence packing over the survivors; funnel stats come from the
+    # just-written parquet (one extra cheap scan of the OUTPUT) rather than
+    # re-running the packing lineage per aggregate
+    t0 = time.time()
+    packed = sequence_pack(docs_n, cfg, budget_tokens=budget_tokens)
+    out_dir = os.path.join(output, "curated")
+    packed.write.mode("overwrite").parquet(out_dir)
+    stats_row = (
+        spark.read.parquet(out_dir)
+        .agg(F.max("seq_id").alias("mx"), F.sum("n_tokens").alias("tt"))
+        .collect()[0]
+    )
+    stage_secs["sequence_pack"] = time.time() - t0
+    n_seqs, total_tokens = stats_row["mx"], stats_row["tt"]
+
+    total = sum(stage_secs.values())
+    return {
+        "input_docs": n_input,
+        "after_quality": n_quality,
+        "quality_drop_reasons": {
+            k: v for k, v in sorted(reasons.items()) if k != "ok"
+        },
+        "after_exact_dedup": n_exact,
+        "after_near_dedup": n_near,
+        "decontamination_dropped": n_decon_dropped,
+        "total_tokens": int(total_tokens or 0),
+        "n_sequences": int(n_seqs or 0) + 1 if n_seqs is not None else 0,
+        "budget_tokens": budget_tokens,
+        "signatures": "oph" if oph else "minhash",
+        "output": out_dir,
+        "stage_secs": {k: round(v, 3) for k, v in stage_secs.items()},
+        "curate_sec": round(total, 3),
+        "docs_per_sec": round(n_input / total, 1) if total else None,
+    }

@@ -36,8 +36,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F
-
 from information_retrieval_spark.config import EngineConfig
 from information_retrieval_spark.session import make_session
 
@@ -69,98 +67,22 @@ def main(argv: list[str] | None = None) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     cfg = EngineConfig.from_env()
 
-    from information_retrieval_spark.operators.textproc import (
-        decontaminate,
-        dedup_clusters,
-        dedup_select,
-        exact_dedup,
-        exact_jaccard_pairs,
-        lsh_near_dup_pairs,
-        minhash_signatures,
-        oph_signatures,
-        quality_filter,
-        sequence_pack,
+    from information_retrieval_spark.pipeline import curate
+
+    report = curate(
+        spark,
+        spark.read.parquet(args.input),
+        cfg,
+        output=args.output,
+        threshold=args.threshold,
+        verify_jaccard=args.verify_jaccard,
+        budget_tokens=args.budget_tokens,
+        oph=args.oph,
+        n_bands=args.n_bands,
+        probe_ids=args.probe_ids,
+        decon_n=args.decon_n,
     )
-
-    docs = spark.read.parquet(args.input)
-    n_input = docs.count()
-
-    # 1. quality admission
-    verdicts = quality_filter(docs, cfg).persist()
-    reasons = {
-        r["fail_reason"]: r["n"]
-        for r in verdicts.groupBy("fail_reason").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    kept_q = verdicts.filter(F.col("keep")).select("id")
-    docs_q = docs.join(
-        kept_q, docs["doc_id"].cast("long") == kept_q["id"], "left_semi"
-    ).persist()
-    n_quality = docs_q.count()
-
-    # 2. exact dedup: keep only each sha256 group's keeper
-    exact = exact_dedup(docs_q)
-    exact_keep = exact.filter(F.col("id") == F.col("keeper_id")).select("id")
-    docs_e = docs_q.join(
-        exact_keep, docs_q["doc_id"].cast("long") == exact_keep["id"], "left_semi"
-    ).persist()
-    n_exact = docs_e.count()
-
-    # 3. near dedup: signatures -> LSH bands -> exact verify -> clusters
-    sigs = (
-        oph_signatures(docs_e, cfg) if args.oph else minhash_signatures(docs_e, cfg)
-    )
-    cand = lsh_near_dup_pairs(sigs, n_bands=args.n_bands, threshold=args.threshold)
-    verified = exact_jaccard_pairs(
-        docs_e, cand.select("id_a", "id_b"), cfg
-    ).filter(F.col("jaccard") >= args.verify_jaccard)
-    clusters = dedup_clusters(verified.select("id_a", "id_b"))
-    ids = docs_e.select(F.col("doc_id").cast("long").alias("id"))
-    keepers = dedup_select(ids, clusters).select(
-        F.col("keeper_id").alias("id")
-    )
-    docs_n = docs_e.join(
-        keepers, docs_e["doc_id"].cast("long") == keepers["id"], "left_semi"
-    ).persist()
-    n_near = docs_n.count()
-
-    # 4. eval-set decontamination (optional)
-    n_decon_dropped = 0
-    if args.probe_ids:
-        probes = docs.filter(F.col("doc_id").isin(*args.probe_ids))
-        flags = decontaminate(docs_n, probes, cfg, n=args.decon_n)
-        clean = flags.filter(~F.col("contaminated")).select("id")
-        before = docs_n.count()
-        docs_n = docs_n.join(
-            clean, docs_n["doc_id"].cast("long") == clean["id"], "left_semi"
-        ).persist()
-        n_decon_dropped = before - docs_n.count()
-
-    # 5. sequence packing over the survivors; funnel stats come from the
-    # just-written parquet (one extra cheap scan of the OUTPUT) rather than
-    # re-running the packing lineage per aggregate
-    packed = sequence_pack(docs_n, cfg, budget_tokens=args.budget_tokens)
-    out_dir = os.path.join(args.output, "curated")
-    packed.write.mode("overwrite").parquet(out_dir)
-    stats_row = (
-        spark.read.parquet(out_dir)
-        .agg(F.max("seq_id").alias("mx"), F.sum("n_tokens").alias("tt"))
-        .collect()[0]
-    )
-    n_seqs, total_tokens = stats_row["mx"], stats_row["tt"]
-
-    print(json.dumps({
-        "input_docs": n_input,
-        "after_quality": n_quality,
-        "quality_drop_reasons": {k: v for k, v in sorted(reasons.items()) if k != "ok"},
-        "after_exact_dedup": n_exact,
-        "after_near_dedup": n_near,
-        "decontamination_dropped": n_decon_dropped,
-        "total_tokens": int(total_tokens or 0),
-        "n_sequences": int(n_seqs or 0) + 1 if n_seqs is not None else 0,
-        "budget_tokens": args.budget_tokens,
-        "signatures": "oph" if args.oph else "minhash",
-        "output": out_dir,
-    }))
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":

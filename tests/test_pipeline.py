@@ -1,0 +1,70 @@
+"""End-to-end curation pipeline (information_retrieval_spark/pipeline.py —
+the composition jobs/curate.py ships and bench.py times per stage)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_spark.config import EngineConfig
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+def test_curate_funnel_invariants(spark, tmp_path):
+    """The funnel only shrinks, every stage reports a timing, the packed
+    output matches the survivor count, and an exact duplicate is dropped."""
+    from information_retrieval_spark.pipeline import curate
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    # plant an exact duplicate of doc 0 so exact-dedup provably fires
+    first = docs.orderBy("doc_id").limit(1).collect()[0]
+    dup = spark.createDataFrame(
+        [tuple(first)], docs.schema
+    ).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    docs = docs.unionByName(dup)
+    n_in = docs.count()
+
+    rep = curate(
+        spark, docs, EngineConfig(), output=str(tmp_path), oph=True,
+        probe_ids=[int(first["doc_id"])], decon_n=3,
+    )
+    assert rep["input_docs"] == n_in
+    assert (
+        rep["input_docs"]
+        >= rep["after_quality"]
+        >= rep["after_exact_dedup"]
+        >= rep["after_near_dedup"]
+    )
+    # the planted duplicate cannot survive exact dedup (if its original
+    # passed quality, the pair collapses to one keeper)
+    assert rep["after_exact_dedup"] < rep["after_quality"] or rep[
+        "after_quality"
+    ] < rep["input_docs"]
+    assert set(rep["stage_secs"]) == {
+        "quality", "exact_dedup", "near_dedup", "decontaminate",
+        "sequence_pack",
+    }
+    assert rep["curate_sec"] > 0 and rep["docs_per_sec"] > 0
+
+    out = spark.read.parquet(rep["output"])
+    n_survivors = rep["after_near_dedup"] - rep["decontamination_dropped"]
+    assert out.count() == n_survivors
+    assert out.select("id").distinct().count() == n_survivors
+    # packing invariants (GPT-style concat-and-chunk: docs SPILL across
+    # sequence boundaries): seq_id/seq_offset derive from token_start, and
+    # token_start is the exact prefix sum of earlier docs' token counts
+    b = rep["budget_tokens"]
+    assert out.filter(
+        (F.col("seq_id") != (F.col("token_start") / b).cast("long"))
+        | (F.col("seq_offset") != F.col("token_start") % b)
+    ).count() == 0
+    rows = out.orderBy("id").collect()
+    run = 0
+    for r in rows:
+        assert r["token_start"] == run
+        run += r["n_tokens"]
+    assert rep["total_tokens"] == run
