@@ -677,24 +677,29 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _federated_roots(spark: SparkSession, sf_dir: str) -> list:
     """Two persisted index roots over the corpus SPLIT BY HASH BUCKET
-    (0-3 vs 4-7) — disjoint docid slices, built once per process."""
+    (0-3 vs 4-7) — disjoint docid slices, built once per process. Built
+    WITH the mode-1 positional plane so the federated extended surface
+    (phrase) is gate-verified too; docids are positional-flag-independent,
+    so the single-corpus oracles still apply."""
     key = ("fed", sf_dir)
     if key not in _PERSISTED_CACHE:
         import tempfile
+        from dataclasses import replace as _replace
 
         from information_retrieval_spark.operators.docids import bucket_expr
         from information_retrieval_spark.sources.manifest import (
             build_index_resumable,
         )
 
+        cfg_pos = _replace(CFG, positional=True)
         corpus = _corpus(spark, sf_dir)
         half = CFG.n_doc_buckets // 2
         lo = corpus.filter(bucket_expr(CFG) < half)
         hi = corpus.filter(bucket_expr(CFG) >= half)
         ra = tempfile.mkdtemp(prefix="ir_fed_a_")
         rb = tempfile.mkdtemp(prefix="ir_fed_b_")
-        build_index_resumable(spark, lo, ra, CFG)
-        build_index_resumable(spark, hi, rb, CFG)
+        build_index_resumable(spark, lo, ra, cfg_pos)
+        build_index_resumable(spark, hi, rb, cfg_pos)
         _PERSISTED_CACHE[key] = [ra, rb]
     return _PERSISTED_CACHE[key]
 
@@ -732,6 +737,21 @@ def _q_federated_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boolean_query_indexed(spark, fed, BOOL_QUERY_SET, CFG)
 
 
+def _q_federated_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated quoted-phrase retrieval: the two roots' mode-1 positional
+    planes mounted as one (open_federated_index unions them, all-or-none),
+    evaluated by the SAME Catalyst adjacency verification as phrase_match.
+    Oracle: the identical single-corpus token-stream phrase SQL — federated
+    positional == combined positional."""
+    from information_retrieval_spark.operators.federation import (
+        open_federated_index,
+    )
+    from information_retrieval_spark.operators.positional import phrase_match
+
+    fed = open_federated_index(spark, _federated_roots(spark, sf_dir))
+    return phrase_match(fed.positional, PHRASES, CFG)
+
+
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH approximate top-k (no SQL oracle — recall vs brute force is
     pytest-verified; returns the probed-bucket rerank)."""
@@ -761,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": _q_bm25_wand,
         "federated_bm25": _q_federated_bm25,
         "federated_boolean": _q_federated_boolean,
+        "federated_phrase": _q_federated_phrase,
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
@@ -960,6 +981,8 @@ FROM tf GROUP BY term
         "federated_bm25": bm25,
         # federated indexed boolean == single-corpus boolean scan
         "federated_boolean": duckdb_boolean_sql(corpus, BOOL_QUERY_SET, CFG),
+        # federated positional plane == single-corpus phrase semantics
+        "federated_phrase": _phrase_sql(),
         "dedup_exact": duckdb_exact_dedup_sql(),
         "ngram_jaccard": ngram_sql,
         "dedup_clusters": dedup_clusters_sql,

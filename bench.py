@@ -355,6 +355,21 @@ def main() -> None:
         query_index_local(li, [q], k=TOP_K)
         local_secs[f"q{i}"] = round(time.time() - t0, 4)
 
+    # resident daemon round-trip (round 4): TCP connect + registration +
+    # snapshot check + the same pyarrow/BMW answer, measured end-to-end —
+    # the reference's TCP_PORT query-daemon shape served resident
+    from information_retrieval_spark.serve import QueryDaemon
+    from information_retrieval_spark.serve import request as _drequest
+
+    daemon_secs: dict[str, float] = {}
+    with QueryDaemon(idx_root) as _daemon:
+        _drequest("127.0.0.1", _daemon.port, {"query": QUERY_SET[0], "k": TOP_K})
+        for i, q in enumerate(QUERY_SET):
+            t0 = time.time()
+            r = _drequest("127.0.0.1", _daemon.port, {"query": q, "k": TOP_K})
+            assert r["ok"]
+            daemon_secs[f"q{i}"] = round(time.time() - t0, 4)
+
     # training-data curation funnel (round 4): the end-to-end pipeline
     # (quality → exact dedup → OPH LSH near-dedup → decontamination →
     # packing) timed per stage at the benchmark SF — the same composition
@@ -382,6 +397,7 @@ def main() -> None:
         "queries": query_secs,
         "queries_extended": extended,
         "queries_pyarrow_local": local_secs,
+        "queries_daemon_tcp": daemon_secs,
     }
     if curate_report is not None:
         out["curate"] = curate_report

@@ -60,8 +60,20 @@ def read_deletions(spark: SparkSession, root: str) -> DataFrame:
         return spark.createDataFrame([], "docid long")
 
 
-def gc_stats(spark: SparkSession, index: InvertedIndex, root: str) -> dict:
-    """deleted/used posting accounting → GC decision (A4)."""
+def gc_stats(
+    spark: SparkSession,
+    index: InvertedIndex,
+    root: str,
+    *,
+    gc_threshold: float = GC_THRESHOLD,
+    on_the_fly_threshold: float = ON_THE_FLY_GC_THRESHOLD,
+    min_garbage: int = MIN_GARBAGE_POSTINGS,
+) -> dict:
+    """deleted/used posting accounting → GC decision (A4). The thresholds
+    default to the reference's constants and are overridable through the
+    same configurator keys it reads (GARBAGE_COLLECTION_THRESHOLD /
+    ONTHEFLY_GARBAGE_COLLECTION_THRESHOLD, index.cc:42-43 — wired in
+    jobs/stats.py)."""
     deleted = read_deletions(spark, root)
     total_postings = int(
         index.dictionary.agg(F.sum("df").alias("s")).collect()[0]["s"] or 0
@@ -89,8 +101,8 @@ def gc_stats(spark: SparkSession, index: InvertedIndex, root: str) -> dict:
         "dead_postings": dead,
         "deleted_docs": n_deleted_docs,
         "dead_ratio": round(ratio, 6),
-        "needs_compaction": dead >= MIN_GARBAGE_POSTINGS and ratio >= GC_THRESHOLD,
-        "on_the_fly_filtering": ratio >= ON_THE_FLY_GC_THRESHOLD,
+        "needs_compaction": dead >= int(min_garbage) and ratio >= float(gc_threshold),
+        "on_the_fly_filtering": ratio >= float(on_the_fly_threshold),
     }
 
 

@@ -57,17 +57,36 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--index", required=True)
     p.add_argument("--engine", choices=["local", "spark"], default="local")
     p.add_argument("--master", default=None)
+    p.add_argument("--conf", action="append", default=[], metavar="KEY=VALUE",
+                   help="configurator parameter; the GC decision reads the "
+                        "reference's own keys (GARBAGE_COLLECTION_THRESHOLD, "
+                        "ONTHEFLY_GARBAGE_COLLECTION_THRESHOLD, index.cc:42-43)")
     args = p.parse_args(argv)
 
     out = _local_stats(args.index)
     if args.engine == "spark":
-        from information_retrieval_spark.operators.compaction import gc_stats
+        from information_retrieval_spark.config import Configurator
+        from information_retrieval_spark.operators.compaction import (
+            GC_THRESHOLD,
+            MIN_GARBAGE_POSTINGS,
+            ON_THE_FLY_GC_THRESHOLD,
+            gc_stats,
+        )
         from information_retrieval_spark.session import make_session
         from information_retrieval_spark.sources.manifest import open_index
 
+        cfgr = Configurator.from_command_line(args.conf)
         spark = make_session(args.master, "ir-stats")
         spark.sparkContext.setLogLevel("ERROR")
-        out["gc"] = gc_stats(spark, open_index(spark, args.index), args.index)
+        out["gc"] = gc_stats(
+            spark, open_index(spark, args.index), args.index,
+            gc_threshold=cfgr.get_double(
+                "GARBAGE_COLLECTION_THRESHOLD", GC_THRESHOLD),
+            on_the_fly_threshold=cfgr.get_double(
+                "ONTHEFLY_GARBAGE_COLLECTION_THRESHOLD", ON_THE_FLY_GC_THRESHOLD),
+            min_garbage=cfgr.get_int(
+                "MIN_GARBAGE_COLLECTION_THRESHOLD", MIN_GARBAGE_POSTINGS),
+        )
         spark.stop()
     print(json.dumps(out))
 
