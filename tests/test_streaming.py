@@ -231,3 +231,70 @@ def test_stateful_stream_dedup(spark, tmp_path_factory):
     assert rows[7]["is_duplicate"] is True and rows[7]["keeper_id"] == 2
     # fresh content stays keeper
     assert rows[6]["is_duplicate"] is False and rows[6]["keeper_id"] == 6
+
+
+def test_fuzzy_plane_incremental_maintenance(spark, tmp_path_factory):
+    """Round 4: an append must EXTEND the persisted SymSpell variant plane
+    (variants of the delta's genuinely-new terms appended as new part
+    files), never regenerate the ~29x-vocab plane per micro-batch — and the
+    extended plane must equal a from-scratch derivation over the merged
+    vocabulary. A stale plane (crash window) self-heals to a full regen on
+    the next append."""
+    from information_retrieval_spark.operators.query import _delete_variants
+    from information_retrieval_spark.sources.manifest import (
+        _paths,
+        fuzzy_dictionary_path,
+    )
+    from information_retrieval_spark.streaming.incremental import append_batch
+
+    base_dir = tmp_path_factory.mktemp("fuzzdelta")
+    root = str(base_dir / "idx")
+    full = synthetic_corpus_pdf(120, seed=57)[COLS]
+    build_index_resumable(spark, spark.createDataFrame(full.iloc[:80]), root, CFG)
+
+    p = _paths(root)
+    assert fuzzy_dictionary_path(root) is not None
+    before = {
+        f for f in os.listdir(p["dictionary_fuzzy"]) if f.endswith(".parquet")
+    }
+
+    delta = full.iloc[80:].copy()
+    delta.iloc[0, delta.columns.get_loc("content")] += " zzfreshterm"
+    append_batch(spark, spark.createDataFrame(delta), root, CFG, batch_id=11)
+
+    # plane valid, and the base generation's files were EXTENDED, not rewritten
+    assert fuzzy_dictionary_path(root) is not None
+    after = {f for f in os.listdir(p["dictionary_fuzzy"]) if f.endswith(".parquet")}
+    assert before <= after and after > before
+
+    # extended plane == exact depth-2 neighborhood of the merged vocabulary
+    idx = open_index(spark, root)
+    terms = [r["term"] for r in idx.dictionary.select("term").collect()]
+    want = {(v, t) for t in terms for v in _delete_variants(t, 2)}
+    got = {
+        (r["variant"], r["term"])
+        for r in spark.read.parquet(p["dictionary_fuzzy"]).collect()
+    }
+    assert got == want
+    assert ("zzfreshterm", "zzfreshterm") in got
+
+    # the new term is fuzzy-findable through the plane-pruned path
+    from information_retrieval_spark.operators.query import expand_fuzzy
+
+    assert idx.dictionary_fuzzy is not None
+    exp = expand_fuzzy(idx, ["zzfreshtorm"], CFG, max_edit=1)
+    assert (0, "zzfreshterm") in set(exp)
+
+    # stale tag (crash window) -> next append full-regens and re-validates
+    with open(os.path.join(p["dictionary_fuzzy"], "_plane_tag"), "w") as f:
+        f.write("stale")
+    assert fuzzy_dictionary_path(root) is None
+    delta2 = full.iloc[:10].copy()
+    delta2["path"] = delta2["path"] + "#dup2"
+    append_batch(spark, spark.createDataFrame(delta2), root, CFG, batch_id=12)
+    assert fuzzy_dictionary_path(root) is not None
+    got2 = {
+        (r["variant"], r["term"])
+        for r in spark.read.parquet(p["dictionary_fuzzy"]).collect()
+    }
+    assert got2 == want  # vocab unchanged by the duplicate batch
