@@ -102,9 +102,17 @@ def open_federated_index(spark: SparkSession, roots: list[str]) -> InvertedIndex
 
     Scale shape: all unions are lazy ``unionByName`` over bucket-disjoint
     parquet tables — no shuffle is introduced; term/bucket pushdown reaches
-    every root's scan exactly as in the single-root plan. The reversed-
-    dictionary twin is per-root on disk; the synthetic index does not
-    carry one (suffix wildcards fall back to the bounded |vocab| scan).
+    every root's scan exactly as in the single-root plan. The derived
+    dictionary twins (``dictionary_rev``, ``dictionary_fuzzy``) mount as
+    deduplicated unions when EVERY root carries a tag-valid plane — the
+    same root may share terms with another, and a duplicated (query_id,
+    term) expansion pair would double-count in WAND — so the union gets a
+    ``distinct`` (the dedup runs AFTER the pushed per-pattern predicate
+    prunes each root's scan, so it aggregates candidates, not the vocab).
+    Any root missing a twin degrades that twin to None: consumers fall
+    back to the scan/derive path, which is correct, just slower — unlike
+    positional/regions, where a partial plane would be silently WRONG and
+    therefore raises.
     """
     from ..sources.manifest import open_index, read_meta
 
@@ -154,6 +162,16 @@ def open_federated_index(spark: SparkSession, roots: list[str]) -> InvertedIndex
             _union([getattr(idx, plane) for idx in idxs]) if all(have) else None
         )
 
+    # derived dictionary twins: all-roots-or-fallback (a PARTIAL union would
+    # silently lose candidates; the None fallback is merely slower), distinct
+    # because roots share vocabulary and duplicate expansion pairs would
+    # double-count in WAND
+    for plane in ("dictionary_rev", "dictionary_fuzzy"):
+        frames = [getattr(idx, plane) for idx in idxs]
+        planes[plane] = (
+            _union(frames).distinct() if all(f is not None for f in frames) else None
+        )
+
     return InvertedIndex(
         docs=docs,
         postings=postings,
@@ -162,6 +180,8 @@ def open_federated_index(spark: SparkSession, roots: list[str]) -> InvertedIndex
         avgdl=avgdl_g,
         total_tokens=toks,
         cfg=idxs[0].cfg,
+        dictionary_rev=planes["dictionary_rev"],
+        dictionary_fuzzy=planes["dictionary_fuzzy"],
         positional=planes["positional"],
         regions=planes["regions"],
     )

@@ -364,23 +364,17 @@ def expand_fuzzy(
         .distinct()
         .filter(F.levenshtein("qterm", "term") <= max_edit)
     )
-    # verified candidates are neighborhood-sized (tiny); one materialization,
-    # then the per-query lexicographic cap costs no further dictionary scans
-    cand = cand.persist()
-    try:
-        out: list[tuple[int, str]] = []
-        for qid, _q in norm:
-            rows = (
-                cand.filter(F.col("query_id") == qid)
-                .select("term")
-                .orderBy("term")
-                .limit(int(max_expansions))
-                .collect()
-            )
-            out.extend((qid, r["term"]) for r in rows)
-    finally:
-        cand.unpersist()
-    return out
+    # per-query lexicographic cap in ONE job for the whole batch: verified
+    # candidates are neighborhood-sized, so the window shuffle moves a few
+    # hundred rows — vs the previous |queries| separate collect jobs
+    w = Window.partitionBy("query_id").orderBy("term")
+    rows = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(max_expansions))
+        .select("query_id", "term")
+        .collect()
+    )
+    return sorted((int(r["query_id"]), r["term"]) for r in rows)
 
 
 def fuzzy_topk(

@@ -176,6 +176,14 @@ def test_federated_extended_surface_rank_identical(spark, tmp_path_factory):
     comb = open_index(spark, combined)
     fed = open_federated_index(spark, [ra, rb])
     assert fed.n_docs == comb.n_docs and fed.positional is not None
+    # round 4: the derived dictionary twins mount as deduped unions, so the
+    # suffix-wildcard and fuzzy assertions below run the PLANE paths
+    assert fed.dictionary_rev is not None and fed.dictionary_fuzzy is not None
+    # shared vocabulary across roots must not duplicate expansion pairs
+    assert (
+        fed.dictionary_rev.count()
+        == fed.dictionary_rev.select("term_rev", "term").distinct().count()
+    )
 
     rows = lambda df: sorted(map(tuple, df.collect()))
 
