@@ -68,6 +68,35 @@ def _paths(root: str) -> dict:
 _PLANE_TAG = "_plane_tag"  # leading '_': invisible to Spark AND pyarrow reads
 
 
+def _fuzzy_variant_batches(batches):
+    """Arrow kernel for the variant-plane write: (term) batches →
+    (variant, term) depth-2 SymSpell delete neighborhoods, via the same
+    ``_delete_variants`` the query side probes with. Batched Python beats
+    the Catalyst nested-transform twin (``delete_variant_expr``) ~90× per
+    core here — the expression tree allocates arrays-of-arrays per char
+    position while the kernel just slices strings — and the plane write is
+    the one place neighborhoods are computed at vocabulary scale. On the
+    sandbox the end-to-end plane write drops 22 s → 16 s at 93k terms
+    (per-job overhead dominates there); at production vocabularies the
+    kernel is the term that matters. Queries stay UDF-free."""
+    import pyarrow as pa
+
+    from ..operators.query import _delete_variants
+
+    for b in batches:
+        terms = b.column("term").to_pylist()
+        vs: list[str] = []
+        ts: list[str] = []
+        for t in terms:
+            for v in _delete_variants(t, 2):
+                vs.append(v)
+                ts.append(t)
+        yield pa.record_batch(
+            [pa.array(vs, pa.string()), pa.array(ts, pa.string())],
+            names=["variant", "term"],
+        )
+
+
 def write_dictionary_planes(
     spark: SparkSession,
     dictionary: DataFrame,
@@ -115,8 +144,6 @@ def write_dictionary_planes(
     import secrets
     import shutil
 
-    from ..operators.query import delete_variant_expr
-
     p = _paths(root)
     # capture the OLD plane's validity BEFORE any swap: a delta may only
     # extend a fuzzy plane derived from the dictionary being replaced
@@ -155,14 +182,13 @@ def write_dictionary_planes(
     # materializes BEFORE the swap below — the delta frame anti-joins the
     # OLD on-disk plane lazily
     fuzzy_src = (
-        fuzzy_delta_terms.select("term").distinct() if fuzzy_delta_ok else written
+        fuzzy_delta_terms.select("term").distinct()
+        if fuzzy_delta_ok
+        else written.select("term")
     )
     (
         fuzzy_src
-        .select(
-            F.explode(delete_variant_expr(F.col("term"), 2)).alias("variant"),
-            "term",
-        )
+        .mapInArrow(_fuzzy_variant_batches, "variant string, term string")
         .repartitionByRange("variant")
         .sortWithinPartitions("variant")
         .write.mode("overwrite")
