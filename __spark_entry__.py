@@ -599,6 +599,27 @@ def _q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
 
 
+# plane-exercising wildcard set: suffix (reversed twin), >=3-char infix
+# (char-trigram plane), >=3-char infix miss, prefix control
+WILDCARD_PLANE_SET = ["ta*", "*ble", "*abl*", "*zzz*"]
+
+
+def _q_wildcard_plane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-star wildcards over the PERSISTED index: the suffix core
+    range-prunes the reversed-term twin (dictionary_rev, Lucene
+    ReversedWildcardFilter) and the >=3-char infix core gram-IN-prunes the
+    char-trigram plane (dictionary_trigram, pg_trgm technique) — never a
+    full term-column scan. The pruned paths must return exactly the scan
+    paths' expansions, so the oracle is the same vocabulary-join SQL as
+    wildcard_topk."""
+    from information_retrieval_spark.operators.query import wildcard_topk
+
+    _, idx = _persisted_index(spark, sf_dir)
+    assert idx.dictionary_rev is not None and idx.dictionary_trigram is not None
+    out = wildcard_topk(spark, idx, WILDCARD_PLANE_SET, TOP_K, CFG)
+    return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
+
+
 def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched exact cosine k-NN: the three lowest vec_ids as the query
     side, top-5 each over the whole embeddings table (self included, sim
@@ -807,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "prefix_topk": _q_prefix_topk,
         "wildcard_topk": _q_wildcard_topk,
+        "wildcard_plane_topk": _q_wildcard_plane_topk,
         "fuzzy_topk": _q_fuzzy_topk,
         "facets": _q_facets,
         "more_like_this": _q_more_like_this,
@@ -1012,6 +1034,9 @@ FROM events GROUP BY event_type
         ),
         "wildcard_topk": duckdb_wildcard_bm25_sql(
             corpus, WILDCARD_SET, CFG, k=TOP_K, round_to=4
+        ),
+        "wildcard_plane_topk": duckdb_wildcard_bm25_sql(
+            corpus, WILDCARD_PLANE_SET, CFG, k=TOP_K, round_to=4
         ),
         "fuzzy_topk": duckdb_fuzzy_bm25_sql(
             corpus, FUZZY_SET, CFG, k=TOP_K, round_to=4, max_edit=2

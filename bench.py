@@ -393,6 +393,7 @@ def main() -> None:
     for name, fn in (
         ("prefix", lambda: prefix_topk(spark, idx, ["ta", "s"], TOP_K, cfg)),
         ("wildcard", lambda: wildcard_topk(spark, idx, ["*ble", "*as*"], TOP_K, cfg)),
+        ("wildcard_infix", lambda: wildcard_topk(spark, idx, ["*abl*"], TOP_K, cfg)),
         ("fuzzy_d2", lambda: fuzzy_topk(spark, idx, ["hasj", "tabel"], TOP_K, cfg, max_edit=2)),
         ("boolean", lambda: boolean_query_indexed(
             spark, idx, ["hash AND (join OR merge)", "table AND NOT key"], cfg)),
@@ -420,7 +421,8 @@ def main() -> None:
 
     # plane-backed twins (round 4): the same wildcard/fuzzy calls over the
     # PERSISTED index, where a suffix pattern range-prunes the reversed
-    # dictionary twin and fuzzy candidates are a pushed variant-IN read of
+    # dictionary twin, an infix pattern gram-IN-prunes the char-trigram
+    # plane, and fuzzy candidates are a pushed variant-IN read of
     # dictionary_fuzzy/ — vs the in-memory derive paths timed above
     from information_retrieval_spark.sources.manifest import open_index
 
@@ -428,6 +430,8 @@ def main() -> None:
     for name, fn in (
         ("wildcard_rev_plane",
          lambda: wildcard_topk(spark, idx_disk, ["*ble", "*as*"], TOP_K, cfg)),
+        ("wildcard_infix_plane",
+         lambda: wildcard_topk(spark, idx_disk, ["*abl*"], TOP_K, cfg)),
         ("fuzzy_d2_plane",
          lambda: fuzzy_topk(spark, idx_disk, ["hasj", "tabel"], TOP_K, cfg, max_edit=2)),
     ):

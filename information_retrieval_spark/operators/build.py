@@ -746,6 +746,10 @@ class InvertedIndex:
     # range-sorted by variant so fuzzy expansion is a pushed IN-pruned read;
     # None → expand_fuzzy derives the neighborhood on the fly in codegen
     dictionary_fuzzy: DataFrame | None = None
+    # the persisted char-trigram plane (gram, term), range-sorted by gram so
+    # infix wildcards are a pushed gram-IN read + all-grams intersection +
+    # exact contains verify; None → infix falls back to the |vocab| scan
+    dictionary_trigram: DataFrame | None = None
     positional: DataFrame | None = None
     # the persisted T9 region plane (operators/regions.py; None unless the
     # index was built with cfg.enable_xpath, reference index.h:60-66)

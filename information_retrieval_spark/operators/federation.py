@@ -166,7 +166,7 @@ def open_federated_index(spark: SparkSession, roots: list[str]) -> InvertedIndex
     # silently lose candidates; the None fallback is merely slower), distinct
     # because roots share vocabulary and duplicate expansion pairs would
     # double-count in WAND
-    for plane in ("dictionary_rev", "dictionary_fuzzy"):
+    for plane in ("dictionary_rev", "dictionary_fuzzy", "dictionary_trigram"):
         frames = [getattr(idx, plane) for idx in idxs]
         planes[plane] = (
             _union(frames).distinct() if all(f is not None for f in frames) else None
@@ -182,6 +182,7 @@ def open_federated_index(spark: SparkSession, roots: list[str]) -> InvertedIndex
         cfg=idxs[0].cfg,
         dictionary_rev=planes["dictionary_rev"],
         dictionary_fuzzy=planes["dictionary_fuzzy"],
+        dictionary_trigram=planes["dictionary_trigram"],
         positional=planes["positional"],
         regions=planes["regions"],
     )

@@ -170,21 +170,29 @@ class LocalIndex:
         row-group pruning of ``expand_prefix_terms``; a SUFFIX core range-
         prunes the same way against the reversed-term twin plane
         (``dictionary_rev``, sorted by term_rev — Lucene
-        ReversedWildcardFilter trick) when the root carries one with a
-        matching generation tag; only infix (and suffix on a pre-twin root)
-        still costs one full column-pruned term read."""
+        ReversedWildcardFilter trick); an INFIX core (≥3 chars) reads the
+        char-trigram plane (``dictionary_trigram``, sorted by gram — the
+        pg_trgm technique) with a ``gram IN`` row-group-pruned filter, an
+        all-grams intersection, and an exact contains verify — each when
+        the root carries the plane with a matching generation tag. Only
+        short-core infix and pre-twin roots still cost one full
+        column-pruned term read."""
         import numpy as np
         import pyarrow.compute as pc
         import pyarrow.dataset as ds
 
-        from ..sources.manifest import reversed_dictionary_path
-        from .query import normalize_wildcards
+        from ..sources.manifest import (
+            reversed_dictionary_path,
+            trigram_dictionary_path,
+        )
+        from .query import _char_trigrams, normalize_wildcards
 
         norm = normalize_wildcards(patterns, self.cfg)
         if not norm:
             return []
         dict_dir = os.path.join(self.root, "dictionary")
         rev_dir = reversed_dictionary_path(self.root)
+        tri_dir = trigram_dictionary_path(self.root)
 
         def _range(field: str, c: str):
             # [c, c[:-1] + succ(last char)) is exactly startswith(c); a
@@ -196,12 +204,17 @@ class LocalIndex:
                 else lo
             )
 
-        # three scan groups, each ONE pruned read for its whole batch
+        # four scan groups, each ONE pruned read for its whole batch
         fwd = [(q, m, c) for q, m, c in norm if m in ("prefix", "exact")]
         rev = [
             (q, m, c) for q, m, c in norm if m == "suffix" and rev_dir
         ]
-        full = [x for x in norm if x not in fwd and x not in rev]
+        tri = [
+            (q, m, c)
+            for q, m, c in norm
+            if m == "infix" and len(c) >= 3 and tri_dir
+        ]
+        full = [x for x in norm if x not in fwd and x not in rev and x not in tri]
 
         hits: dict[int, np.ndarray] = {}
         if fwd:
@@ -231,6 +244,23 @@ class LocalIndex:
             for qid, _, c in rev:
                 hit = term.filter(pc.starts_with(trev, c[::-1]))
                 hits[qid] = np.sort(np.asarray(hit.to_pylist(), dtype=object))
+        if tri:
+            all_grams = sorted({g for _, _, c in tri for g in _char_trigrams(c)})
+            tab = ds.dataset(tri_dir, format="parquet").to_table(
+                columns=["gram", "term"],
+                filter=ds.field("gram").isin(all_grams),
+            )
+            pdf = tab.to_pandas()
+            for qid, _, c in tri:
+                grams = _char_trigrams(c)
+                sub = pdf[pdf["gram"].isin(grams)]
+                # a matching term must hold ALL the core's trigrams; shared
+                # grams don't imply adjacency, so verify with exact contains
+                cnt = sub.groupby("term")["gram"].nunique()
+                cand = cnt.index[cnt.to_numpy() == len(grams)]
+                hits[qid] = np.sort(
+                    np.asarray([t for t in cand if c in t], dtype=object)
+                )
         if full:
             terms = (
                 ds.dataset(dict_dir, format="parquet")

@@ -182,15 +182,35 @@ def wildcard_candidate_terms(index, mode: str, core: str) -> DataFrame:
       prunable prefix predicate instead of a full term-column scan.
       In-memory indexes (no twin) fall back to the endswith scan, which is
       still bounded by |vocab|, never the corpus.
-    - ``infix`` — contains() is not range-expressible in either direction;
-      one column-pruned term scan (the honest cost — the production upgrade
-      beyond this is an n-gram dictionary, out of scope).
+    - ``infix`` — contains() is not range-expressible in either direction,
+      so on-disk indexes carry the char-TRIGRAM plane
+      (``dictionary_trigram``: (gram, term), range-sorted by gram — the
+      pg_trgm / Lucene n-gram technique): the core's trigrams form a
+      pushed ``gram IN (...)`` read, a term must hold ALL of them
+      (count-distinct intersection), and an exact ``contains`` verify
+      closes the gap (shared grams don't imply adjacency). Cores shorter
+      than 3 chars (and indexes without the plane) fall back to the
+      column-pruned term scan — still bounded by |vocab|, never the corpus.
     """
     t = F.col("term")
     if mode == "suffix" and getattr(index, "dictionary_rev", None) is not None:
         return index.dictionary_rev.filter(
             F.col("term_rev").startswith(core[::-1])
         ).select("term")
+    if (
+        mode == "infix"
+        and len(core) >= 3
+        and getattr(index, "dictionary_trigram", None) is not None
+    ):
+        grams = sorted(_char_trigrams(core))
+        return (
+            index.dictionary_trigram.filter(F.col("gram").isin(grams))
+            .groupBy("term")
+            .agg(F.count_distinct("gram").alias("_ng"))
+            .filter(F.col("_ng") == len(grams))
+            .filter(t.contains(core))
+            .select("term")
+        )
     pred = {
         "prefix": t.startswith(core),
         "suffix": t.endswith(core),
@@ -244,6 +264,13 @@ def wildcard_topk(
     cfg = cfg or index.cfg
     pairs = expand_wildcards(index, patterns, cfg, max_expansions)
     return wand_topk(spark, index, pairs, k, cfg, **wand_kwargs)
+
+
+def _char_trigrams(core: str) -> set[str]:
+    """The distinct character trigrams of ``core`` — the Python twin of the
+    trigram-plane kernel (``sources.manifest._char_trigram_batches``); empty
+    for cores shorter than 3 chars."""
+    return {core[i : i + 3] for i in range(len(core) - 2)}
 
 
 def _delete_variants(term: str, d: int = 1) -> set[str]:

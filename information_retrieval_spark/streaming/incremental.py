@@ -356,10 +356,10 @@ def merge_dictionary(
     # tmp-write (materializes old+delta BEFORE the swap) + atomic replace +
     # reversed twin all live in the shared plane writer; the replay ledger
     # rides through dict_extra so it commits atomically WITH the merged rows.
-    # The fuzzy variant plane is maintained INCREMENTALLY: only terms the
-    # delta introduces need variants appended (existing terms' variant sets
-    # are stats-invariant), so the per-batch fuzzy cost is O(new terms),
-    # not a ~29x-vocabulary regeneration
+    # The fuzzy-variant and trigram candidate planes are maintained
+    # INCREMENTALLY: only terms the delta introduces need rows appended
+    # (existing terms' variant/gram sets are stats-invariant), so the
+    # per-batch plane cost is O(new terms), not a vocabulary-sized regen
     new_terms = delta.select("term").join(old.select("term"), "term", "left_anti")
     write_dictionary_planes(
         spark,
@@ -368,7 +368,7 @@ def merge_dictionary(
         dict_extra={
             "_delta_tags.json": _json.dumps((done + [tag])[-_DELTA_TAGS_KEEP:])
         },
-        fuzzy_delta_terms=new_terms,
+        delta_new_terms=new_terms,
     )
     return True
 

@@ -404,6 +404,53 @@ def test_suffix_reversed_twin_matches_fallback(
     )
 
 
+def test_infix_trigram_plane_matches_fallback(
+    spark, corpus, index, tmp_path_factory
+):
+    """The trigram-plane infix path (on-disk twin: gram-IN prune +
+    all-grams intersection + contains verify) returns expansions identical
+    to the contains() fallback (in-memory index / twin absent / core < 3
+    chars), and a stale generation tag disables the plane instead of
+    serving stale terms — on BOTH the Spark and pyarrow-local paths."""
+    import os as _os
+
+    from information_retrieval_spark.operators.local_query import LocalIndex
+    from information_retrieval_spark.operators.query import expand_wildcards
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+        open_index,
+        read_dictionary_trigram,
+    )
+
+    root = str(tmp_path_factory.mktemp("tridict") / "idx")
+    build_index_resumable(spark, corpus, root, CFG)
+    idx_disk = open_index(spark, root)
+    assert idx_disk.dictionary_trigram is not None
+
+    # cores: >=3 chars (plane path), 2 chars (fallback even with a plane),
+    # and a >=3 miss
+    patterns = ["*dent*", "*as*", "*zzznope*"]
+    # `index` fixture is in-memory -> no plane -> contains fallback
+    assert index.dictionary_trigram is None
+    want = expand_wildcards(index, patterns, CFG, max_expansions=50)
+    got_plane = expand_wildcards(idx_disk, patterns, CFG, max_expansions=50)
+    got_local = LocalIndex(root).expand_wildcard_terms(patterns, max_expansions=50)
+    assert got_plane == want and got_local == want
+    assert any(qid == 0 for qid, _ in want)  # the >=3 core actually matches
+
+    # stale tag: corrupt the plane's generation -> plane treated absent,
+    # results unchanged via fallback
+    with open(_os.path.join(root, "dictionary_trigram", "_plane_tag"), "w") as f:
+        f.write("stale")
+    assert read_dictionary_trigram(spark, root) is None
+    idx_stale = open_index(spark, root)
+    assert idx_stale.dictionary_trigram is None
+    assert expand_wildcards(idx_stale, patterns, CFG, max_expansions=50) == want
+    assert (
+        LocalIndex(root).expand_wildcard_terms(patterns, max_expansions=50) == want
+    )
+
+
 def _levenshtein(a: str, b: str) -> int:
     m = np.arange(len(b) + 1)
     for i, ca in enumerate(a, 1):

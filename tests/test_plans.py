@@ -278,3 +278,25 @@ def test_fuzzy_expansion_prunes_variant_plane(spark, root):
     assert "dictionary_fuzzy" in scan
     pushed = scan[: scan.index("ReadSchema")]
     assert re.search(r"In\(variant, \[", pushed), pushed[:500]
+
+
+def test_infix_wildcard_prunes_trigram_plane(spark, root):
+    """Round 4: an infix pattern (core >= 3 chars) over an on-disk index
+    reads the char-trigram plane with a PUSHED In(gram, ...) — row-group
+    pruned on the gram-sorted plane — never a contains() scan over the full
+    dictionary term column."""
+    from information_retrieval_spark.operators.query import (
+        wildcard_candidate_terms,
+    )
+
+    idx = open_index(spark, root)
+    assert idx.dictionary_trigram is not None  # built + tag-matched
+    plan = _plan(wildcard_candidate_terms(idx, "infix", "dent"))
+    scan = plan[plan.index("Scan parquet"):]
+    assert "dictionary_trigram" in scan  # the gram plane, not the dictionary
+    pushed = scan[: scan.index("ReadSchema")]
+    assert re.search(r"In\(gram, \[", pushed), pushed[:500]
+    # the contains() verify runs on the intersected candidates only — the
+    # plane read is the only scan; no Location points at the plain
+    # dictionary (formatted explain repeats nodes, so count() is unusable)
+    assert not re.search(r"/dictionary\]", plan), plan

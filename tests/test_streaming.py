@@ -233,17 +233,21 @@ def test_stateful_stream_dedup(spark, tmp_path_factory):
     assert rows[6]["is_duplicate"] is False and rows[6]["keeper_id"] == 6
 
 
-def test_fuzzy_plane_incremental_maintenance(spark, tmp_path_factory):
-    """Round 4: an append must EXTEND the persisted SymSpell variant plane
-    (variants of the delta's genuinely-new terms appended as new part
-    files), never regenerate the ~29x-vocab plane per micro-batch — and the
-    extended plane must equal a from-scratch derivation over the merged
-    vocabulary. A stale plane (crash window) self-heals to a full regen on
-    the next append."""
-    from information_retrieval_spark.operators.query import _delete_variants
+def test_candidate_planes_incremental_maintenance(spark, tmp_path_factory):
+    """Round 4: an append must EXTEND the persisted candidate planes
+    (SymSpell variant + char-trigram rows of the delta's genuinely-new
+    terms appended as new part files), never regenerate the vocab-sized
+    planes per micro-batch — and each extended plane must equal a
+    from-scratch derivation over the merged vocabulary. A stale plane
+    (crash window) self-heals to a full regen on the next append."""
+    from information_retrieval_spark.operators.query import (
+        _char_trigrams,
+        _delete_variants,
+    )
     from information_retrieval_spark.sources.manifest import (
         _paths,
         fuzzy_dictionary_path,
+        trigram_dictionary_path,
     )
     from information_retrieval_spark.streaming.incremental import append_batch
 
@@ -254,18 +258,27 @@ def test_fuzzy_plane_incremental_maintenance(spark, tmp_path_factory):
 
     p = _paths(root)
     assert fuzzy_dictionary_path(root) is not None
+    assert trigram_dictionary_path(root) is not None
     before = {
         f for f in os.listdir(p["dictionary_fuzzy"]) if f.endswith(".parquet")
+    }
+    before_tri = {
+        f for f in os.listdir(p["dictionary_trigram"]) if f.endswith(".parquet")
     }
 
     delta = full.iloc[80:].copy()
     delta.iloc[0, delta.columns.get_loc("content")] += " zzfreshterm"
     append_batch(spark, spark.createDataFrame(delta), root, CFG, batch_id=11)
 
-    # plane valid, and the base generation's files were EXTENDED, not rewritten
+    # planes valid, and the base generation's files were EXTENDED, not rewritten
     assert fuzzy_dictionary_path(root) is not None
     after = {f for f in os.listdir(p["dictionary_fuzzy"]) if f.endswith(".parquet")}
     assert before <= after and after > before
+    assert trigram_dictionary_path(root) is not None
+    after_tri = {
+        f for f in os.listdir(p["dictionary_trigram"]) if f.endswith(".parquet")
+    }
+    assert before_tri <= after_tri and after_tri > before_tri
 
     # extended plane == exact depth-2 neighborhood of the merged vocabulary
     idx = open_index(spark, root)
@@ -278,12 +291,26 @@ def test_fuzzy_plane_incremental_maintenance(spark, tmp_path_factory):
     assert got == want
     assert ("zzfreshterm", "zzfreshterm") in got
 
-    # the new term is fuzzy-findable through the plane-pruned path
-    from information_retrieval_spark.operators.query import expand_fuzzy
+    # extended trigram plane == exact gram set of the merged vocabulary
+    want_tri = {(g, t) for t in terms for g in _char_trigrams(t)}
+    got_tri = {
+        (r["gram"], r["term"])
+        for r in spark.read.parquet(p["dictionary_trigram"]).collect()
+    }
+    assert got_tri == want_tri
+    assert ("fre", "zzfreshterm") in got_tri
+
+    # the new term is fuzzy- and infix-findable through plane-pruned paths
+    from information_retrieval_spark.operators.query import (
+        expand_fuzzy,
+        expand_wildcards,
+    )
 
     assert idx.dictionary_fuzzy is not None
     exp = expand_fuzzy(idx, ["zzfreshtorm"], CFG, max_edit=1)
     assert (0, "zzfreshterm") in set(exp)
+    assert idx.dictionary_trigram is not None
+    assert (0, "zzfreshterm") in set(expand_wildcards(idx, ["*fresh*"], CFG))
 
     # stale tag (crash window) -> next append full-regens and re-validates
     with open(os.path.join(p["dictionary_fuzzy"], "_plane_tag"), "w") as f:
