@@ -141,9 +141,11 @@ def fuzzy_plane_micro(spark, idx_disk, cfg) -> dict:
     only the probe neighborhoods' row groups (cost ~flat in |vocab|). The
     documents vocabulary is amplified with deterministic suffixes —
     derived from driver testdata only — and the
-    same 2-probe d=2 expansion is timed on both paths at both sizes. The
-    plane's one-off build cost is reported alongside (it is absorbed into
-    the index build / incremental delta maintenance in production)."""
+    same 2-probe d=2 expansion is timed on both paths at both sizes; an
+    infix-wildcard twin (contains() scan vs char-trigram plane) rides the
+    same amplified vocabulary. The planes' one-off build cost is reported
+    alongside (it is absorbed into the index build / incremental delta
+    maintenance in production)."""
     import shutil
     import types
 
@@ -193,6 +195,28 @@ def fuzzy_plane_micro(spark, idx_disk, cfg) -> dict:
     d_amp, n_d = timed(amp_dict, None)
     p_amp, n_p = timed(amp_dict, amp_plane)
     assert n_d == n_p  # both paths expand to the identical candidate set
+
+    # infix-wildcard twin over the SAME amplified vocabulary: contains()
+    # term-column scan (grows with |vocab|) vs the char-trigram plane's
+    # pushed gram-IN read + intersection + verify (grows with gram df)
+    from information_retrieval_spark.operators.query import expand_wildcards
+
+    amp_tri = spark.read.parquet(os.path.join(root, "dictionary_trigram"))
+    wprobes = ["*abl*", "*zq9*"]  # dense match + miss
+
+    def timed_w(dictionary, tri):
+        idx = types.SimpleNamespace(dictionary=dictionary, dictionary_trigram=tri)
+        expand_wildcards(idx, wprobes, cfg)  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            n = len(expand_wildcards(idx, wprobes, cfg))
+            best = min(best, time.time() - t0)
+        return round(best, 4), n
+
+    ws_amp, wn_s = timed_w(amp_dict, None)
+    wp_amp, wn_p = timed_w(amp_dict, amp_tri)
+    assert wn_s == wn_p  # identical (capped) expansions on both paths
     return {
         "vocab_base": v_base,
         "vocab_amplified": v_base * amp,
@@ -200,6 +224,8 @@ def fuzzy_plane_micro(spark, idx_disk, cfg) -> dict:
         "plane_sec_base": p_base,
         "derive_sec_amplified": d_amp,
         "plane_sec_amplified": p_amp,
+        "infix_scan_sec_amplified": ws_amp,
+        "infix_plane_sec_amplified": wp_amp,
         "plane_build_sec_amplified": round(plane_build_sec, 3),
     }
 

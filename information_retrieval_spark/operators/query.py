@@ -203,6 +203,15 @@ def wildcard_candidate_terms(index, mode: str, core: str) -> DataFrame:
         and getattr(index, "dictionary_trigram", None) is not None
     ):
         grams = sorted(_char_trigrams(core))
+        if len(grams) == 1:
+            # 3-char core = one gram: a pure pushed-equality read + verify,
+            # no intersection (and so no shuffle) needed — (gram, term)
+            # pairs are distinct by construction
+            return (
+                index.dictionary_trigram.filter(F.col("gram") == grams[0])
+                .filter(t.contains(core))
+                .select("term")
+            )
         return (
             index.dictionary_trigram.filter(F.col("gram").isin(grams))
             .groupBy("term")
