@@ -290,6 +290,32 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(embs, ANN_QVEC, TOP_K)
 
 
+# Hybrid retrieval (RRF): one text query fused with one query vector.
+HYBRID_QUERY = QUERY_SET[0]          # "hash join table"
+HYBRID_K_LEG = 20
+RRF_K = 60
+
+
+def _q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25 ∪ cosine retrieval fused with reciprocal-rank fusion
+    (Cormack SIGIR'09; the Elasticsearch/OpenSearch hybrid-search shape):
+    lexical leg = block-max WAND over the encoded index, vector leg =
+    exact cosine top-k over the embeddings table, fusion strictly over the
+    two k_leg-bounded outputs."""
+    from information_retrieval_spark.operators.fusion import hybrid_rrf_topk
+
+    idx = _index(spark, sf_dir)
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # invert corpus_from_documents' 'doc/<doc_id>' path mapping → fusion key
+    doc_key = idx.docs.select(
+        "docid", F.element_at(F.split("path", "/"), 2).cast("long").alias("doc_id")
+    )
+    return hybrid_rrf_topk(
+        spark, idx, HYBRID_QUERY, ANN_QVEC, embs, doc_key,
+        k=TOP_K, k_leg=HYBRID_K_LEG, rrf_k=RRF_K, cfg=CFG,
+    )
+
+
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs — oracle: standalone per-doc numpy
     signature fixture + pure-SQL banding/estimation (oracles.py)."""
@@ -808,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "lang_id_ngram": _q_lang_id,
         "cosine_topk": _q_cosine_topk,
+        "hybrid_topk": _q_hybrid_topk,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "oph_near_dups": _q_oph_near_dups,
@@ -847,6 +874,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # oracle_sql: ANSI SQL (DuckDB) equivalents over the pre-registered views
 # --------------------------------------------------------------------------
+
+def _hybrid_sql() -> str:
+    from information_retrieval_spark.operators.fusion import duckdb_hybrid_rrf_sql
+
+    return duckdb_hybrid_rrf_sql(
+        DOCUMENTS_AS_CORPUS_SQL,
+        HYBRID_QUERY,
+        ANN_QVEC,
+        k=TOP_K,
+        k_leg=HYBRID_K_LEG,
+        rrf_k=RRF_K,
+        cfg=CFG,
+    )
+
 
 def _phrase_sql() -> str:
     from information_retrieval_spark.operators.positional import duckdb_phrase_sql
@@ -1012,6 +1053,7 @@ FROM tf GROUP BY term
         "token_counts": duckdb_token_counts_sql(CFG),
         "lang_id_ngram": duckdb_lang_id_sql(),
         "cosine_topk": duckdb_cosine_topk_sql(ANN_QVEC, TOP_K),
+        "hybrid_topk": _hybrid_sql(),
         "events_window": _events_window_sql(),
         "boolean_and": duckdb_conjunctive_sql(corpus, QUERY_SET, CFG),
         "events_json": """

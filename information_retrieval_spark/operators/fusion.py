@@ -1,0 +1,177 @@
+"""Hybrid retrieval: reciprocal-rank fusion of independent ranked legs.
+
+The modern retrieval stack pairs the lexical index with an embedding leg
+and fuses the two rankings. Reciprocal-rank fusion (Cormack, Clarke &
+Buettcher, SIGIR 2009) is the fusion every production engine ships
+(Elasticsearch ``rrf``, OpenSearch hybrid search, Vespa) because it needs
+no score calibration across legs: a document at rank r in a leg
+contributes ``1 / (rrf_k + r)``; legs that miss the document contribute 0.
+
+Scale shape
+-----------
+Fusion runs strictly AFTER each leg's own top-k, so its input is
+``<= sum(k_leg)`` rows regardless of corpus size — the full-outer join and
+the final rank window are bounded by construction, never by the data. All
+the 100 TB weight stays inside the legs, which carry their own contracts:
+the lexical leg is block-max WAND over the encoded index (operators/wand),
+the vector leg is ``cosine_topk`` (TakeOrderedAndProject; swap in
+``lsh_topk``/``ivf_topk`` at billion-vector scale — any (id, rank) frame
+fuses).
+
+Reference parity: the reference engine is lexical-only (index/index.h has
+no vector surface), so there is nothing to cite; this is the
+driver-mandated similarity-search surface composed with the index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from .docids import duckdb_docid_sql
+from .query import duckdb_bm25_sql, parse_query_terms
+from .similarity import cosine_topk, duckdb_cosine_topk_sql
+from .wand import wand_topk
+
+__all__ = ["rrf_fuse", "hybrid_rrf_topk", "duckdb_hybrid_rrf_sql"]
+
+
+def rrf_fuse(
+    legs: list[tuple[str, DataFrame]],
+    k: int,
+    *,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(rank, <id_col>, rrf_score, <name>_rank ...) — fuse ranked legs.
+
+    ``legs``: [(name, df)] where each df carries (``id_col``, ``rank``) —
+    the TOP-K OUTPUT of a retrieval leg, i.e. already bounded by that leg's
+    k. Output ``<name>_rank`` is the document's rank within the leg, 0 when
+    the leg did not return it (0 instead of NULL keeps the frame
+    hash-stable for the oracle compare). ``rrf_score`` is rounded for
+    display; ordering and the final top-k run over the UNROUNDED sum with
+    (score DESC, id ASC) tie-break, mirroring the SQL oracle exactly.
+
+    The successive full-outer joins and the rank Window are bounded by
+    ``sum(len(leg))`` rows by the legs' own top-k contract — the Window has
+    no partition key on purpose; its input can never exceed a few hundred
+    rows.
+    """
+    if not legs:
+        raise ValueError("rrf_fuse needs at least one leg")
+    fused: DataFrame | None = None
+    rank_cols: list[str] = []
+    for name, df in legs:
+        col = f"{name}_rank"
+        rank_cols.append(col)
+        leg = df.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col("rank").cast("int").alias(col),
+        )
+        fused = leg if fused is None else fused.join(leg, id_col, "full_outer")
+    score = None
+    for col in rank_cols:
+        contrib = F.when(
+            F.col(col).isNotNull(), F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(col))
+        ).otherwise(F.lit(0.0))
+        score = contrib if score is None else score + contrib
+    scored = fused.select(
+        id_col,
+        score.alias("_rrf"),
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in rank_cols],
+    )
+    topk = scored.orderBy(F.desc("_rrf"), F.asc(id_col)).limit(int(k))
+    w = Window.orderBy(F.desc("_rrf"), F.asc(id_col))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select("rank", id_col, F.round("_rrf", 6).alias("rrf_score"), *rank_cols)
+    )
+
+
+def hybrid_rrf_topk(
+    spark: SparkSession,
+    index,
+    query: str,
+    qvec: list[float],
+    embeddings: DataFrame,
+    doc_key: DataFrame,
+    *,
+    k: int = 10,
+    k_leg: int = 20,
+    rrf_k: int = 60,
+    cfg: EngineConfig | None = None,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(rank, doc_id, rrf_score, lex_rank, vec_rank) — one hybrid query:
+    BM25 (block-max WAND over the encoded index) fused with exact cosine
+    top-k over the embeddings table under RRF.
+
+    ``doc_key``: (docid, doc_id) mapping from engine docids (bucketed,
+    operators/docids B1) to the fusion key shared with the embeddings
+    table. The k-bounded WAND output is BROADCAST into this join (never
+    the other way round — ``doc_key`` is corpus-sized), so resolving costs
+    one column-pruned scan, same as the J2 topk→docs resolve.
+    """
+    cfg = cfg or index.cfg
+    q_pairs = parse_query_terms([query], cfg)
+    lex = wand_topk(spark, index, q_pairs, k_leg, cfg).select("docid", "rank")
+    lex_ids = doc_key.join(F.broadcast(lex), "docid").select("doc_id", "rank")
+    vec = cosine_topk(embeddings, qvec, k_leg, id_col=vec_id_col, vec_col=vec_col)
+    vec_ids = vec.select(F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse([("lex", lex_ids), ("vec", vec_ids)], k, rrf_k=rrf_k)
+
+
+def duckdb_hybrid_rrf_sql(
+    corpus_sql: str,
+    query: str,
+    qvec: list[float],
+    *,
+    k: int = 10,
+    k_leg: int = 20,
+    rrf_k: int = 60,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    emb_table: str = "embeddings",
+    doc_id_sql: str = "CAST(substring(path, 5) AS BIGINT)",
+) -> str:
+    """Oracle twin of ``hybrid_rrf_topk``: both legs re-derived by their own
+    oracle builders (disjunctive-BM25 body, list_cosine_similarity top-k),
+    fused by the same ``1/(rrf_k + rank)`` sum over a FULL OUTER join,
+    ranked over the unrounded sum with (score DESC, doc_id ASC) tie-break.
+
+    ``doc_id_sql``: expression over the docids CTE recovering the fusion
+    key from the corpus row (default inverts the ``'doc/' || doc_id`` path
+    mapping of DOCUMENTS_AS_CORPUS_SQL).
+    """
+    lex_sql = duckdb_bm25_sql(corpus_sql, [query], cfg, k=k_leg)
+    vec_sql = duckdb_cosine_topk_sql(qvec, k_leg, table=emb_table)
+    return f"""
+WITH lex AS (SELECT * FROM ({lex_sql})),
+ids AS (
+  SELECT docid, {doc_id_sql} AS doc_id
+  FROM ({duckdb_docid_sql(corpus_sql, cfg)})
+),
+lex_ids AS (
+  SELECT ids.doc_id, CAST(lex.rank AS INT) AS lex_rank
+  FROM lex JOIN ids USING (docid)
+),
+vec AS (
+  SELECT CAST(vec_id AS BIGINT) AS doc_id, CAST(rank AS INT) AS vec_rank
+  FROM ({vec_sql})
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+         COALESCE(1.0::DOUBLE / ({float(rrf_k)}::DOUBLE + l.lex_rank), 0.0::DOUBLE)
+           + COALESCE(1.0::DOUBLE / ({float(rrf_k)}::DOUBLE + v.vec_rank), 0.0::DOUBLE) AS rrf
+  FROM lex_ids l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+),
+ranked AS (
+  SELECT doc_id, rrf, lex_rank, vec_rank,
+         row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, round(rrf, 6) AS rrf_score,
+       COALESCE(lex_rank, 0) AS lex_rank, COALESCE(vec_rank, 0) AS vec_rank
+FROM ranked WHERE rank <= {int(k)}
+"""

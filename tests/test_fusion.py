@@ -1,0 +1,111 @@
+"""Reciprocal-rank fusion (operators/fusion.py).
+
+Semantics pinned against hand-computed RRF (Cormack SIGIR'09: contribution
+1/(rrf_k + rank), absent leg contributes 0) and, end-to-end, against the
+DuckDB oracle twin on the sf0.001 driver tables.
+"""
+
+import os
+
+import duckdb
+import pytest
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.corpus import (
+    DOCUMENTS_AS_CORPUS_SQL,
+    corpus_from_documents,
+)
+from information_retrieval_spark.operators.build import build_index
+from information_retrieval_spark.operators.fusion import (
+    duckdb_hybrid_rrf_sql,
+    hybrid_rrf_topk,
+    rrf_fuse,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+CFG = EngineConfig()
+
+
+def _legs(spark):
+    lex = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(11, 1), (13, 2), (10, 3)], "doc_id long, rank int"
+    )
+    return lex, vec
+
+
+def test_rrf_fuse_hand_computed(spark):
+    lex, vec = _legs(spark)
+    out = rrf_fuse([("lex", lex), ("vec", vec)], k=10, rrf_k=60).collect()
+    got = {r["doc_id"]: r for r in out}
+    # doc 11: lex rank 2, vec rank 1 → 1/62 + 1/61
+    # doc 10: lex rank 1, vec rank 3 → 1/61 + 1/63
+    # doc 12: lex only rank 3        → 1/63
+    # doc 13: vec only rank 2        → 1/62
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == [11, 10, 13, 12]
+    assert got[11]["lex_rank"] == 2 and got[11]["vec_rank"] == 1
+    assert got[12]["vec_rank"] == 0  # absent leg → 0, not NULL
+    assert got[13]["lex_rank"] == 0
+    assert got[11]["rrf_score"] == pytest.approx(1 / 62 + 1 / 61, abs=1e-6)
+    assert got[12]["rrf_score"] == pytest.approx(1 / 63, abs=1e-6)
+
+
+def test_rrf_fuse_k_cuts_and_tie_break(spark):
+    # two docs present only in one leg at the same rank → equal scores;
+    # tie must break on doc_id ASC
+    lex = spark.createDataFrame([(5, 1)], "doc_id long, rank int")
+    vec = spark.createDataFrame([(3, 1)], "doc_id long, rank int")
+    out = rrf_fuse([("lex", lex), ("vec", vec)], k=1, rrf_k=60).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 3 and out[0]["rank"] == 1
+
+
+def test_rrf_single_leg_and_empty():
+    with pytest.raises(ValueError):
+        rrf_fuse([], k=5)
+
+
+def test_hybrid_rrf_matches_duckdb_oracle(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    idx = build_index(spark, corpus_from_documents(docs), CFG)
+    doc_key = idx.docs.select(
+        "docid", F.element_at(F.split("path", "/"), 2).cast("long").alias("doc_id")
+    )
+    qvec = [round(0.1 * ((i * 7) % 13 - 6), 4) for i in range(64)]
+    query = "hash join table value"
+    got = sorted(
+        map(
+            tuple,
+            hybrid_rrf_topk(
+                spark, idx, query, qvec, embs, doc_key, k=10, k_leg=15, cfg=CFG
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                duckdb_hybrid_rrf_sql(
+                    DOCUMENTS_AS_CORPUS_SQL, query, qvec, k=10, k_leg=15, cfg=CFG
+                )
+            ).fetchall(),
+        )
+    )
+    assert len(got) == 10
+    assert [g[:2] + g[3:] for g in got] == [w[:2] + w[3:] for w in want]
+    for g, w in zip(got, want):
+        assert g[2] == pytest.approx(w[2], abs=1e-9)
+    # both legs must actually contribute somewhere in the fused top-k
+    assert any(g[3] > 0 for g in got) and any(g[4] > 0 for g in got)
+    idx.release()
