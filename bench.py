@@ -415,6 +415,15 @@ def main() -> None:
         wildcard_topk,
     )
 
+    from __spark_entry__ import ANN_QVEC, HYBRID_K_LEG, RRF_K
+    from information_retrieval_spark.operators.fusion import hybrid_rrf_topk
+
+    embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    doc_key = idx.docs.select(
+        "docid",
+        F.element_at(F.split("path", "/"), 2).cast("long").alias("doc_id"),
+    )
+
     extended: dict[str, float] = {}
     for name, fn in (
         ("prefix", lambda: prefix_topk(spark, idx, ["ta", "s"], TOP_K, cfg)),
@@ -425,6 +434,9 @@ def main() -> None:
             spark, idx, ["hash AND (join OR merge)", "table AND NOT key"], cfg)),
         ("boolean_ranked", lambda: boolean_ranked_topk(
             spark, idx, ["hash AND (join OR merge)"], TOP_K, cfg)),
+        ("hybrid_rrf", lambda: hybrid_rrf_topk(
+            spark, idx, QUERY_SET[0], ANN_QVEC, embs, doc_key,
+            k=TOP_K, k_leg=HYBRID_K_LEG, rrf_k=RRF_K, cfg=cfg)),
     ):
         fn().count()  # warm (plan compile + worker spin-up)
         t0 = time.time()

@@ -66,7 +66,8 @@ def test_rrf_single_leg_and_empty():
         rrf_fuse([], k=5)
 
 
-def test_hybrid_rrf_matches_duckdb_oracle(spark):
+@pytest.fixture(scope="module")
+def hybrid_rig(spark):
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
@@ -75,7 +76,16 @@ def test_hybrid_rrf_matches_duckdb_oracle(spark):
     doc_key = idx.docs.select(
         "docid", F.element_at(F.split("path", "/"), 2).cast("long").alias("doc_id")
     )
-    qvec = [round(0.1 * ((i * 7) % 13 - 6), 4) for i in range(64)]
+    yield idx, embs, doc_key
+    idx.release()
+
+
+QVEC = [round(0.1 * ((i * 7) % 13 - 6), 4) for i in range(64)]
+
+
+def test_hybrid_rrf_matches_duckdb_oracle(spark, hybrid_rig):
+    idx, embs, doc_key = hybrid_rig
+    qvec = QVEC
     query = "hash join table value"
     got = sorted(
         map(
@@ -108,4 +118,22 @@ def test_hybrid_rrf_matches_duckdb_oracle(spark):
         assert g[2] == pytest.approx(w[2], abs=1e-9)
     # both legs must actually contribute somewhere in the fused top-k
     assert any(g[3] > 0 for g in got) and any(g[4] > 0 for g in got)
-    idx.release()
+
+
+def test_hybrid_plan_broadcasts_k_bounded_leg(spark, hybrid_rig):
+    """The doc-key resolve must broadcast the k-bounded WAND output into the
+    corpus-sized doc_key map — never shuffle doc_key — and the whole hybrid
+    plan must stay Cartesian-free (the fusion join is an equi full-outer over
+    <= 2·k_leg rows)."""
+    idx, embs, doc_key = hybrid_rig
+    df = hybrid_rrf_topk(
+        spark, idx, "hash join", QVEC, embs, doc_key, k=10, k_leg=15, cfg=CFG
+    )
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # fusion's own hint on the lexical leg survives analysis
+    assert analyzed.count("ResolvedHint") >= 1
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
