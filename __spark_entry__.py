@@ -546,6 +546,31 @@ def _q_boolean_query_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boolean_query_indexed(spark, idx, BOOL_QUERY_SET, CFG)
 
 
+# phrase leaves inside the boolean algebra: adjacency verdicts from the
+# positional plane composed with terms under AND/OR/NOT
+BOOL_PHRASE_SET = [
+    '"table hash" AND NOT key',
+    'NOT "table hash"',
+    '"slow key scan" OR ("part filter" AND value)',
+    '"table zzz_absent" OR merge',
+]
+
+
+def _q_boolean_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean expressions with quoted-phrase leaves evaluated against the
+    PERSISTED index: each distinct phrase's adjacency verdict comes from
+    ONE batched positional-plane phrase_match and is injected into the set
+    algebra as a sentinel posting list; terms keep the pruned-decode path.
+    The oracle re-derives adjacency independently (list_filter over
+    candidate start offsets on DuckDB's own tokenization)."""
+    from information_retrieval_spark.operators.boolquery import (
+        boolean_query_indexed,
+    )
+
+    _, idx = _persisted_index(spark, sf_dir)
+    return boolean_query_indexed(spark, idx, BOOL_PHRASE_SET, CFG_POS)
+
+
 # the "leaked eval set": three corpus docs play the held-out benchmark
 DECON_PROBE_IDS = (7, 23, 101)
 
@@ -863,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "related_terms": _q_related_terms,
         "boolean_query": _q_boolean_query,
         "boolean_query_indexed": _q_boolean_query_indexed,
+        "boolean_phrase": _q_boolean_phrase,
         "boolean_ranked": _q_boolean_ranked,
         "quality_filter": _q_quality_filter,
         "sequence_pack": _q_sequence_pack,
@@ -1098,6 +1124,7 @@ FROM events GROUP BY event_type
         # deliberately the SAME oracle: the indexed evaluator must reproduce
         # the corpus-scan semantics bit-for-bit
         "boolean_query_indexed": duckdb_boolean_sql(corpus, BOOL_QUERY_SET, CFG),
+        "boolean_phrase": duckdb_boolean_sql(corpus, BOOL_PHRASE_SET, CFG_POS),
         "boolean_ranked": duckdb_boolean_ranked_sql(
             corpus, BOOL_QUERY_SET, CFG, k=TOP_K, round_to=4
         ),

@@ -9,14 +9,18 @@ AND) with a full expression language:
     expr  := or
     or    := and ("OR" and)*
     and   := unary (("AND")? unary)*      -- adjacency is implicit AND
-    unary := "NOT" unary | "(" expr ")" | TERM
+    unary := "NOT" unary | "(" expr ")" | PHRASE | TERM
+    PHRASE := '"' ... '"'                 -- consecutive-token adjacency
 
 ``AND`` / ``OR`` / ``NOT`` are the UPPERCASE keywords (lowercase ``and`` is
 a content word); every TERM passes through the SAME indexing analyzer as
 document content (Q1 same-analyzer contract), so a term that analyzes to
-several tokens (``"foo-bar"``) means their conjunction and a term that
-analyzes to nothing (``"!!!"``) is FALSE. ``NOT`` is collection-scoped
-complement (docs NOT containing the operand).
+several tokens (``foo-bar``) means their conjunction and a term that
+analyzes to nothing (``!!!``) is FALSE. A double-quoted PHRASE leaf
+(``"hash join" AND NOT error``) is true iff the analyzed token sequence
+occurs CONSECUTIVELY in the doc — the same adjacency semantics as
+``positional.phrase_match``, composable under the full algebra. ``NOT`` is
+collection-scoped complement (docs NOT containing the operand).
 
 Execution is Spark-first: the whole query batch compiles to ONE Catalyst
 projection over one corpus scan — per-doc token array, one boolean column
@@ -48,15 +52,30 @@ class BooleanSyntaxError(ValueError):
     pass
 
 
+_TOKEN_RE = None
+
+
 def _lex(query: str) -> list[str]:
-    return query.replace("(", " ( ").replace(")", " ) ").split()
+    """Tokens: quoted phrase spans (kept whole, quotes included), parens,
+    words. An unterminated quote is a syntax error, not a silent word."""
+    global _TOKEN_RE
+    if _TOKEN_RE is None:
+        import re
+
+        _TOKEN_RE = re.compile(r'"[^"]*"|[()]|[^\s()"]+|"')
+    out = _TOKEN_RE.findall(query)
+    if '"' in out:  # a lone quote only matches when unpaired
+        raise BooleanSyntaxError(f"unterminated quote in {query!r}")
+    return out
 
 
 def parse_boolean(query: str, cfg: EngineConfig = DEFAULT_CONFIG) -> tuple:
     """Parse to an AST of nested tuples:
     ``('or'|'and', [children])``, ``('not', child)``,
-    ``('term', [analyzed tokens])``. Raises BooleanSyntaxError on malformed
-    input (unbalanced parens, dangling operators)."""
+    ``('term', [analyzed tokens])``, ``('phrase', [ordered tokens])``.
+    A quoted span that analyzes to one token normalizes to a term; to zero,
+    to FALSE. Raises BooleanSyntaxError on malformed input (unbalanced
+    parens/quotes, dangling operators)."""
     import pandas as pd
 
     from ..functions.analyzer import tokenize_series
@@ -114,6 +133,13 @@ def parse_boolean(query: str, cfg: EngineConfig = DEFAULT_CONFIG) -> tuple:
                 f"operator {nxt!r} where a term was expected in {query!r}"
             )
         word = take()
+        if word.startswith('"'):  # quoted phrase: order + duplicates kept
+            analyzed = list(
+                tokenize_series(pd.Series([word[1:-1]], dtype=object), cfg)[0]
+            )
+            if len(analyzed) >= 2:
+                return ("phrase", analyzed)
+            return ("term", analyzed)  # 1 token == containment; 0 == FALSE
         analyzed = tokenize_series(pd.Series([word], dtype=object), cfg)[0]
         return ("term", sorted(set(analyzed)))
 
@@ -132,6 +158,21 @@ def _to_column(node: tuple, toks: Column) -> Column:
         return reduce(
             lambda a, b: a & b, (F.array_contains(toks, t) for t in terms)
         )
+    if kind == "phrase":
+        seq = node[1]
+        n = len(seq)
+        # adjacency in codegen: some 1-based start i has seq[j] at i+j for
+        # every j. The size guard keeps F.sequence ascending (start > stop
+        # would yield a DESCENDING sequence, i.e. bogus negative starts).
+        starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+        hit = F.exists(
+            starts,
+            lambda i: reduce(
+                lambda a, b: a & b,
+                (F.element_at(toks, i + F.lit(j)) == t for j, t in enumerate(seq)),
+            ),
+        )
+        return F.when(F.size(toks) >= n, hit).otherwise(F.lit(False))
     if kind == "and":
         return reduce(lambda a, b: a & b, (_to_column(c, toks) for c in node[1]))
     if kind == "or":
@@ -151,6 +192,19 @@ def _to_sql(node: tuple, toks_col: str = "toks") -> str:
             "("
             + " AND ".join(f"list_contains({toks_col}, '{t}')" for t in terms)
             + ")"
+        )
+    if kind == "phrase":
+        seq = node[1]
+        n = len(seq)
+        # independent re-derivation of adjacency: filter candidate 1-based
+        # starts (range upper bound is exclusive and floors at 1 => empty
+        # list, FALSE, for docs shorter than the phrase)
+        conj = " AND ".join(
+            f"list_extract({toks_col}, i + {j}) = '{t}'" for j, t in enumerate(seq)
+        )
+        return (
+            f"(len(list_filter(range(1, greatest(len({toks_col}) - {n - 1} + 1, 1)), "
+            f"i -> {conj})) > 0)"
         )
     if kind == "and":
         return "(" + " AND ".join(_to_sql(c, toks_col) for c in node[1]) + ")"
@@ -192,25 +246,69 @@ def boolean_query(
 
 
 def collect_terms(node: tuple) -> set[str]:
+    """Terms whose POSTINGS the evaluators need. Phrase leaves are excluded
+    on purpose: their verdict comes from the positional plane (sentinel
+    rewrite, below), not from term membership."""
     kind = node[0]
     if kind == "term":
         return set(node[1])
+    if kind == "phrase":
+        return set()
     if kind in ("and", "or"):
         return set().union(*(collect_terms(c) for c in node[1]))
     return collect_terms(node[1])
 
 
-def eval_on_set(node: tuple, toks: set[str]) -> bool:
+def collect_phrases(node: tuple) -> list[tuple[str, ...]]:
+    """Distinct phrase token sequences, first-occurrence order (stable so
+    sentinel ids are deterministic across the query batch)."""
+    kind = node[0]
+    if kind == "phrase":
+        return [tuple(node[1])]
+    if kind == "term":
+        return []
+    kids = node[1] if kind in ("and", "or") else [node[1]]
+    out: list[tuple[str, ...]] = []
+    for c in kids:
+        for s in collect_phrases(c):
+            if s not in out:
+                out.append(s)
+    return out
+
+
+def rewrite_phrases(node: tuple, sentinel: dict) -> tuple:
+    """Replace each phrase leaf with a term leaf on its sentinel token so
+    the set-membership evaluators (indexed / local) can treat the phrase
+    verdict as one more posting list."""
+    kind = node[0]
+    if kind == "phrase":
+        return ("term", [sentinel[tuple(node[1])]])
+    if kind == "term":
+        return node
+    if kind == "not":
+        return ("not", rewrite_phrases(node[1], sentinel))
+    return (kind, [rewrite_phrases(c, sentinel) for c in node[1]])
+
+
+def eval_on_set(node: tuple, toks: set[str], ordered: tuple = ()) -> bool:
     """Reference interpreter over a plain token set (also decides whether an
-    expression is satisfied by a doc that matches NO query term at all)."""
+    expression is satisfied by a doc that matches NO query term at all).
+    ``ordered`` is the doc's token SEQUENCE, consulted only by phrase
+    leaves (default empty: a phrase never matches a tokenless doc)."""
     kind = node[0]
     if kind == "term":
         return bool(node[1]) and all(t in toks for t in node[1])
+    if kind == "phrase":
+        seq = tuple(node[1])
+        n = len(seq)
+        return any(
+            tuple(ordered[i : i + n]) == seq for i in range(len(ordered) - n + 1)
+        )
     if kind == "and":
-        return all(eval_on_set(c, toks) for c in node[1])
+        return all(eval_on_set(c, toks, ordered) for c in node[1])
     if kind == "or":
-        return any(eval_on_set(c, toks) for c in node[1])
-    return not eval_on_set(node[1], toks)
+        return any(eval_on_set(c, toks, ordered) for c in node[1])
+    return not eval_on_set(node[1], toks, ordered)
 
 
 def decoded_term_docids(index, terms: list[str]) -> DataFrame:
@@ -279,6 +377,33 @@ def boolean_query_indexed(
         if terms
         else spark.createDataFrame([], "term string, docid long")
     )
+    # phrase leaves: verdicts come from the positional plane (one batched
+    # phrase_match for all distinct phrases), injected as sentinel posting
+    # lists ("\x00ph<i>" can never collide with analyzer output) so the set
+    # algebra below needs no special case
+    seen: list[tuple[str, ...]] = []
+    for t in trees:
+        for s in collect_phrases(t):
+            if s not in seen:
+                seen.append(s)
+    if seen:
+        if index.positional is None:
+            raise ValueError(
+                "boolean phrase leaves need the positional plane; build the "
+                "index with cfg.positional=True"
+            )
+        from .positional import phrase_match
+
+        sentinel = {s: f"\x00ph{i}" for i, s in enumerate(seen)}
+        trees = [rewrite_phrases(t, sentinel) for t in trees]
+        names = F.array(*[F.lit(sentinel[s]) for s in seen])
+        ph_pairs = phrase_match(
+            index.positional, [], cfg, seqs=[list(s) for s in seen]
+        ).select(
+            F.element_at(names, F.col("query_id") + 1).alias("term"),
+            "docid",
+        )
+        pairs = pairs.unionByName(ph_pairs)
     if deleted is not None:
         pairs = pairs.join(deleted.select("docid"), "docid", "left_anti")
     sets = pairs.groupBy("docid").agg(F.collect_set("term").alias("toks"))
@@ -313,7 +438,7 @@ def positive_terms(node: tuple, neg: bool = False) -> set[str]:
     """Terms under an EVEN number of NOTs — the ones whose presence the
     expression rewards, i.e. the scoring set for ranked boolean retrieval."""
     kind = node[0]
-    if kind == "term":
+    if kind in ("term", "phrase"):
         return set() if neg else set(node[1])
     if kind == "not":
         return positive_terms(node[1], not neg)

@@ -491,12 +491,33 @@ def boolean_local(
     import numpy as np
     import pyarrow.dataset as ds
 
-    from .boolquery import collect_terms, eval_on_set, parse_boolean
+    from .boolquery import (
+        collect_phrases,
+        collect_terms,
+        eval_on_set,
+        parse_boolean,
+        rewrite_phrases,
+    )
 
     idx = LocalIndex(index) if isinstance(index, str) else index
     trees = [parse_boolean(q, idx.cfg) for q in queries]
     terms = sorted(set().union(*(collect_terms(t) for t in trees)) or set())
     docids_by_term = _term_docids_local(idx, terms) if terms else {}
+    # phrase leaves: one batched positional-plane verdict per distinct
+    # phrase, injected as a sentinel posting list (same rewrite as the
+    # Spark-side boolean_query_indexed)
+    seen: list[tuple[str, ...]] = []
+    for t in trees:
+        for s in collect_phrases(t):
+            if s not in seen:
+                seen.append(s)
+    if seen:
+        sentinel = {s: f"\x00ph{i}" for i, s in enumerate(seen)}
+        trees = [rewrite_phrases(t, sentinel) for t in trees]
+        ph = phrase_match_local(idx, [], seqs=[list(s) for s in seen])
+        for i, s in enumerate(seen):
+            hit = ph.loc[ph["query_id"] == i, "docid"].to_numpy("int64")
+            docids_by_term[sentinel[s]] = np.unique(hit)
 
     need_universe = any(eval_on_set(t, set()) for t in trees)
     if need_universe:
@@ -561,16 +582,21 @@ def _positions_by_term(idx: "LocalIndex", terms: list[str]) -> dict:
 
 
 def phrase_match_local(
-    index: "LocalIndex | str", phrases: list[str]
+    index: "LocalIndex | str",
+    phrases: list[str],
+    *,
+    seqs: list[list[str]] | None = None,
 ) -> pd.DataFrame:
     """(query_id, docid) — quoted-phrase retrieval over the PERSISTED mode-1
     plane, Spark-free (the query-daemon analog of operators.positional.
     phrase_match; same adjacency semantics: a doc matches iff some start
-    position p has term_i at p+i for every i). Deletions masked."""
+    position p has term_i at p+i for every i). Deletions masked.
+    ``seqs``: pre-analyzed token sequences (``phrases`` ignored)."""
     from .positional import parse_phrases
 
     idx = LocalIndex(index) if isinstance(index, str) else index
-    seqs = parse_phrases(phrases, idx.cfg)
+    if seqs is None:
+        seqs = parse_phrases(phrases, idx.cfg)
     by_term = _positions_by_term(idx, [t for s in seqs for t in s])
     rows: list[tuple[int, int]] = []
     for qid, seq in enumerate(seqs):

@@ -116,6 +116,8 @@ def phrase_match(
     positional: DataFrame,
     phrases: list[str],
     cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    seqs: list[list[str]] | None = None,
 ) -> DataFrame:
     """(query_id, docid) — docs containing each quoted phrase as a
     consecutive token sequence. Catalyst-only matching (see module doc).
@@ -124,8 +126,13 @@ def phrase_match(
     pivot over the union of all phrase terms, then every phrase's adjacency
     verdict is evaluated as a projected boolean and exploded — P phrases
     cost one shuffle, not P.
+
+    ``seqs``: pre-analyzed token sequences (then ``phrases`` is ignored) —
+    for callers that already hold analyzer output (boolean phrase leaves),
+    where re-analyzing rendered text could double-stem.
     """
-    seqs = parse_phrases(phrases, cfg)
+    if seqs is None:
+        seqs = parse_phrases(phrases, cfg)
     spark = positional.sparkSession
     live = [(qid, seq) for qid, seq in enumerate(seqs) if seq]
     if not live:

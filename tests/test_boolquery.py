@@ -140,19 +140,19 @@ def test_boolean_semantics_property_vs_duckdb():
         )
     )
     tokset = {i: set(t.split()) for i, t in docs}
+    tokseq = {i: tuple(t.split()) for i, t in docs}
 
-    def interp(node, toks):
-        k = node[0]
-        if k == "term":
-            return bool(node[1]) and all(t in toks for t in node[1])
-        if k == "and":
-            return all(interp(c, toks) for c in node[1])
-        if k == "or":
-            return any(interp(c, toks) for c in node[1])
-        return not interp(node[1], toks)
+    from information_retrieval_spark.operators.boolquery import eval_on_set
 
+    def interp(node, toks, ordered):
+        return eval_on_set(node, toks, ordered)
+
+    # leaves include quoted phrases (matching, order-reversed, and absent)
+    # so the SQL adjacency compilation is property-checked too
+    phrases = ['"alpha beta"', '"beta alpha"', '"gamma delta alpha"',
+               '"alpha zzz"', '"beta gamma delta"']
     expr = st.recursive(
-        st.sampled_from(vocab + ["zzz"]),
+        st.sampled_from(vocab + ["zzz"] + phrases),
         lambda kids: st.one_of(
             st.tuples(kids, kids).map(lambda p: f"({p[0]} AND {p[1]})"),
             st.tuples(kids, kids).map(lambda p: f"({p[0]} OR {p[1]})"),
@@ -166,7 +166,9 @@ def test_boolean_semantics_property_vs_duckdb():
     @given(expr)
     def run(q):
         tree = parse_boolean(q, CFG)
-        want = {i for i, toks in tokset.items() if interp(tree, toks)}
+        want = {
+            i for i, toks in tokset.items() if interp(tree, toks, tokseq[i])
+        }
         from information_retrieval_spark.operators.boolquery import _to_sql
 
         got = {
@@ -391,3 +393,167 @@ def test_boolean_ranked_local_matches_spark(spark, tmp_path_factory):
         .itertuples(index=False)
     )
     assert got == want and len(got) > 0
+
+
+# ---- phrase leaves (round 4): '"hash join" AND NOT error' ----------------
+
+PCFG = EngineConfig(positional=True)
+
+PDOCS = [
+    (1, "alpha beta gamma extra"),   # "alpha beta" adjacent
+    (2, "beta alpha gamma pad"),     # reversed -> phrase must NOT match
+    (3, "alpha gamma beta word"),    # both tokens, never adjacent
+    (4, "alpha beta alpha beta"),    # repeated phrase
+    (5, "delta epsilon omega"),      # no phrase tokens at all
+]
+
+
+def _pcorpus(spark):
+    return spark.createDataFrame(
+        [(i, t, "src", "en") for i, t in PDOCS],
+        "doc_id long, text string, source string, lang string",
+    )
+
+
+def test_parser_phrase_shapes():
+    assert parse_boolean('"alpha beta" AND NOT gamma') == (
+        "and",
+        [("phrase", ["alpha", "beta"]), ("not", ("term", ["gamma"]))],
+    )
+    # order + duplicates preserved, unlike term atoms
+    assert parse_boolean('"Beta beta Alpha"') == (
+        "phrase", ["beta", "beta", "alpha"],
+    )
+    # 1-token quote normalizes to a term; unanalyzable quote to FALSE
+    assert parse_boolean('"alpha"') == ("term", ["alpha"])
+    assert parse_boolean('"!!!"') == ("term", [])
+    with pytest.raises(BooleanSyntaxError):
+        parse_boolean('"unterminated AND alpha')
+
+
+def test_phrase_boolean_all_evaluators_agree(spark, tmp_path_factory):
+    """Corpus-scan, index-backed (positional-plane sentinels), Spark-free
+    local, and the DuckDB compilation all return identical rows for
+    phrase-bearing expressions — including NOT-phrase complements and
+    adjacency distinguishing reversed/straddled token pairs."""
+    from information_retrieval_spark.corpus import (
+        DOCUMENTS_AS_CORPUS_SQL,
+        corpus_from_documents,
+    )
+    from information_retrieval_spark.operators.boolquery import (
+        boolean_query_indexed,
+    )
+    from information_retrieval_spark.operators.local_query import (
+        LocalIndex,
+        boolean_local,
+    )
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+        open_index,
+    )
+
+    corpus = corpus_from_documents(_pcorpus(spark))
+    queries = [
+        '"alpha beta" AND NOT gamma',
+        'NOT "alpha beta"',
+        '"alpha beta" OR delta',
+        '"beta alpha gamma" AND pad',
+        '"alpha zzz" OR "alpha beta"',
+    ]
+    got_scan = sorted(
+        (r["query_id"], r["docid"])
+        for r in boolean_query(corpus, queries, PCFG).collect()
+    )
+    root = str(tmp_path_factory.mktemp("boolphrase") / "idx")
+    build_index_resumable(spark, corpus, root, PCFG)
+    idx = open_index(spark, root)
+    got_idx = sorted(
+        (r["query_id"], r["docid"])
+        for r in boolean_query_indexed(spark, idx, queries, PCFG).collect()
+    )
+    got_loc = sorted(
+        (int(q), int(d))
+        for q, d in boolean_local(LocalIndex(root), queries).itertuples(index=False)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES %s) t(doc_id, text, source, lang)"
+        % ", ".join(f"({i}, '{t}', 'src', 'en')" for i, t in PDOCS)
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                duckdb_boolean_sql(DOCUMENTS_AS_CORPUS_SQL, queries, PCFG)
+            ).fetchall(),
+        )
+    )
+    assert got_scan == got_idx == got_loc == want
+
+    # semantic pins: adjacency is strict
+    from collections import Counter
+
+    by_doc = {  # docid -> doc_id via the path suffix
+        r["docid"]: int(r["path"].split("/")[1])
+        for r in idx.docs.select("docid", "path").collect()
+    }
+    hits = {(q, by_doc[d]) for q, d in got_scan}
+    counts = Counter(q for q, _ in got_scan)
+    assert (0, 4) in hits and counts[0] == 1        # only doc 4 lacks gamma
+    assert counts[1] == 3                           # docs 2, 3, 5
+    assert (3, 2) in hits and counts[3] == 1        # 3-token phrase, doc 2
+    assert {(4, 1), (4, 4)} <= hits and counts[4] == 2  # dead arm is identity
+
+
+def test_phrase_boolean_requires_positional_plane(spark):
+    """Index-backed phrase evaluation fails loudly without the plane."""
+    from information_retrieval_spark.corpus import corpus_from_documents
+    from information_retrieval_spark.operators.boolquery import (
+        boolean_query_indexed,
+    )
+    from information_retrieval_spark.operators.build import build_index
+
+    idx = build_index(spark, corpus_from_documents(_pcorpus(spark)), CFG)
+    with pytest.raises(ValueError, match="positional"):
+        boolean_query_indexed(spark, idx, ['"alpha beta" AND gamma'], CFG)
+
+
+def test_phrase_boolean_ranked_spark_and_local_agree(spark, tmp_path_factory):
+    """Filtered ranked retrieval with a phrase filter: the keep-list honors
+    adjacency, BM25 scores the phrase's tokens, and the Spark and local
+    paths are rank-identical."""
+    from information_retrieval_spark.corpus import corpus_from_documents
+    from information_retrieval_spark.operators.boolquery import (
+        boolean_ranked_topk,
+        positive_terms,
+    )
+    from information_retrieval_spark.operators.local_query import (
+        LocalIndex,
+        boolean_ranked_local,
+    )
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+        open_index,
+    )
+
+    assert positive_terms(parse_boolean('"alpha beta" AND NOT gamma')) == {
+        "alpha", "beta",
+    }
+    corpus = corpus_from_documents(_pcorpus(spark))
+    root = str(tmp_path_factory.mktemp("boolphraserank") / "idx")
+    build_index_resumable(spark, corpus, root, PCFG)
+    queries = ['"alpha beta" AND NOT gamma', '"alpha beta" OR delta']
+    want = sorted(
+        (r["query_id"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in boolean_ranked_topk(
+            spark, open_index(spark, root), queries, 10, PCFG
+        ).collect()
+    )
+    got = sorted(
+        (int(q), int(rk), int(d), round(float(s), 9))
+        for q, rk, d, s in boolean_ranked_local(LocalIndex(root), queries, k=10)
+        .itertuples(index=False)
+    )
+    assert got == want and len(got) > 0
+    # q0's keep-list is exactly doc 4 (the only adjacent pair without gamma)
+    assert len([r for r in want if r[0] == 0]) == 1
