@@ -557,3 +557,21 @@ def test_phrase_boolean_ranked_spark_and_local_agree(spark, tmp_path_factory):
     assert got == want and len(got) > 0
     # q0's keep-list is exactly doc 4 (the only adjacent pair without gamma)
     assert len([r for r in want if r[0] == 0]) == 1
+
+
+def test_phrase_on_docs_shorter_than_phrase(spark):
+    """ANSI-mode pin: for docs with fewer tokens than the phrase, the size
+    guard must keep the adjacency branch unevaluated (sequence(1, <=0) is a
+    DESCENDING list through index 0, and ANSI element_at(toks, 0) throws) —
+    so a 1-token doc must flow through, matching nothing."""
+    from information_retrieval_spark.corpus import corpus_from_documents
+
+    docs = spark.createDataFrame(
+        [(1, "alphaword", "s", "en"),        # 1 token < 2-token phrase
+         (2, "alpha beta rest", "s", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    out = boolean_query(
+        corpus_from_documents(docs), ['"alpha beta" OR alphaword'], PCFG
+    ).collect()
+    assert len(out) == 2  # doc 1 via the term arm, doc 2 via the phrase arm
