@@ -556,6 +556,30 @@ BOOL_PHRASE_SET = [
 ]
 
 
+# NEAR/k proximity leaves composed under the algebra (min cross-distance
+# <= k, both terms required — proximity_match semantics)
+BOOL_NEAR_SET = [
+    "table NEAR/3 hash",
+    "(key NEAR/2 value) AND NOT merge",
+    "NOT (slow NEAR/5 scan)",
+    '(part NEAR/1 filter) OR "table hash"',
+]
+
+
+def _q_boolean_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean expressions with NEAR/k proximity leaves over the PERSISTED
+    index: each distinct (a, b, window) triple resolves ONCE via the
+    batched positional-plane proximity_match and joins the set algebra as
+    a sentinel posting list. Oracle re-derives min cross-distance from
+    positions recomputed over DuckDB's own tokenization."""
+    from information_retrieval_spark.operators.boolquery import (
+        boolean_query_indexed,
+    )
+
+    _, idx = _persisted_index(spark, sf_dir)
+    return boolean_query_indexed(spark, idx, BOOL_NEAR_SET, CFG_POS)
+
+
 def _q_boolean_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean expressions with quoted-phrase leaves evaluated against the
     PERSISTED index: each distinct phrase's adjacency verdict comes from
@@ -889,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_query": _q_boolean_query,
         "boolean_query_indexed": _q_boolean_query_indexed,
         "boolean_phrase": _q_boolean_phrase,
+        "boolean_near": _q_boolean_near,
         "boolean_ranked": _q_boolean_ranked,
         "quality_filter": _q_quality_filter,
         "sequence_pack": _q_sequence_pack,
@@ -1125,6 +1150,7 @@ FROM events GROUP BY event_type
         # the corpus-scan semantics bit-for-bit
         "boolean_query_indexed": duckdb_boolean_sql(corpus, BOOL_QUERY_SET, CFG),
         "boolean_phrase": duckdb_boolean_sql(corpus, BOOL_PHRASE_SET, CFG_POS),
+        "boolean_near": duckdb_boolean_sql(corpus, BOOL_NEAR_SET, CFG_POS),
         "boolean_ranked": duckdb_boolean_ranked_sql(
             corpus, BOOL_QUERY_SET, CFG, k=TOP_K, round_to=4
         ),

@@ -8,7 +8,8 @@ AND) with a full expression language:
 
     expr  := or
     or    := and ("OR" and)*
-    and   := unary (("AND")? unary)*      -- adjacency is implicit AND
+    and   := near (("AND")? near)*        -- adjacency is implicit AND
+    near  := unary ("NEAR/k" unary)?      -- proximity leaf, no chaining
     unary := "NOT" unary | "(" expr ")" | PHRASE | TERM
     PHRASE := '"' ... '"'                 -- consecutive-token adjacency
 
@@ -19,8 +20,11 @@ several tokens (``foo-bar``) means their conjunction and a term that
 analyzes to nothing (``!!!``) is FALSE. A double-quoted PHRASE leaf
 (``"hash join" AND NOT error``) is true iff the analyzed token sequence
 occurs CONSECUTIVELY in the doc — the same adjacency semantics as
-``positional.phrase_match``, composable under the full algebra. ``NOT`` is
-collection-scoped complement (docs NOT containing the operand).
+``positional.phrase_match``, composable under the full algebra. A
+``a NEAR/3 b`` leaf is true iff both terms occur with min cross-distance
+<= k — the same semantics as ``positional.proximity_match`` (operands
+must analyze to exactly one token; chaining is a syntax error). ``NOT``
+is collection-scoped complement (docs NOT containing the operand).
 
 Execution is Spark-first: the whole query batch compiles to ONE Catalyst
 projection over one corpus scan — per-doc token array, one boolean column
@@ -46,6 +50,18 @@ from ..functions.analyzer import tokenize_expr
 from .build import build_docs_table
 
 _KEYWORDS = {"AND", "OR", "NOT"}
+_NEAR_LEAF_RE = None
+
+
+def _near_window(tok: str | None) -> int | None:
+    """Window k when ``tok`` is a NEAR/k operator token, else None."""
+    global _NEAR_LEAF_RE
+    if _NEAR_LEAF_RE is None:
+        import re
+
+        _NEAR_LEAF_RE = re.compile(r"^NEAR/(\d+)$")
+    m = _NEAR_LEAF_RE.match(tok) if tok else None
+    return int(m.group(1)) if m else None
 
 
 class BooleanSyntaxError(ValueError):
@@ -72,10 +88,11 @@ def _lex(query: str) -> list[str]:
 def parse_boolean(query: str, cfg: EngineConfig = DEFAULT_CONFIG) -> tuple:
     """Parse to an AST of nested tuples:
     ``('or'|'and', [children])``, ``('not', child)``,
-    ``('term', [analyzed tokens])``, ``('phrase', [ordered tokens])``.
+    ``('term', [analyzed tokens])``, ``('phrase', [ordered tokens])``,
+    ``('near', [term_a, term_b, window])``.
     A quoted span that analyzes to one token normalizes to a term; to zero,
     to FALSE. Raises BooleanSyntaxError on malformed input (unbalanced
-    parens/quotes, dangling operators)."""
+    parens/quotes, dangling operators, chained or non-unigram NEAR)."""
     import pandas as pd
 
     from ..functions.analyzer import tokenize_series
@@ -100,17 +117,33 @@ def parse_boolean(query: str, cfg: EngineConfig = DEFAULT_CONFIG) -> tuple:
         return kids[0] if len(kids) == 1 else ("or", kids)
 
     def parse_and() -> tuple:
-        kids = [parse_unary()]
+        kids = [parse_near()]
         while True:
             nxt = peek()
             if nxt == "AND":
                 take()
-                kids.append(parse_unary())
+                kids.append(parse_near())
             elif nxt is not None and nxt not in ("OR", ")"):
-                kids.append(parse_unary())  # adjacency = implicit AND
+                kids.append(parse_near())  # adjacency = implicit AND
             else:
                 break
         return kids[0] if len(kids) == 1 else ("and", kids)
+
+    def parse_near() -> tuple:
+        left = parse_unary()
+        w = _near_window(peek())
+        if w is None:
+            return left
+        take()
+        right = parse_unary()
+        for side in (left, right):
+            if side[0] != "term" or len(side[1]) != 1:
+                raise BooleanSyntaxError(
+                    f"NEAR operands must analyze to exactly one token in {query!r}"
+                )
+        if _near_window(peek()) is not None:
+            raise BooleanSyntaxError(f"chained NEAR in {query!r}")
+        return ("near", [left[1][0], right[1][0], w])
 
     def parse_unary() -> tuple:
         nxt = peek()
@@ -128,7 +161,8 @@ def parse_boolean(query: str, cfg: EngineConfig = DEFAULT_CONFIG) -> tuple:
             return inner
         if nxt == ")":
             raise BooleanSyntaxError(f"unbalanced ')' in {query!r}")
-        if nxt in _KEYWORDS:  # AND/OR in operand position (NOT handled above)
+        if nxt in _KEYWORDS or _near_window(nxt) is not None:
+            # AND/OR/NEAR in operand position (NOT handled above)
             raise BooleanSyntaxError(
                 f"operator {nxt!r} where a term was expected in {query!r}"
             )
@@ -173,6 +207,19 @@ def _to_column(node: tuple, toks: Column) -> Column:
             ),
         )
         return F.when(F.size(toks) >= n, hit).otherwise(F.lit(False))
+    if kind == "near":
+        a, b, w = node[1]
+        # positions of each operand, min cross-distance <= window — same
+        # semantics as positional.proximity_match, all codegen. The size
+        # guard keeps F.sequence ascending on tokenless docs (ANSI
+        # element_at throws on index 0).
+        idxs = F.sequence(F.lit(1), F.size(toks))
+        pa = F.filter(idxs, lambda i: F.element_at(toks, i) == a)
+        pb = F.filter(idxs, lambda i: F.element_at(toks, i) == b)
+        hit = F.exists(
+            pa, lambda x: F.exists(pb, lambda y: F.abs(x - y) <= F.lit(int(w)))
+        )
+        return F.when(F.size(toks) >= 1, hit).otherwise(F.lit(False))
     if kind == "and":
         return reduce(lambda a, b: a & b, (_to_column(c, toks) for c in node[1]))
     if kind == "or":
@@ -205,6 +252,20 @@ def _to_sql(node: tuple, toks_col: str = "toks") -> str:
         return (
             f"(len(list_filter(range(1, greatest(len({toks_col}) - {n - 1} + 1, 1)), "
             f"i -> {conj})) > 0)"
+        )
+    if kind == "near":
+        a, b, w = node[1]
+        pa = (
+            f"list_filter(range(1, len({toks_col}) + 1), "
+            f"i -> list_extract({toks_col}, i) = '{a}')"
+        )
+        pb = (
+            f"list_filter(range(1, len({toks_col}) + 1), "
+            f"i -> list_extract({toks_col}, i) = '{b}')"
+        )
+        return (
+            f"(len(list_filter({pa}, x -> "
+            f"len(list_filter({pb}, y -> abs(x - y) <= {int(w)})) > 0)) > 0)"
         )
     if kind == "and":
         return "(" + " AND ".join(_to_sql(c, toks_col) for c in node[1]) + ")"
@@ -246,48 +307,55 @@ def boolean_query(
 
 
 def collect_terms(node: tuple) -> set[str]:
-    """Terms whose POSTINGS the evaluators need. Phrase leaves are excluded
-    on purpose: their verdict comes from the positional plane (sentinel
-    rewrite, below), not from term membership."""
+    """Terms whose POSTINGS the evaluators need. Phrase/NEAR leaves are
+    excluded on purpose: their verdict comes from the positional plane
+    (sentinel rewrite, below), not from term membership."""
     kind = node[0]
     if kind == "term":
         return set(node[1])
-    if kind == "phrase":
+    if kind in ("phrase", "near"):
         return set()
     if kind in ("and", "or"):
         return set().union(*(collect_terms(c) for c in node[1]))
     return collect_terms(node[1])
 
 
-def collect_phrases(node: tuple) -> list[tuple[str, ...]]:
-    """Distinct phrase token sequences, first-occurrence order (stable so
-    sentinel ids are deterministic across the query batch)."""
+def plane_leaf_key(node: tuple) -> tuple:
+    """Hashable identity of a positional-plane leaf:
+    ``("phrase", (tok, ...))`` or ``("near", (a, b, w))``."""
+    return (node[0], tuple(node[1]))
+
+
+def collect_plane_leaves(node: tuple) -> list[tuple]:
+    """Distinct positional-plane leaf keys (phrase sequences and NEAR
+    triples), first-occurrence order — stable so sentinel ids are
+    deterministic across the query batch."""
     kind = node[0]
-    if kind == "phrase":
-        return [tuple(node[1])]
+    if kind in ("phrase", "near"):
+        return [plane_leaf_key(node)]
     if kind == "term":
         return []
     kids = node[1] if kind in ("and", "or") else [node[1]]
-    out: list[tuple[str, ...]] = []
+    out: list[tuple] = []
     for c in kids:
-        for s in collect_phrases(c):
+        for s in collect_plane_leaves(c):
             if s not in out:
                 out.append(s)
     return out
 
 
-def rewrite_phrases(node: tuple, sentinel: dict) -> tuple:
-    """Replace each phrase leaf with a term leaf on its sentinel token so
-    the set-membership evaluators (indexed / local) can treat the phrase
+def rewrite_plane_leaves(node: tuple, sentinel: dict) -> tuple:
+    """Replace each phrase/NEAR leaf with a term leaf on its sentinel token
+    so the set-membership evaluators (indexed / local) can treat the plane
     verdict as one more posting list."""
     kind = node[0]
-    if kind == "phrase":
-        return ("term", [sentinel[tuple(node[1])]])
+    if kind in ("phrase", "near"):
+        return ("term", [sentinel[plane_leaf_key(node)]])
     if kind == "term":
         return node
     if kind == "not":
-        return ("not", rewrite_phrases(node[1], sentinel))
-    return (kind, [rewrite_phrases(c, sentinel) for c in node[1]])
+        return ("not", rewrite_plane_leaves(node[1], sentinel))
+    return (kind, [rewrite_plane_leaves(c, sentinel) for c in node[1]])
 
 
 def eval_on_set(node: tuple, toks: set[str], ordered: tuple = ()) -> bool:
@@ -304,6 +372,11 @@ def eval_on_set(node: tuple, toks: set[str], ordered: tuple = ()) -> bool:
         return any(
             tuple(ordered[i : i + n]) == seq for i in range(len(ordered) - n + 1)
         )
+    if kind == "near":
+        a, b, w = node[1]
+        pa = [i for i, t in enumerate(ordered) if t == a]
+        pb = [i for i, t in enumerate(ordered) if t == b]
+        return any(abs(x - y) <= w for x in pa for y in pb)
     if kind == "and":
         return all(eval_on_set(c, toks, ordered) for c in node[1])
     if kind == "or":
@@ -377,33 +450,48 @@ def boolean_query_indexed(
         if terms
         else spark.createDataFrame([], "term string, docid long")
     )
-    # phrase leaves: verdicts come from the positional plane (one batched
-    # phrase_match for all distinct phrases), injected as sentinel posting
-    # lists ("\x00ph<i>" can never collide with analyzer output) so the set
-    # algebra below needs no special case
-    seen: list[tuple[str, ...]] = []
+    # phrase/NEAR leaves: verdicts come from the positional plane (one
+    # batched phrase_match / proximity_match per leaf kind for all distinct
+    # leaves), injected as sentinel posting lists ("\x00ph<i>" can never
+    # collide with analyzer output) so the set algebra below needs no
+    # special case
+    seen: list[tuple] = []
     for t in trees:
-        for s in collect_phrases(t):
+        for s in collect_plane_leaves(t):
             if s not in seen:
                 seen.append(s)
     if seen:
         if index.positional is None:
             raise ValueError(
-                "boolean phrase leaves need the positional plane; build the "
-                "index with cfg.positional=True"
+                "boolean phrase/NEAR leaves need the positional plane; build "
+                "the index with cfg.positional=True"
             )
-        from .positional import phrase_match
+        from .positional import phrase_match, proximity_match
 
         sentinel = {s: f"\x00ph{i}" for i, s in enumerate(seen)}
-        trees = [rewrite_phrases(t, sentinel) for t in trees]
-        names = F.array(*[F.lit(sentinel[s]) for s in seen])
-        ph_pairs = phrase_match(
-            index.positional, [], cfg, seqs=[list(s) for s in seen]
-        ).select(
-            F.element_at(names, F.col("query_id") + 1).alias("term"),
-            "docid",
-        )
-        pairs = pairs.unionByName(ph_pairs)
+        trees = [rewrite_plane_leaves(t, sentinel) for t in trees]
+        phr = [s for s in seen if s[0] == "phrase"]
+        near = [s for s in seen if s[0] == "near"]
+        if phr:
+            names = F.array(*[F.lit(sentinel[s]) for s in phr])
+            pairs = pairs.unionByName(
+                phrase_match(
+                    index.positional, [], cfg, seqs=[list(s[1]) for s in phr]
+                ).select(
+                    F.element_at(names, F.col("query_id") + 1).alias("term"),
+                    "docid",
+                )
+            )
+        if near:
+            names = F.array(*[F.lit(sentinel[s]) for s in near])
+            pairs = pairs.unionByName(
+                proximity_match(
+                    index.positional, [s[1] for s in near], cfg, analyzed=True
+                ).select(
+                    F.element_at(names, F.col("query_id") + 1).alias("term"),
+                    "docid",
+                )
+            )
     if deleted is not None:
         pairs = pairs.join(deleted.select("docid"), "docid", "left_anti")
     sets = pairs.groupBy("docid").agg(F.collect_set("term").alias("toks"))
@@ -440,6 +528,8 @@ def positive_terms(node: tuple, neg: bool = False) -> set[str]:
     kind = node[0]
     if kind in ("term", "phrase"):
         return set() if neg else set(node[1])
+    if kind == "near":
+        return set() if neg else set(node[1][:2])
     if kind == "not":
         return positive_terms(node[1], not neg)
     return set().union(*(positive_terms(c, neg) for c in node[1]))

@@ -492,32 +492,40 @@ def boolean_local(
     import pyarrow.dataset as ds
 
     from .boolquery import (
-        collect_phrases,
+        collect_plane_leaves,
         collect_terms,
         eval_on_set,
         parse_boolean,
-        rewrite_phrases,
+        rewrite_plane_leaves,
     )
 
     idx = LocalIndex(index) if isinstance(index, str) else index
     trees = [parse_boolean(q, idx.cfg) for q in queries]
     terms = sorted(set().union(*(collect_terms(t) for t in trees)) or set())
     docids_by_term = _term_docids_local(idx, terms) if terms else {}
-    # phrase leaves: one batched positional-plane verdict per distinct
-    # phrase, injected as a sentinel posting list (same rewrite as the
+    # phrase/NEAR leaves: one batched positional-plane verdict per distinct
+    # leaf, injected as a sentinel posting list (same rewrite as the
     # Spark-side boolean_query_indexed)
-    seen: list[tuple[str, ...]] = []
+    seen: list[tuple] = []
     for t in trees:
-        for s in collect_phrases(t):
+        for s in collect_plane_leaves(t):
             if s not in seen:
                 seen.append(s)
     if seen:
         sentinel = {s: f"\x00ph{i}" for i, s in enumerate(seen)}
-        trees = [rewrite_phrases(t, sentinel) for t in trees]
-        ph = phrase_match_local(idx, [], seqs=[list(s) for s in seen])
-        for i, s in enumerate(seen):
-            hit = ph.loc[ph["query_id"] == i, "docid"].to_numpy("int64")
-            docids_by_term[sentinel[s]] = np.unique(hit)
+        trees = [rewrite_plane_leaves(t, sentinel) for t in trees]
+        phr = [s for s in seen if s[0] == "phrase"]
+        near = [s for s in seen if s[0] == "near"]
+        if phr:
+            ph = phrase_match_local(idx, [], seqs=[list(s[1]) for s in phr])
+            for i, s in enumerate(phr):
+                hit = ph.loc[ph["query_id"] == i, "docid"].to_numpy("int64")
+                docids_by_term[sentinel[s]] = np.unique(hit)
+        if near:
+            pr = proximity_match_local(idx, [s[1] for s in near], analyzed=True)
+            for i, s in enumerate(near):
+                hit = pr.loc[pr["query_id"] == i, "docid"].to_numpy("int64")
+                docids_by_term[sentinel[s]] = np.unique(hit)
 
     need_universe = any(eval_on_set(t, set()) for t in trees)
     if need_universe:
@@ -619,10 +627,14 @@ def phrase_match_local(
 
 
 def proximity_match_local(
-    index: "LocalIndex | str", term_pairs: list[tuple[str, str, int]]
+    index: "LocalIndex | str",
+    term_pairs: list[tuple[str, str, int]],
+    *,
+    analyzed: bool = False,
 ) -> pd.DataFrame:
     """(query_id, docid, min_dist) — proximity retrieval over the persisted
-    plane, Spark-free twin of operators.positional.proximity_match."""
+    plane, Spark-free twin of operators.positional.proximity_match.
+    ``analyzed=True``: operands are already analyzer output (no re-parse)."""
     import numpy as np
 
     from .positional import parse_phrases
@@ -630,6 +642,9 @@ def proximity_match_local(
     idx = LocalIndex(index) if isinstance(index, str) else index
     norm: list[tuple[int, str, str, int]] = []
     for qid, (ta, tb, w) in enumerate(term_pairs):
+        if analyzed:
+            norm.append((qid, ta, tb, int(w)))
+            continue
         a = parse_phrases([ta], idx.cfg)[0]
         b = parse_phrases([tb], idx.cfg)[0]
         if len(a) == 1 and len(b) == 1:

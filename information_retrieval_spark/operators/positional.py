@@ -181,6 +181,8 @@ def proximity_match(
     positional: DataFrame,
     term_pairs: list[tuple[str, str, int]],
     cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    analyzed: bool = False,
 ) -> DataFrame:
     """(query_id, docid, min_dist) — docs where the two query terms occur
     within ``window`` tokens of each other (proximity retrieval over the
@@ -192,10 +194,16 @@ def proximity_match(
     the two position lists — bounded by tf_a·tf_b per doc, the standard
     proximity cost (a stopword×stopword pair is the worst case, as in any
     positional engine).
+
+    ``analyzed=True``: operands are already analyzer output (boolean NEAR
+    leaves) — skip re-analysis, which could double-stem.
     """
     spark = positional.sparkSession
     norm: list[tuple[int, str, str, int]] = []
     for qid, (ta, tb, w) in enumerate(term_pairs):
+        if analyzed:
+            norm.append((qid, ta, tb, int(w)))
+            continue
         a = parse_phrases([ta], cfg)[0]
         b = parse_phrases([tb], cfg)[0]
         if len(a) == 1 and len(b) == 1:

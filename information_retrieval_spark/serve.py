@@ -120,10 +120,14 @@ class QueryDaemon:
         return self.port
 
     def stop(self) -> None:
-        if self._server is not None:
-            self._server.shutdown()
-            self._server.server_close()
-            self._server = None
+        # idempotent under concurrency: the shutdown op stops the daemon on
+        # a background thread while __exit__ may call stop() at the same
+        # moment — claim the server atomically so only one caller closes it
+        with self._snap_lock:
+            server, self._server = self._server, None
+        if server is not None:
+            server.shutdown()
+            server.server_close()
 
     def __enter__(self) -> "QueryDaemon":
         self.start()

@@ -150,7 +150,9 @@ def test_boolean_semantics_property_vs_duckdb():
     # leaves include quoted phrases (matching, order-reversed, and absent)
     # so the SQL adjacency compilation is property-checked too
     phrases = ['"alpha beta"', '"beta alpha"', '"gamma delta alpha"',
-               '"alpha zzz"', '"beta gamma delta"']
+               '"alpha zzz"', '"beta gamma delta"',
+               '(alpha NEAR/1 gamma)', '(alpha NEAR/2 delta)',
+               '(beta NEAR/1 beta)', '(alpha NEAR/9 zzz)']
     expr = st.recursive(
         st.sampled_from(vocab + ["zzz"] + phrases),
         lambda kids: st.one_of(
@@ -575,3 +577,150 @@ def test_phrase_on_docs_shorter_than_phrase(spark):
         corpus_from_documents(docs), ['"alpha beta" OR alphaword'], PCFG
     ).collect()
     assert len(out) == 2  # doc 1 via the term arm, doc 2 via the phrase arm
+
+
+# ---- NEAR/k leaves (round 4): '(a NEAR/3 b) AND NOT c' --------------------
+
+
+def test_parser_near_shapes_and_rejections():
+    assert parse_boolean("alpha NEAR/3 beta AND NOT gamma") == (
+        "and",
+        [("near", ["alpha", "beta", 3]), ("not", ("term", ["gamma"]))],
+    )
+    # NEAR binds tighter than implicit AND
+    assert parse_boolean("alpha NEAR/2 beta gamma") == (
+        "and",
+        [("near", ["alpha", "beta", 2]), ("term", ["gamma"])],
+    )
+    for bad in [
+        "a NEAR/2 b NEAR/3 c",     # chaining
+        "NEAR/3 a",                # operand position
+        "a NEAR/2 (b OR c)",       # non-term side
+        '"x y" NEAR/2 b',          # phrase side
+        "a NEAR/2 NOT b",          # NOT side
+        "foo-bar NEAR/2 b",        # multi-token side
+        "a NEAR/2",                # dangling
+    ]:
+        with pytest.raises(BooleanSyntaxError):
+            parse_boolean(bad)
+
+
+def test_near_boolean_all_evaluators_agree(spark, tmp_path_factory):
+    """NEAR leaves: corpus-scan codegen, index-backed (proximity sentinel),
+    local, and DuckDB agree — min cross-distance semantics, both terms
+    required, composable under NOT/OR."""
+    from information_retrieval_spark.corpus import (
+        DOCUMENTS_AS_CORPUS_SQL,
+        corpus_from_documents,
+    )
+    from information_retrieval_spark.operators.boolquery import (
+        boolean_query_indexed,
+    )
+    from information_retrieval_spark.operators.local_query import (
+        LocalIndex,
+        boolean_local,
+    )
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+        open_index,
+    )
+
+    docs = [
+        (1, "alpha pad pad beta tail"),     # dist(alpha, beta) = 3
+        (2, "alpha beta near pair"),        # dist = 1
+        (3, "beta word word word alpha"),   # dist = 4 (order-insensitive)
+        (4, "alpha only here today"),       # beta absent
+        (5, "delta epsilon omega word"),    # neither
+    ]
+    corpus = corpus_from_documents(
+        spark.createDataFrame(
+            [(i, t, "src", "en") for i, t in docs],
+            "doc_id long, text string, source string, lang string",
+        )
+    )
+    queries = [
+        "alpha NEAR/1 beta",
+        "alpha NEAR/3 beta",
+        "NOT (alpha NEAR/4 beta)",
+        "(alpha NEAR/1 beta) OR delta",
+        '"alpha beta" AND (alpha NEAR/2 beta)',  # mixed plane-leaf kinds
+    ]
+    got_scan = sorted(
+        (r["query_id"], r["docid"])
+        for r in boolean_query(corpus, queries, PCFG).collect()
+    )
+    root = str(tmp_path_factory.mktemp("boolnear") / "idx")
+    build_index_resumable(spark, corpus, root, PCFG)
+    idx = open_index(spark, root)
+    got_idx = sorted(
+        (r["query_id"], r["docid"])
+        for r in boolean_query_indexed(spark, idx, queries, PCFG).collect()
+    )
+    got_loc = sorted(
+        (int(q), int(d))
+        for q, d in boolean_local(LocalIndex(root), queries).itertuples(index=False)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES %s) t(doc_id, text, source, lang)"
+        % ", ".join(f"({i}, '{t}', 'src', 'en')" for i, t in docs)
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                duckdb_boolean_sql(DOCUMENTS_AS_CORPUS_SQL, queries, PCFG)
+            ).fetchall(),
+        )
+    )
+    assert got_scan == got_idx == got_loc == want
+
+    from collections import Counter
+
+    by_doc = {
+        r["docid"]: int(r["path"].split("/")[1])
+        for r in idx.docs.select("docid", "path").collect()
+    }
+    hits = {(q, by_doc[d]) for q, d in got_scan}
+    counts = Counter(q for q, _ in got_scan)
+    assert (0, 2) in hits and counts[0] == 1          # only dist=1
+    assert {(1, 1), (1, 2)} <= hits and counts[1] == 2
+    assert counts[2] == 2                             # docs 4, 5 (3 is dist 4)
+    assert {(3, 2), (3, 5)} <= hits and counts[3] == 2
+    assert (4, 2) in hits and counts[4] == 1          # phrase AND near
+
+
+def test_near_positive_terms_and_ranked_parity(spark, tmp_path_factory):
+    from information_retrieval_spark.corpus import corpus_from_documents
+    from information_retrieval_spark.operators.boolquery import (
+        boolean_ranked_topk,
+        positive_terms,
+    )
+    from information_retrieval_spark.operators.local_query import (
+        LocalIndex,
+        boolean_ranked_local,
+    )
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+        open_index,
+    )
+
+    assert positive_terms(parse_boolean("alpha NEAR/3 beta")) == {"alpha", "beta"}
+    assert positive_terms(parse_boolean("NOT (alpha NEAR/3 beta)")) == set()
+
+    corpus = corpus_from_documents(_pcorpus(spark))
+    root = str(tmp_path_factory.mktemp("boolnearrank") / "idx")
+    build_index_resumable(spark, corpus, root, PCFG)
+    queries = ["(alpha NEAR/1 beta) AND NOT delta", "alpha NEAR/2 gamma"]
+    want = sorted(
+        (r["query_id"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in boolean_ranked_topk(
+            spark, open_index(spark, root), queries, 10, PCFG
+        ).collect()
+    )
+    got = sorted(
+        (int(q), int(rk), int(d), round(float(s), 9))
+        for q, rk, d, s in boolean_ranked_local(LocalIndex(root), queries, k=10)
+        .itertuples(index=False)
+    )
+    assert got == want and len(got) > 0
