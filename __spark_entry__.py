@@ -556,6 +556,32 @@ BOOL_PHRASE_SET = [
 ]
 
 
+# wildcard / fuzzy expansion leaves composed under the algebra (UNCAPPED
+# verdicts — parity with the corpus-scan token test)
+BOOL_EXPANSION_SET = [
+    "ta* AND NOT key",
+    "NOT *ble",
+    "(*as* OR hash~1) AND table",
+    'tabel~2 AND NOT "table hash"',
+]
+
+
+def _q_boolean_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean expressions with edge-star wildcard and Levenshtein-fuzzy
+    leaves over the PERSISTED index: each distinct leaf expands ONCE
+    against the dictionary (plane-pruned candidate reads, uncapped — the
+    verdict must equal the corpus-scan token test), and the matched terms'
+    decoded postings join the set algebra as a sentinel posting list. The
+    oracle re-derives the verdicts per-token (starts_with/ends_with/
+    contains/levenshtein over DuckDB's own tokenization)."""
+    from information_retrieval_spark.operators.boolquery import (
+        boolean_query_indexed,
+    )
+
+    _, idx = _persisted_index(spark, sf_dir)
+    return boolean_query_indexed(spark, idx, BOOL_EXPANSION_SET, CFG_POS)
+
+
 # NEAR/k proximity leaves composed under the algebra (min cross-distance
 # <= k, both terms required — proximity_match semantics)
 BOOL_NEAR_SET = [
@@ -914,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_query_indexed": _q_boolean_query_indexed,
         "boolean_phrase": _q_boolean_phrase,
         "boolean_near": _q_boolean_near,
+        "boolean_expansion": _q_boolean_expansion,
         "boolean_ranked": _q_boolean_ranked,
         "quality_filter": _q_quality_filter,
         "sequence_pack": _q_sequence_pack,
@@ -1151,6 +1178,7 @@ FROM events GROUP BY event_type
         "boolean_query_indexed": duckdb_boolean_sql(corpus, BOOL_QUERY_SET, CFG),
         "boolean_phrase": duckdb_boolean_sql(corpus, BOOL_PHRASE_SET, CFG_POS),
         "boolean_near": duckdb_boolean_sql(corpus, BOOL_NEAR_SET, CFG_POS),
+        "boolean_expansion": duckdb_boolean_sql(corpus, BOOL_EXPANSION_SET, CFG_POS),
         "boolean_ranked": duckdb_boolean_ranked_sql(
             corpus, BOOL_QUERY_SET, CFG, k=TOP_K, round_to=4
         ),

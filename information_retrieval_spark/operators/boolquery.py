@@ -10,8 +10,10 @@ AND) with a full expression language:
     or    := and ("OR" and)*
     and   := near (("AND")? near)*        -- adjacency is implicit AND
     near  := unary ("NEAR/k" unary)?      -- proximity leaf, no chaining
-    unary := "NOT" unary | "(" expr ")" | PHRASE | TERM
+    unary := "NOT" unary | "(" expr ")" | PHRASE | WILD | FUZZY | TERM
     PHRASE := '"' ... '"'                 -- consecutive-token adjacency
+    WILD   := ta* | *ble | *as*           -- edge-star token match
+    FUZZY  := word~ | word~2              -- Levenshtein <= d token match
 
 ``AND`` / ``OR`` / ``NOT`` are the UPPERCASE keywords (lowercase ``and`` is
 a content word); every TERM passes through the SAME indexing analyzer as
@@ -23,8 +25,14 @@ occurs CONSECUTIVELY in the doc — the same adjacency semantics as
 ``positional.phrase_match``, composable under the full algebra. A
 ``a NEAR/3 b`` leaf is true iff both terms occur with min cross-distance
 <= k — the same semantics as ``positional.proximity_match`` (operands
-must analyze to exactly one token; chaining is a syntax error). ``NOT``
-is collection-scoped complement (docs NOT containing the operand).
+must analyze to exactly one token; chaining is a syntax error). A WILD
+leaf (``ta*``/``*ble``/``*as*``) is true iff SOME doc token matches the
+edge-star pattern; a FUZZY leaf (``word~``/``word~2``) iff some doc token
+is within Levenshtein ``d`` of the analyzed core — both UNCAPPED (unlike
+the dedicated top-k paths' 64-expansion scoring cap) so all four
+evaluators stay row-identical: the corpus scan tests tokens directly, the
+indexed/local paths expand the full matching vocabulary. ``NOT`` is
+collection-scoped complement (docs NOT containing the operand).
 
 Execution is Spark-first: the whole query batch compiles to ONE Catalyst
 projection over one corpus scan — per-doc token array, one boolean column
@@ -174,6 +182,29 @@ def parse_boolean(query: str, cfg: EngineConfig = DEFAULT_CONFIG) -> tuple:
             if len(analyzed) >= 2:
                 return ("phrase", analyzed)
             return ("term", analyzed)  # 1 token == containment; 0 == FALSE
+        if "*" in word:  # edge-star wildcard leaf
+            from .query import normalize_wildcards
+
+            try:
+                norm = normalize_wildcards([word], cfg)
+            except ValueError as e:  # interior star
+                raise BooleanSyntaxError(str(e)) from None
+            if not norm:
+                return ("term", [])  # core analyzes to nothing == FALSE
+            _, mode, core = norm[0]
+            if mode == "exact":
+                return ("term", [core])
+            return ("wild", [mode, core])
+        if "~" in word:  # fuzzy leaf, Lucene term~ / term~2 syntax
+            core, _, d = word.partition("~")
+            if not core or "~" in d or not (d == "" or d in ("1", "2")):
+                raise BooleanSyntaxError(
+                    f"fuzzy leaf must be word~ or word~2 in {query!r}"
+                )
+            analyzed = tokenize_series(pd.Series([core], dtype=object), cfg)[0]
+            if len(analyzed) == 0:
+                return ("term", [])
+            return ("fuzzy", [analyzed[0], int(d) if d else 1])
         analyzed = tokenize_series(pd.Series([word], dtype=object), cfg)[0]
         return ("term", sorted(set(analyzed)))
 
@@ -220,6 +251,19 @@ def _to_column(node: tuple, toks: Column) -> Column:
             pa, lambda x: F.exists(pb, lambda y: F.abs(x - y) <= F.lit(int(w)))
         )
         return F.when(F.size(toks) >= 1, hit).otherwise(F.lit(False))
+    if kind == "wild":
+        mode, core = node[1]
+        test = {
+            "prefix": lambda t: t.startswith(core),
+            "suffix": lambda t: t.endswith(core),
+            "infix": lambda t: t.contains(core),
+        }[mode]
+        return F.exists(toks, test)
+    if kind == "fuzzy":
+        core, d = node[1]
+        return F.exists(
+            toks, lambda t: F.levenshtein(t, F.lit(core)) <= F.lit(int(d))
+        )
     if kind == "and":
         return reduce(lambda a, b: a & b, (_to_column(c, toks) for c in node[1]))
     if kind == "or":
@@ -267,6 +311,18 @@ def _to_sql(node: tuple, toks_col: str = "toks") -> str:
             f"(len(list_filter({pa}, x -> "
             f"len(list_filter({pb}, y -> abs(x - y) <= {int(w)})) > 0)) > 0)"
         )
+    if kind == "wild":
+        mode, core = node[1]
+        fn = {"prefix": "starts_with", "suffix": "ends_with", "infix": "contains"}[
+            mode
+        ]
+        return f"(len(list_filter({toks_col}, t -> {fn}(t, '{core}'))) > 0)"
+    if kind == "fuzzy":
+        core, d = node[1]
+        return (
+            f"(len(list_filter({toks_col}, "
+            f"t -> levenshtein(t, '{core}') <= {int(d)})) > 0)"
+        )
     if kind == "and":
         return "(" + " AND ".join(_to_sql(c, toks_col) for c in node[1]) + ")"
     if kind == "or":
@@ -306,14 +362,29 @@ def boolean_query(
     )
 
 
+_INDEX_LEAVES = ("phrase", "near", "wild", "fuzzy")
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Plain DP edit distance for the reference interpreter."""
+    m = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev = m[:]
+        m[0] = i
+        for j, cb in enumerate(b, 1):
+            m[j] = min(prev[j] + 1, m[j - 1] + 1, prev[j - 1] + (ca != cb))
+    return m[-1]
+
+
 def collect_terms(node: tuple) -> set[str]:
-    """Terms whose POSTINGS the evaluators need. Phrase/NEAR leaves are
-    excluded on purpose: their verdict comes from the positional plane
-    (sentinel rewrite, below), not from term membership."""
+    """Terms whose POSTINGS the evaluators need. Phrase/NEAR/wildcard/fuzzy
+    leaves are excluded on purpose: their verdicts come from the positional
+    plane or dictionary expansion (sentinel rewrite, below), not from term
+    membership."""
     kind = node[0]
     if kind == "term":
         return set(node[1])
-    if kind in ("phrase", "near"):
+    if kind in _INDEX_LEAVES:
         return set()
     if kind in ("and", "or"):
         return set().union(*(collect_terms(c) for c in node[1]))
@@ -321,17 +392,18 @@ def collect_terms(node: tuple) -> set[str]:
 
 
 def plane_leaf_key(node: tuple) -> tuple:
-    """Hashable identity of a positional-plane leaf:
-    ``("phrase", (tok, ...))`` or ``("near", (a, b, w))``."""
+    """Hashable identity of an index-resolved leaf: ``("phrase", (tok, ...))``,
+    ``("near", (a, b, w))``, ``("wild", (mode, core))`` or
+    ``("fuzzy", (core, d))``."""
     return (node[0], tuple(node[1]))
 
 
 def collect_plane_leaves(node: tuple) -> list[tuple]:
-    """Distinct positional-plane leaf keys (phrase sequences and NEAR
-    triples), first-occurrence order — stable so sentinel ids are
-    deterministic across the query batch."""
+    """Distinct index-resolved leaf keys (phrase sequences, NEAR triples,
+    wildcard patterns, fuzzy cores), first-occurrence order — stable so
+    sentinel ids are deterministic across the query batch."""
     kind = node[0]
-    if kind in ("phrase", "near"):
+    if kind in _INDEX_LEAVES:
         return [plane_leaf_key(node)]
     if kind == "term":
         return []
@@ -345,11 +417,11 @@ def collect_plane_leaves(node: tuple) -> list[tuple]:
 
 
 def rewrite_plane_leaves(node: tuple, sentinel: dict) -> tuple:
-    """Replace each phrase/NEAR leaf with a term leaf on its sentinel token
-    so the set-membership evaluators (indexed / local) can treat the plane
-    verdict as one more posting list."""
+    """Replace each index-resolved leaf with a term leaf on its sentinel
+    token so the set-membership evaluators (indexed / local) can treat the
+    leaf verdict as one more posting list."""
     kind = node[0]
-    if kind in ("phrase", "near"):
+    if kind in _INDEX_LEAVES:
         return ("term", [sentinel[plane_leaf_key(node)]])
     if kind == "term":
         return node
@@ -377,6 +449,17 @@ def eval_on_set(node: tuple, toks: set[str], ordered: tuple = ()) -> bool:
         pa = [i for i, t in enumerate(ordered) if t == a]
         pb = [i for i, t in enumerate(ordered) if t == b]
         return any(abs(x - y) <= w for x in pa for y in pb)
+    if kind == "wild":
+        mode, core = node[1]
+        test = {
+            "prefix": lambda t: t.startswith(core),
+            "suffix": lambda t: t.endswith(core),
+            "infix": lambda t: core in t,
+        }[mode]
+        return any(test(t) for t in toks)
+    if kind == "fuzzy":
+        core, d = node[1]
+        return any(_levenshtein(core, t) <= d for t in toks)
     if kind == "and":
         return all(eval_on_set(c, toks, ordered) for c in node[1])
     if kind == "or":
@@ -421,6 +504,32 @@ def decoded_term_docids(index, terms: list[str]) -> DataFrame:
     return rows.mapInPandas(decode, "term string, docid long")
 
 
+def _expansion_leaf_terms(index, key: tuple, cfg) -> list[str]:
+    """Dictionary terms matched by one wildcard/fuzzy leaf key — UNCAPPED
+    (the boolean verdict must equal the corpus-scan token test; see module
+    doc). Wildcard candidates come pre-verified from the pruned plane reads
+    (`wildcard_candidate_terms`); fuzzy from the SymSpell neighborhood +
+    exact levenshtein verify."""
+    kind, args = key
+    if kind == "wild":
+        from .query import wildcard_candidate_terms
+
+        mode, core = args
+        return sorted(
+            r["term"] for r in wildcard_candidate_terms(index, mode, core).collect()
+        )
+    from .query import expand_fuzzy
+
+    core, d = args
+    return sorted(
+        t
+        for _, t in expand_fuzzy(
+            index, [core], cfg, max_edit=int(d), max_expansions=1 << 31,
+            analyzed=True,
+        )
+    )
+
+
 def boolean_query_indexed(
     spark,
     index,
@@ -461,17 +570,17 @@ def boolean_query_indexed(
             if s not in seen:
                 seen.append(s)
     if seen:
-        if index.positional is None:
-            raise ValueError(
-                "boolean phrase/NEAR leaves need the positional plane; build "
-                "the index with cfg.positional=True"
-            )
-        from .positional import phrase_match, proximity_match
-
         sentinel = {s: f"\x00ph{i}" for i, s in enumerate(seen)}
         trees = [rewrite_plane_leaves(t, sentinel) for t in trees]
         phr = [s for s in seen if s[0] == "phrase"]
         near = [s for s in seen if s[0] == "near"]
+        if (phr or near) and index.positional is None:
+            raise ValueError(
+                "boolean phrase/NEAR leaves need the positional plane; build "
+                "the index with cfg.positional=True"
+            )
+        if phr or near:
+            from .positional import phrase_match, proximity_match
         if phr:
             names = F.array(*[F.lit(sentinel[s]) for s in phr])
             pairs = pairs.unionByName(
@@ -491,6 +600,21 @@ def boolean_query_indexed(
                     F.element_at(names, F.col("query_id") + 1).alias("term"),
                     "docid",
                 )
+            )
+        # wildcard / fuzzy leaves: UNCAPPED dictionary expansion (parity
+        # with the corpus-scan token test), then the matched terms' decoded
+        # postings become the sentinel's posting list. Cost is bounded by
+        # the matched vocabulary + its postings — the same bound the
+        # dedicated top-k paths carry before their scoring cap.
+        for key in (s for s in seen if s[0] in ("wild", "fuzzy")):
+            matched = _expansion_leaf_terms(index, key, cfg)
+            leaf = (
+                decoded_term_docids(index, matched).select("docid").distinct()
+                if matched
+                else spark.createDataFrame([], "docid long")
+            )
+            pairs = pairs.unionByName(
+                leaf.select(F.lit(sentinel[key]).alias("term"), "docid")
             )
     if deleted is not None:
         pairs = pairs.join(deleted.select("docid"), "docid", "left_anti")
@@ -530,9 +654,32 @@ def positive_terms(node: tuple, neg: bool = False) -> set[str]:
         return set() if neg else set(node[1])
     if kind == "near":
         return set() if neg else set(node[1][:2])
+    if kind in ("wild", "fuzzy"):
+        # scoring terms need dictionary expansion — handled separately by
+        # positive_expansion_leaves + the ranked paths' capped expansion
+        return set()
     if kind == "not":
         return positive_terms(node[1], not neg)
     return set().union(*(positive_terms(c, neg) for c in node[1]))
+
+
+def positive_expansion_leaves(node: tuple, neg: bool = False) -> list[tuple]:
+    """Wildcard/fuzzy leaf keys under an EVEN number of NOTs — the ones
+    whose EXPANDED terms the ranked paths score (capped at the dedicated
+    paths' 64-expansion discipline; the keep-list stays uncapped)."""
+    kind = node[0]
+    if kind in ("wild", "fuzzy"):
+        return [] if neg else [plane_leaf_key(node)]
+    if kind in ("term", "phrase", "near"):
+        return []
+    if kind == "not":
+        return positive_expansion_leaves(node[1], not neg)
+    out: list[tuple] = []
+    for c in node[1]:
+        for k in positive_expansion_leaves(c, neg):
+            if k not in out:
+                out.append(k)
+    return out
 
 
 def boolean_ranked_topk(
@@ -570,7 +717,10 @@ def boolean_ranked_topk(
     try:
         outs = []
         for i, tree in enumerate(trees):
-            pos = sorted(positive_terms(tree))
+            pos = set(positive_terms(tree))
+            for key in positive_expansion_leaves(tree):
+                pos.update(_expansion_leaf_terms(index, key, cfg)[:64])
+            pos = sorted(pos)
             if not pos:
                 continue
             keep = matches.filter(F.col("query_id") == i).select("docid")

@@ -162,7 +162,11 @@ class LocalIndex:
         return out
 
     def expand_wildcard_terms(
-        self, patterns: list[str], max_expansions: int = 64
+        self,
+        patterns: list[str],
+        max_expansions: int = 64,
+        *,
+        norm: list[tuple[int, str, str]] | None = None,
     ) -> list[tuple[int, str]]:
         """[(query_id, term)] for edge-star patterns (``ta*`` / ``*ble`` /
         ``*as*`` / exact) — identical semantics to the Spark-side
@@ -187,7 +191,8 @@ class LocalIndex:
         )
         from .query import _char_trigrams, normalize_wildcards
 
-        norm = normalize_wildcards(patterns, self.cfg)
+        if norm is None:
+            norm = normalize_wildcards(patterns, self.cfg)
         if not norm:
             return []
         dict_dir = os.path.join(self.root, "dictionary")
@@ -324,13 +329,36 @@ def boolean_ranked_local(
     positive terms. Pure-negative queries return no rows."""
     import numpy as np
 
-    from .boolquery import parse_boolean, positive_terms
+    from .boolquery import (
+        parse_boolean,
+        positive_expansion_leaves,
+        positive_terms,
+    )
 
     idx = LocalIndex(index) if isinstance(index, str) else index
     verdicts = boolean_local(idx, queries)
     frames = []
     for i, q in enumerate(queries):
-        pos = sorted(positive_terms(parse_boolean(q, idx.cfg)))
+        tree = parse_boolean(q, idx.cfg)
+        pos_set = set(positive_terms(tree))
+        for key in positive_expansion_leaves(tree):
+            if key[0] == "wild":
+                mode, core = key[1]
+                pos_set.update(
+                    t
+                    for _, t in idx.expand_wildcard_terms(
+                        [], 64, norm=[(0, mode, core)]
+                    )
+                )
+            else:
+                core, d = key[1]
+                pos_set.update(
+                    t
+                    for _, t in _expand_fuzzy_terms_local(
+                        idx, [(0, core)], int(d), 64
+                    )
+                )
+        pos = sorted(pos_set)
         if not pos:
             continue
         allowed = np.unique(
@@ -390,6 +418,22 @@ def fuzzy_local(
     ]
     if not norm:
         return pd.DataFrame(columns=["query_id", "rank", "docid", "score"])
+    pairs = _expand_fuzzy_terms_local(idx, norm, max_edit, max_expansions)
+    return _rank_pairs(idx, pairs, k)
+
+
+def _expand_fuzzy_terms_local(
+    idx: "LocalIndex",
+    norm: list[tuple[int, str]],
+    max_edit: int,
+    max_expansions: int,
+) -> list[tuple[int, str]]:
+    """[(query_id, term)] for pre-analyzed cores — the Spark-free fuzzy
+    expansion shared by ``fuzzy_local`` and the boolean fuzzy leaves."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
     from ..sources.manifest import fuzzy_dictionary_path
 
     fuzzy_dir = fuzzy_dictionary_path(idx.root) if max_edit <= 2 else None
@@ -435,7 +479,7 @@ def fuzzy_local(
         cands = tcol.filter(mask).to_pylist()
         hits = sorted(t for t in set(cands) if lev(q, t) <= max_edit)
         pairs.extend((qid, t) for t in hits[: int(max_expansions)])
-    return _rank_pairs(idx, pairs, k)
+    return pairs
 
 
 def wildcard_local(
@@ -526,6 +570,33 @@ def boolean_local(
             for i, s in enumerate(near):
                 hit = pr.loc[pr["query_id"] == i, "docid"].to_numpy("int64")
                 docids_by_term[sentinel[s]] = np.unique(hit)
+        # wildcard / fuzzy leaves: UNCAPPED dictionary expansion (parity
+        # with the corpus-scan token test), union of the matched terms'
+        # decoded posting lists
+        for s in (x for x in seen if x[0] in ("wild", "fuzzy")):
+            if s[0] == "wild":
+                mode, core = s[1]
+                matched = [
+                    t
+                    for _, t in idx.expand_wildcard_terms(
+                        [], 1 << 31, norm=[(0, mode, core)]
+                    )
+                ]
+            else:
+                core, d = s[1]
+                matched = [
+                    t
+                    for _, t in _expand_fuzzy_terms_local(
+                        idx, [(0, core)], int(d), 1 << 31
+                    )
+                ]
+            by_t = _term_docids_local(idx, matched) if matched else {}
+            chunks = [a for a in by_t.values() if a.size]
+            docids_by_term[sentinel[s]] = (
+                np.unique(np.concatenate(chunks))
+                if chunks
+                else np.empty(0, dtype=np.int64)
+            )
 
     need_universe = any(eval_on_set(t, set()) for t in trees)
     if need_universe:

@@ -343,6 +343,8 @@ def expand_fuzzy(
     cfg: EngineConfig = DEFAULT_CONFIG,
     max_edit: int = 1,
     max_expansions: int = 64,
+    *,
+    analyzed: bool = False,
 ) -> list[tuple[int, str]]:
     """[(query_id, term)] — dictionary terms within Levenshtein distance
     ``max_edit`` of each analyzed query term, capped at the
@@ -368,8 +370,11 @@ def expand_fuzzy(
         # two depth sets stop intersecting), so reject instead
         raise ValueError(f"max_edit must be 1 or 2, got {max_edit}")
     spark = index.dictionary.sparkSession
-    toks = tokenize_series(pd.Series(terms, dtype=object), cfg)
-    norm = [(i, ts[0]) for i, ts in enumerate(toks) if len(ts) > 0]
+    if analyzed:
+        norm = [(i, t) for i, t in enumerate(terms) if t]
+    else:
+        toks = tokenize_series(pd.Series(terms, dtype=object), cfg)
+        norm = [(i, ts[0]) for i, ts in enumerate(toks) if len(ts) > 0]
     if not norm:
         return []
     qvars = spark.createDataFrame(

@@ -152,7 +152,8 @@ def test_boolean_semantics_property_vs_duckdb():
     phrases = ['"alpha beta"', '"beta alpha"', '"gamma delta alpha"',
                '"alpha zzz"', '"beta gamma delta"',
                '(alpha NEAR/1 gamma)', '(alpha NEAR/2 delta)',
-               '(beta NEAR/1 beta)', '(alpha NEAR/9 zzz)']
+               '(beta NEAR/1 beta)', '(alpha NEAR/9 zzz)',
+               'alp*', '*ta', '*et*', 'qq*', 'alpha~1', 'beta~2', 'zz~1']
     expr = st.recursive(
         st.sampled_from(vocab + ["zzz"] + phrases),
         lambda kids: st.one_of(
@@ -712,6 +713,199 @@ def test_near_positive_terms_and_ranked_parity(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("boolnearrank") / "idx")
     build_index_resumable(spark, corpus, root, PCFG)
     queries = ["(alpha NEAR/1 beta) AND NOT delta", "alpha NEAR/2 gamma"]
+    want = sorted(
+        (r["query_id"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in boolean_ranked_topk(
+            spark, open_index(spark, root), queries, 10, PCFG
+        ).collect()
+    )
+    got = sorted(
+        (int(q), int(rk), int(d), round(float(s), 9))
+        for q, rk, d, s in boolean_ranked_local(LocalIndex(root), queries, k=10)
+        .itertuples(index=False)
+    )
+    assert got == want and len(got) > 0
+
+
+# ---- wildcard / fuzzy leaves (round 4): 'ta* AND NOT key', 'word~2 OR x' --
+
+
+def test_parser_wild_fuzzy_shapes_and_rejections():
+    assert parse_boolean("alph* AND NOT zz~2") == (
+        "and",
+        [("wild", ["prefix", "alph"]), ("not", ("fuzzy", ["zz", 2]))],
+    )
+    assert parse_boolean("*ble") == ("wild", ["suffix", "ble"])
+    assert parse_boolean("*as*") == ("wild", ["infix", "as"])
+    assert parse_boolean("alpha~") == ("fuzzy", ["alpha", 1])
+    # core passes through the analyzer (lowercased), like every other leaf
+    assert parse_boolean("Alpha*") == ("wild", ["prefix", "alpha"])
+    for bad in ["ta**x", "t*a*", "a~3", "~2", "a~~", "a~x"]:
+        with pytest.raises(BooleanSyntaxError):
+            parse_boolean(bad)
+
+
+def test_wild_fuzzy_boolean_all_evaluators_agree(spark, tmp_path_factory):
+    """Wildcard and fuzzy leaves: corpus-scan token test, index-backed
+    (uncapped dictionary expansion sentinel), local, and DuckDB agree —
+    composable under NOT/OR and with phrase/NEAR leaves."""
+    from information_retrieval_spark.corpus import (
+        DOCUMENTS_AS_CORPUS_SQL,
+        corpus_from_documents,
+    )
+    from information_retrieval_spark.operators.boolquery import (
+        boolean_query_indexed,
+    )
+    from information_retrieval_spark.operators.local_query import (
+        LocalIndex,
+        boolean_local,
+    )
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+        open_index,
+    )
+
+    docs = [
+        (1, "table tangent word extra"),   # ta* twice; lev(table,cable)=1
+        (2, "cable word stable pad"),      # *ble twice
+        (3, "alpha gamma beta word"),      # none of the cores
+        (4, "tangle data word other"),     # ta* + *ta* (data)
+        (5, "delta epsilon omega sable"),  # *ble via sable; lev(sable,table)=2
+    ]
+    corpus = corpus_from_documents(
+        spark.createDataFrame(
+            [(i, t, "src", "en") for i, t in docs],
+            "doc_id long, text string, source string, lang string",
+        )
+    )
+    queries = [
+        "ta* AND NOT data",
+        "NOT *ble",
+        "*bl* OR alpha",
+        "table~1 AND word",            # cable (d=1), table (d=0)
+        "table~2 OR (alpha NEAR/2 beta)",
+        '"table tangent" AND ta*',
+    ]
+    got_scan = sorted(
+        (r["query_id"], r["docid"])
+        for r in boolean_query(corpus, queries, PCFG).collect()
+    )
+    root = str(tmp_path_factory.mktemp("boolwild") / "idx")
+    build_index_resumable(spark, corpus, root, PCFG)
+    idx = open_index(spark, root)
+    got_idx = sorted(
+        (r["query_id"], r["docid"])
+        for r in boolean_query_indexed(spark, idx, queries, PCFG).collect()
+    )
+    got_loc = sorted(
+        (int(q), int(d))
+        for q, d in boolean_local(LocalIndex(root), queries).itertuples(index=False)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES %s) t(doc_id, text, source, lang)"
+        % ", ".join(f"({i}, '{t}', 'src', 'en')" for i, t in docs)
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                duckdb_boolean_sql(DOCUMENTS_AS_CORPUS_SQL, queries, PCFG)
+            ).fetchall(),
+        )
+    )
+    assert got_scan == got_idx == got_loc == want
+
+    from collections import Counter
+
+    by_doc = {
+        r["docid"]: int(r["path"].split("/")[1])
+        for r in idx.docs.select("docid", "path").collect()
+    }
+    hits = {(q, by_doc[d]) for q, d in got_scan}
+    counts = Counter(q for q, _ in got_scan)
+    assert hits >= {(0, 1)} and counts[0] == 1            # doc 4 has data
+    assert counts[1] == 2                                 # docs 3, 4 lack *ble
+    assert counts[2] == 4                                 # 1,2,5 via *bl*; 3 via alpha
+    assert {(3, 1), (3, 2)} <= hits and counts[3] == 2
+    assert {(4, 1), (4, 2), (4, 3), (4, 5)} <= hits       # sable d=2; alpha-beta not adjacent? dist 2 -> yes
+    assert (5, 1) in hits and counts[5] == 1
+
+
+def test_wildcard_leaf_is_uncapped_beyond_64_terms(spark, tmp_path_factory):
+    """The boolean wildcard verdict must NOT inherit the dedicated path's
+    64-expansion cap: with >64 distinct matching terms spread over distinct
+    docs, the indexed evaluator still matches every doc the corpus scan
+    does."""
+    from information_retrieval_spark.corpus import corpus_from_documents
+    from information_retrieval_spark.operators.boolquery import (
+        boolean_query_indexed,
+    )
+    from information_retrieval_spark.operators.local_query import (
+        LocalIndex,
+        boolean_local,
+    )
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+        open_index,
+    )
+
+    # 80 docs, each with a UNIQUE qq-prefixed term (80 > 64)
+    docs = [(i, f"qq{i:03d}x filler words here") for i in range(80)]
+    corpus = corpus_from_documents(
+        spark.createDataFrame(
+            [(i, t, "src", "en") for i, t in docs],
+            "doc_id long, text string, source string, lang string",
+        )
+    )
+    want = sorted(
+        (r["query_id"], r["docid"])
+        for r in boolean_query(corpus, ["qq*"], PCFG).collect()
+    )
+    assert len(want) == 80
+    root = str(tmp_path_factory.mktemp("booluncap") / "idx")
+    build_index_resumable(spark, corpus, root, PCFG)
+    got_idx = sorted(
+        (r["query_id"], r["docid"])
+        for r in boolean_query_indexed(
+            spark, open_index(spark, root), ["qq*"], PCFG
+        ).collect()
+    )
+    got_loc = sorted(
+        (int(q), int(d))
+        for q, d in boolean_local(LocalIndex(root), ["qq*"]).itertuples(index=False)
+    )
+    assert got_idx == got_loc == want
+
+
+def test_wild_fuzzy_ranked_spark_and_local_agree(spark, tmp_path_factory):
+    """Ranked boolean with expansion leaves: keep-list uncapped, scoring
+    over the lexicographically-first 64 expanded terms — Spark and local
+    rank-identical."""
+    from information_retrieval_spark.corpus import corpus_from_documents
+    from information_retrieval_spark.operators.boolquery import (
+        boolean_ranked_topk,
+        positive_expansion_leaves,
+    )
+    from information_retrieval_spark.operators.local_query import (
+        LocalIndex,
+        boolean_ranked_local,
+    )
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+        open_index,
+    )
+
+    assert positive_expansion_leaves(parse_boolean("ta* AND NOT zz~2")) == [
+        ("wild", ("prefix", "ta")),
+    ]
+    assert positive_expansion_leaves(parse_boolean("NOT (NOT ta*)")) == [
+        ("wild", ("prefix", "ta")),
+    ]
+    corpus = corpus_from_documents(_pcorpus(spark))
+    root = str(tmp_path_factory.mktemp("boolwildrank") / "idx")
+    build_index_resumable(spark, corpus, root, PCFG)
+    queries = ["alph* AND NOT delta", "gamma~1 OR delta"]
     want = sorted(
         (r["query_id"], r["rank"], r["docid"], round(r["score"], 9))
         for r in boolean_ranked_topk(
