@@ -455,7 +455,14 @@ def main() -> None:
     import shutil
 
     shutil.rmtree(idx_root, ignore_errors=True)
-    build_index_resumable(spark, corpus, idx_root, cfg)
+    # positional=True: the persisted index carries the mode-1 plane so the
+    # rich-boolean timing below (phrase + NEAR leaves) runs the plane paths;
+    # the postings/dictionary layout the local/daemon timings read is
+    # unchanged (the plane is a separate table)
+    import dataclasses
+
+    cfg_pos = dataclasses.replace(cfg, positional=True)
+    build_index_resumable(spark, corpus, idx_root, cfg_pos)
 
     # plane-backed twins (round 4): the same wildcard/fuzzy calls over the
     # PERSISTED index, where a suffix pattern range-prunes the reversed
@@ -472,6 +479,14 @@ def main() -> None:
          lambda: wildcard_topk(spark, idx_disk, ["*abl*"], TOP_K, cfg)),
         ("fuzzy_d2_plane",
          lambda: fuzzy_topk(spark, idx_disk, ["hasj", "tabel"], TOP_K, cfg, max_edit=2)),
+        # one expression exercising EVERY leaf kind (phrase + NEAR through
+        # the positional plane, wildcard + fuzzy through the dictionary
+        # twins, composed under AND/OR/NOT)
+        ("boolean_rich",
+         lambda: boolean_query_indexed(
+             spark, idx_disk,
+             ['("table hash" OR (key NEAR/3 value)) AND ta* AND NOT tabel~2'],
+             cfg_pos)),
     ):
         fn().count()
         t0 = time.time()

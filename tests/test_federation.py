@@ -195,7 +195,14 @@ def test_federated_extended_surface_rank_identical(spark, tmp_path_factory):
     assert rows(proximity_match(fed.positional, pairs, cfgp)) == rows(
         proximity_match(comb.positional, pairs, cfgp)
     )
-    bq = ["ident_1 AND NOT ident_2", "ident_3 OR ident_0"]
+    bq = [
+        "ident_1 AND NOT ident_2",
+        "ident_3 OR ident_0",
+        # round 4 rich leaves: phrase + NEAR resolve through the federated
+        # positional plane, wildcard + fuzzy through the mounted twins
+        '"ident_1 ident_2" OR (ident_3 NEAR/4 ident_0)',
+        "ident_1* AND NOT idemt_3~1",
+    ]
     assert rows(boolean_query_indexed(spark, fed, bq, cfgp)) == rows(
         boolean_query_indexed(spark, comb, bq, cfgp)
     )
