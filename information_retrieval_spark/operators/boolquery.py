@@ -602,19 +602,26 @@ def boolean_query_indexed(
                 )
             )
         # wildcard / fuzzy leaves: UNCAPPED dictionary expansion (parity
-        # with the corpus-scan token test), then the matched terms' decoded
-        # postings become the sentinel's posting list. Cost is bounded by
-        # the matched vocabulary + its postings — the same bound the
-        # dedicated top-k paths carry before their scoring cap.
-        for key in (s for s in seen if s[0] in ("wild", "fuzzy")):
-            matched = _expansion_leaf_terms(index, key, cfg)
-            leaf = (
-                decoded_term_docids(index, matched).select("docid").distinct()
-                if matched
-                else spark.createDataFrame([], "docid long")
-            )
+        # with the corpus-scan token test), then ONE batched pruned decode
+        # over the union of every leaf's matched terms, mapped back to
+        # sentinels through a broadcast (term, sentinel) join — Q expansion
+        # leaves cost one decode job, not Q. Cost is bounded by the matched
+        # vocabulary + its postings — the same bound the dedicated top-k
+        # paths carry before their scoring cap. A leaf matching nothing
+        # contributes no rows (absent sentinel == FALSE).
+        term_map = [
+            (t, sentinel[key])
+            for key in seen
+            if key[0] in ("wild", "fuzzy")
+            for t in _expansion_leaf_terms(index, key, cfg)
+        ]
+        if term_map:
+            mapping = spark.createDataFrame(term_map, "term string, sent string")
             pairs = pairs.unionByName(
-                leaf.select(F.lit(sentinel[key]).alias("term"), "docid")
+                decoded_term_docids(index, sorted({t for t, _ in term_map}))
+                .join(F.broadcast(mapping), "term")
+                .select(F.col("sent").alias("term"), "docid")
+                .distinct()
             )
     if deleted is not None:
         pairs = pairs.join(deleted.select("docid"), "docid", "left_anti")
