@@ -40,6 +40,8 @@ from information_retrieval_spark.operators.query import (  # noqa: E402
     conjunctive_match,
     duckdb_bm25_sql,
     duckdb_conjunctive_sql,
+    duckdb_did_you_mean_sql,
+    duckdb_filtered_bm25_sql,
     duckdb_facet_sql,
     duckdb_fuzzy_bm25_sql,
     duckdb_mlt_sql,
@@ -675,6 +677,37 @@ WILDCARD_SET = ["ta*", "*ble", "*as*", "*zzz*"]
 # misspelled queries: 1-edit, 2-edit (transposition), and unmatched
 FUZZY_SET = ["hasj", "tabel", "scann", "windoww", "zzzz"]
 
+# "did you mean" queries: mixed in-vocabulary / misspelled / hopeless tokens
+DYM_SET = ["hash joim tabl", "spark srot mrege", "zzzzqqqq keyy", "the row"]
+
+
+def _q_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ranked retrieval (lang = 'en'): the docs-catalog
+    predicate feeds WAND's allowed keep-list (auto-routing to the pre-rank
+    semi-join when the filter is corpus-sized); BM25 stats stay global.
+    Oracle restricts the shared BM25 body to the predicate's docids before
+    the rank window."""
+    from information_retrieval_spark.operators.query import (
+        metadata_filtered_topk,
+    )
+
+    idx = _index(spark, sf_dir)
+    out = metadata_filtered_topk(
+        spark, idx, QUERY_SET, TOP_K, "lang = 'en'", CFG
+    )
+    return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
+
+
+def _q_did_you_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-level spelling correction: per analyzed token, self-suggestion
+    when in-dictionary, else the cf-argmax SymSpell/Levenshtein <=2
+    neighbor (cf DESC, term ASC), else NULL. Oracle is the brute-force
+    full-vocabulary levenshtein() definition."""
+    from information_retrieval_spark.operators.query import did_you_mean
+
+    idx = _index(spark, sf_dir)
+    return did_you_mean(idx, DYM_SET, CFG, max_edit=2)
+
 
 def _q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spell-tolerant retrieval: SymSpell delete-neighborhood candidates +
@@ -932,6 +965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_topk": _q_wildcard_topk,
         "wildcard_plane_topk": _q_wildcard_plane_topk,
         "fuzzy_topk": _q_fuzzy_topk,
+        "did_you_mean": _q_did_you_mean,
+        "filtered_topk": _q_filtered_topk,
         "facets": _q_facets,
         "more_like_this": _q_more_like_this,
         "suggest": _q_suggest,
@@ -1160,6 +1195,10 @@ FROM events GROUP BY event_type
         ),
         "fuzzy_topk": duckdb_fuzzy_bm25_sql(
             corpus, FUZZY_SET, CFG, k=TOP_K, round_to=4, max_edit=2
+        ),
+        "did_you_mean": duckdb_did_you_mean_sql(corpus, DYM_SET, CFG, max_edit=2),
+        "filtered_topk": duckdb_filtered_bm25_sql(
+            corpus, QUERY_SET, "lang = 'en'", CFG, k=TOP_K, round_to=4
         ),
         "suggest": duckdb_suggest_sql(corpus, PREFIX_SET, CFG, k=8),
         "related_terms": duckdb_related_terms_sql(RELATED_SEEDS, CFG, k=10),

@@ -945,3 +945,253 @@ def duckdb_tok(col_sql: str, cfg: EngineConfig = DEFAULT_CONFIG) -> str:
     from ..functions.analyzer import duckdb_tokenize_sql
 
     return duckdb_tokenize_sql(col_sql, cfg)
+
+
+# --------------------------------------------------------------------------
+# "Did you mean …?" — query-level spelling correction over the dictionary.
+# Public technique: SymSpell delete-neighborhood candidates (Garbe) verified
+# with exact Levenshtein, ranked by collection frequency — the standard
+# search-box corrector shape (Lucene DirectSpellChecker ranks the same way).
+# --------------------------------------------------------------------------
+
+
+def did_you_mean(
+    index,
+    queries: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    max_edit: int = 2,
+    small_set_cap: int = 100_000,
+) -> "DataFrame":
+    """(query_id, pos, qterm, suggestion, cf) — per analyzed query token:
+    a term already in the dictionary suggests ITSELF (no correction); an
+    out-of-vocabulary term suggests the collection-frequency-maximal
+    dictionary term within Levenshtein ``max_edit`` (cf DESC, term ASC
+    tie-break — deterministic); a token with no neighborhood candidate gets
+    a NULL suggestion.
+
+    Scale shape (the interactive-path discipline of ``expand_fuzzy``):
+    NEVER a full-vocabulary levenshtein scan —
+
+    1. dictionary membership + cf for the query's own tokens: ONE pushed
+       ``term IN`` pruned dictionary read (row-group stats skip everything
+       else; the dictionary is term-sorted on disk);
+    2. OOV candidates: the SymSpell delete-neighborhood equi-join — the
+       persisted depth-2 variant plane when mounted (pushed ``variant IN``
+       pruned read), else the codegen-derived neighborhood of the pruned
+       dictionary scan;
+    3. exact ``F.levenshtein`` verify + cf lookup on the neighborhood-sized
+       candidate set (a second pushed ``term IN`` read).
+
+    Every driver collect is bounded by |query tokens| x neighborhood size
+    and guarded by ``small_set_cap`` (fail loudly, never OOM silently).
+    The SQL oracle is the brute-force full-vocabulary levenshtein
+    definition this pruned path must reproduce exactly."""
+    import pandas as pd
+
+    from ..functions.analyzer import tokenize_series
+
+    if max_edit not in (1, 2):
+        raise ValueError(f"max_edit must be 1 or 2, got {max_edit}")
+    spark = index.dictionary.sparkSession
+    toks = tokenize_series(pd.Series(queries, dtype=object), cfg)
+    norm = [
+        (qid, pos, t) for qid, ts in enumerate(toks) for pos, t in enumerate(ts)
+    ]
+    out_schema = "query_id int, pos int, qterm string, suggestion string, cf long"
+    if not norm:
+        return spark.createDataFrame([], out_schema)
+    qset = sorted({t for _, _, t in norm})
+
+    # 1. membership + cf: one pushed term-IN pruned dictionary read
+    exact = {
+        r["term"]: int(r["cf"])
+        for r in index.dictionary.filter(F.col("term").isin(qset))
+        .select("term", "cf")
+        .collect()
+    }
+    missing = [t for t in qset if t not in exact]
+
+    best: dict[str, tuple[str, int]] = {}
+    if missing:
+        # 2. SymSpell neighborhood candidates (same pool logic as
+        # expand_fuzzy: persisted variant plane -> pushed IN read)
+        qvars = spark.createDataFrame(
+            [(q, v) for q in missing for v in _delete_variants(q, max_edit)],
+            "qterm string, variant string",
+        )
+        fuzzy_plane = getattr(index, "dictionary_fuzzy", None)
+        if fuzzy_plane is not None:
+            vset = sorted({v for q in missing for v in _delete_variants(q, max_edit)})
+            pool = fuzzy_plane.filter(F.col("variant").isin(vset))
+        else:
+            pool = index.dictionary.select(
+                "term",
+                F.explode(delete_variant_expr(F.col("term"), max_edit)).alias(
+                    "variant"
+                ),
+            )
+        cand_rows = (
+            pool.join(F.broadcast(qvars), "variant")
+            .select("qterm", "term")
+            .distinct()
+            .filter(F.levenshtein("qterm", "term") <= max_edit)
+            .limit(int(small_set_cap) + 1)
+            .collect()
+        )
+        if len(cand_rows) > small_set_cap:
+            raise ValueError(
+                f"did_you_mean candidate set exceeded small_set_cap="
+                f"{small_set_cap}; raise the cap or lower max_edit"
+            )
+        cands = [(r["qterm"], r["term"]) for r in cand_rows]
+        # 3. cf for the candidate terms: second pushed term-IN read
+        cand_terms = sorted({t for _, t in cands})
+        cf_map = {
+            r["term"]: int(r["cf"])
+            for r in index.dictionary.filter(F.col("term").isin(cand_terms))
+            .select("term", "cf")
+            .collect()
+        }
+        for q, t in cands:
+            cur = best.get(q)
+            key = (-cf_map[t], t)
+            if cur is None or key < (-cur[1], cur[0]):
+                best[q] = (t, cf_map[t])
+
+    rows = []
+    for qid, pos, t in norm:
+        if t in exact:
+            rows.append((qid, pos, t, t, exact[t]))
+        elif t in best:
+            sug, cf = best[t]
+            rows.append((qid, pos, t, sug, cf))
+        else:
+            rows.append((qid, pos, t, None, None))
+    return spark.createDataFrame(rows, out_schema)
+
+
+def duckdb_did_you_mean_sql(
+    corpus_sql: str,
+    queries: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    max_edit: int = 2,
+) -> str:
+    """Oracle twin of ``did_you_mean``: cf re-derived from the corpus token
+    stream; the candidate pool is the BRUTE-FORCE full-vocabulary
+    levenshtein filter (no neighborhood trick — the definition the SymSpell
+    join must reproduce); same (cf DESC, term ASC) argmax and the same
+    exact-match / corrected / no-candidate three-way split."""
+    import pandas as pd
+
+    from ..functions.analyzer import tokenize_series
+
+    toks = tokenize_series(pd.Series(queries, dtype=object), cfg)
+    norm = [
+        (qid, pos, t) for qid, ts in enumerate(toks) for pos, t in enumerate(ts)
+    ]
+    qvalues = ", ".join(f"({qid}, {pos}, '{t}')" for qid, pos, t in norm) or (
+        "(0, 0, CAST(NULL AS VARCHAR))"
+    )
+    return f"""
+WITH ids AS ({duckdb_docid_sql(corpus_sql, cfg)}),
+cf AS (
+  SELECT term, count(*) AS cf
+  FROM (SELECT unnest({duckdb_tok('content', cfg)}) AS term FROM ids)
+  GROUP BY term
+),
+q AS (SELECT * FROM (VALUES {qvalues}) AS v(query_id, pos, qterm)
+      WHERE qterm IS NOT NULL),
+exact AS (
+  SELECT q.query_id, q.pos, q.qterm, q.qterm AS suggestion, cf.cf
+  FROM q JOIN cf ON cf.term = q.qterm
+),
+corrected AS (
+  SELECT query_id, pos, qterm, suggestion, cf FROM (
+    SELECT q.query_id, q.pos, q.qterm, cf.term AS suggestion, cf.cf,
+           row_number() OVER (PARTITION BY q.query_id, q.pos
+                              ORDER BY cf.cf DESC, cf.term ASC) AS rn
+    FROM q JOIN cf ON levenshtein(q.qterm, cf.term) <= {int(max_edit)}
+    WHERE NOT EXISTS (SELECT 1 FROM cf e WHERE e.term = q.qterm)
+  ) WHERE rn = 1
+),
+nomatch AS (
+  SELECT q.query_id, q.pos, q.qterm,
+         CAST(NULL AS VARCHAR) AS suggestion, CAST(NULL AS BIGINT) AS cf
+  FROM q
+  WHERE NOT EXISTS (SELECT 1 FROM cf e WHERE e.term = q.qterm)
+    AND NOT EXISTS (SELECT 1 FROM cf c
+                    WHERE levenshtein(q.qterm, c.term) <= {int(max_edit)})
+)
+SELECT * FROM exact
+UNION ALL SELECT * FROM corrected
+UNION ALL SELECT * FROM nomatch
+"""
+
+
+# --------------------------------------------------------------------------
+# Metadata-filtered ranked retrieval — "rank by relevance, restrict to a
+# field predicate" (lang:py, repo:org/*, path prefix …), the filtered-search
+# shape every production engine serves next to its boolean filter.
+# --------------------------------------------------------------------------
+
+
+def metadata_filtered_topk(
+    spark: SparkSession,
+    index,
+    queries: list[str],
+    k: int,
+    where,
+    cfg: EngineConfig | None = None,
+    **wand_kwargs,
+) -> "DataFrame":
+    """(query_id, rank, docid, score) — block-max WAND ranked retrieval
+    restricted to documents whose CATALOG row satisfies ``where`` (a
+    Catalyst Column or SQL-string predicate over the docs catalog —
+    lang/repo/path/commit). BM25 statistics stay GLOBAL (standard
+    post-filter semantics: the filter restricts candidates, it does not
+    re-weight idf/avgdl), so scores for surviving docs are identical to
+    the unfiltered query's — pinned by the oracle.
+
+    Scale shape: the predicate scan is column-pruned to (docid + predicate
+    columns) over the bucket-partitioned docs catalog — it never touches
+    ``content``. The filtered docid set rides WAND's ``allowed``
+    machinery: broadcast keep-list under the small-set cap, AUTO-ROUTED to
+    the pre-rank semi-join when the filter is broad (``lang = 'py'`` over
+    a code corpus is corpus-sized — that route folds the ACL-style
+    keep-list into the decoded scan instead of the driver)."""
+    from .wand import wand_topk
+
+    cfg = cfg or index.cfg
+    qterms = parse_query_terms(queries, cfg)
+    pred = F.expr(where) if isinstance(where, str) else where
+    allowed = index.docs.filter(pred).select("docid")
+    return wand_topk(spark, index, qterms, k, cfg, allowed=allowed, **wand_kwargs)
+
+
+def duckdb_filtered_bm25_sql(
+    corpus_sql: str,
+    queries: list[str],
+    where_sql: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int | None = None,
+    round_to: int = 4,
+) -> str:
+    """Oracle twin of ``metadata_filtered_topk``: the shared disjunctive
+    BM25 body (GLOBAL stats) rank-restricted to the docids satisfying
+    ``where_sql`` over the docid derivation — restriction BEFORE the rank
+    window, over unrounded scores, the same tie-break discipline as
+    ``duckdb_boolean_ranked_sql``."""
+    qvalues = ", ".join(f"({i}, '{q}')" for i, q in enumerate(queries))
+    qterms_sql = f"""
+  SELECT DISTINCT query_id, qterm AS term FROM (
+    SELECT query_id, unnest({duckdb_tok('text', cfg)}) AS qterm
+    FROM (VALUES {qvalues}) AS queries(query_id, text)
+  )"""
+    qids = ", ".join(f"({i})" for i in range(len(queries)))
+    restrict_sql = f"""
+  SELECT q.query_id, d.docid
+  FROM (VALUES {qids}) AS q(query_id)
+  CROSS JOIN (SELECT docid FROM docids WHERE {where_sql}) d"""
+    return _duckdb_bm25_body(
+        corpus_sql, qterms_sql, cfg, k, round_to, restrict_sql=restrict_sql
+    )

@@ -658,3 +658,96 @@ def test_fuzzy_variant_plane_matches_fallback(spark, corpus, index, tmp_path_fac
         expand_fuzzy(index, terms, CFG, max_edit=1, max_expansions=32)
     lw2 = fuzzy_local(LocalIndex(root), terms, k=5, max_edit=1)
     assert len(lw2) > 0
+
+
+def test_did_you_mean_matches_brute_force(spark, corpus, index, tmp_path_factory):
+    """did_you_mean: in-dictionary tokens suggest themselves; OOV tokens get
+    the cf-argmax (cf DESC, term ASC) of the brute-force Levenshtein
+    neighborhood; no-candidate tokens get NULL — and the persisted
+    variant-plane path (on-disk index) agrees with the on-the-fly one."""
+    from information_retrieval_spark.operators.query import did_you_mean
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+        open_index,
+    )
+
+    vocab = {
+        r["term"]: int(r["cf"])
+        for r in index.dictionary.select("term", "cf").collect()
+    }
+    queries = ["idnet_1 stopword_the", "zzzzzzzz ident_1"]
+    got = {
+        (r["query_id"], r["pos"]): (r["qterm"], r["suggestion"], r["cf"])
+        for r in did_you_mean(index, queries, CFG, max_edit=2).collect()
+    }
+    import pandas as pd
+
+    from information_retrieval_spark.functions.analyzer import tokenize_series
+
+    toks = tokenize_series(pd.Series(queries, dtype=object), CFG)
+    assert len(got) == sum(len(ts) for ts in toks)
+    for qid, ts in enumerate(toks):
+        for pos, t in enumerate(ts):
+            qterm, sug, cf = got[(qid, pos)]
+            assert qterm == t
+            if t in vocab:  # exact: suggests itself
+                assert (sug, cf) == (t, vocab[t])
+            else:  # brute-force argmax over the full vocabulary
+                cand = [v for v in vocab if _levenshtein(t, v) <= 2]
+                if not cand:
+                    assert sug is None and cf is None
+                else:
+                    want = min(cand, key=lambda v: (-vocab[v], v))
+                    assert (sug, cf) == (want, vocab[want]), t
+
+    # the persisted variant-plane path returns the identical frame
+    root = str(tmp_path_factory.mktemp("dym") / "idx")
+    build_index_resumable(spark, corpus, root, CFG)
+    idx_disk = open_index(spark, root)
+    assert idx_disk.dictionary_fuzzy is not None
+    got_disk = {
+        (r["query_id"], r["pos"]): (r["qterm"], r["suggestion"], r["cf"])
+        for r in did_you_mean(idx_disk, queries, CFG, max_edit=2).collect()
+    }
+    assert got_disk == got
+
+
+def test_metadata_filtered_topk_semantics(spark, corpus, index):
+    """metadata_filtered_topk: every hit satisfies the predicate; scores of
+    surviving docs are IDENTICAL to the unfiltered query's (global-stats
+    post-filter semantics); the over-cap semi-join route returns the same
+    frame as the broadcast keep-list route."""
+    from information_retrieval_spark.operators.query import (
+        metadata_filtered_topk,
+    )
+
+    queries = QUERIES[:3]
+    filt = (
+        metadata_filtered_topk(spark, index, queries, K, "lang = 'py'", CFG)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert len(filt) > 0
+    py_docids = {
+        r["docid"] for r in index.docs.filter("lang = 'py'").select("docid").collect()
+    }
+    assert all(r["docid"] in py_docids for r in filt)
+
+    # global stats: the filtered scores equal the unfiltered ones per docid
+    qterms = parse_queries(spark, queries, CFG)
+    unfiltered = {
+        (r["query_id"], r["docid"]): r["score"]
+        for r in wand_topk(spark, index, qterms, 10_000, CFG).collect()
+    }
+    for r in filt:
+        assert abs(unfiltered[(r["query_id"], r["docid"])] - r["score"]) < 1e-9
+
+    # over-cap keep-list -> pre-rank semi-join, identical output
+    rerouted = (
+        metadata_filtered_topk(
+            spark, index, queries, K, "lang = 'py'", CFG, small_set_cap=5
+        )
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [tuple(r) for r in rerouted] == [tuple(r) for r in filt]
