@@ -53,6 +53,9 @@ from information_retrieval_spark.operators.query import (  # noqa: E402
     parse_queries,
 )
 from information_retrieval_spark.operators.wand import wand_topk  # noqa: E402
+from information_retrieval_spark.operators.fields import (  # noqa: E402
+    duckdb_bm25f_sql,
+)
 from information_retrieval_spark.operators.boolquery import (  # noqa: E402
     duckdb_boolean_ranked_sql,
     duckdb_boolean_sql,
@@ -681,6 +684,41 @@ FUZZY_SET = ["hasj", "tabel", "scann", "windoww", "zzzz"]
 DYM_SET = ["hash joim tabl", "spark srot mrege", "zzzzqqqq keyy", "the row"]
 
 
+# BM25F queries: content terms, path tokens (mapped paths are doc/<id> so
+# 'doc' is an every-doc path term and '42' a one-doc one), skew, absent
+BM25F_SET = ["hash join table", "doc 42", "the a", "zzz_not_in_corpus"]
+_FIELD_PLANE_CACHE: dict = {}
+
+
+def _path_plane(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _FIELD_PLANE_CACHE:
+        from information_retrieval_spark.operators.fields import (
+            build_field_plane,
+        )
+
+        idx = _index(spark, sf_dir)
+        plane = build_field_plane(
+            idx.docs, "path", idx.n_docs, CFG, weight=3.0, b=0.5
+        )
+        plane.postings = plane.postings.persist()
+        _FIELD_PLANE_CACHE[sf_dir] = plane
+    return _FIELD_PLANE_CACHE[sf_dir]
+
+
+def _q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F (Robertson-Zaragoza-Taylor CIKM'04) over content + path: the
+    path field plane is built by the same SPIMI->VByte pipeline; per-field
+    length norms, union df, combined saturation. Oracle re-tokenizes both
+    fields and applies the published formula brute-force."""
+    from information_retrieval_spark.operators.fields import bm25f_topk
+
+    idx = _index(spark, sf_dir)
+    out = bm25f_topk(
+        spark, idx, [_path_plane(spark, sf_dir)], BM25F_SET, TOP_K, CFG
+    )
+    return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
+
+
 def _q_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered ranked retrieval (lang = 'en'): the docs-catalog
     predicate feeds WAND's allowed keep-list (auto-routing to the pre-rank
@@ -967,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_topk": _q_fuzzy_topk,
         "did_you_mean": _q_did_you_mean,
         "filtered_topk": _q_filtered_topk,
+        "bm25f_topk": _q_bm25f_topk,
         "facets": _q_facets,
         "more_like_this": _q_more_like_this,
         "suggest": _q_suggest,
@@ -1199,6 +1238,10 @@ FROM events GROUP BY event_type
         "did_you_mean": duckdb_did_you_mean_sql(corpus, DYM_SET, CFG, max_edit=2),
         "filtered_topk": duckdb_filtered_bm25_sql(
             corpus, QUERY_SET, "lang = 'en'", CFG, k=TOP_K, round_to=4
+        ),
+        "bm25f_topk": duckdb_bm25f_sql(
+            corpus, BM25F_SET, CFG, k=TOP_K, round_to=4,
+            field_weight=3.0, field_b=0.5,
         ),
         "suggest": duckdb_suggest_sql(corpus, PREFIX_SET, CFG, k=8),
         "related_terms": duckdb_related_terms_sql(RELATED_SEEDS, CFG, k=10),

@@ -1,0 +1,255 @@
+"""BM25F — multi-field weighted ranking over the docs catalog's text fields.
+
+Public algorithm: the "simple BM25F" of Robertson, Zaragoza & Taylor,
+"Simple BM25 extension to multiple weighted fields" (CIKM 2004): per-field
+term frequencies are length-normalized PER FIELD, combined with field
+weights into a single pseudo-frequency, and scored once with a shared
+saturation + idf — NOT a per-field BM25 sum (which would double-saturate).
+The canonical code-search use: filename/path hits outrank body hits.
+
+    tf~(t,d)  = Σ_f  w_f · tf_f(t,d) / B_f(d)
+    B_f(d)    = 1 − b_f + b_f · len_f(d) / avglen_f
+    score(q,d)= Σ_t  idf(t) · tf~ · (k1+1) / (k1 + tf~)
+
+``idf`` uses the UNION document frequency (t appears in ANY field) over the
+shared BM25 idf form, computed EXACTLY from the decoded legs (the decode
+already fetched every posting of the queried terms in every plane, so the
+union count is free — no extra pass, no approximation).
+
+Spark shape: each field is its own posting plane built by the SAME SPIMI →
+VByte-block pipeline as the main index (`spimi_emit` needs only
+(docid, content) — the field column aliases in). Query cost is a pruned
+``term IN`` read of each plane + one map-side decode — Σ_t df(t) postings,
+never a corpus scan; the per-(term,docid) combine and per-query top-k are
+ordinary hash aggs over that matched set. Block-max pruning across fields
+(the BMW upper-bound trick needs a per-block bound on the COMBINED tf~,
+which single-field block maxes don't give) is documented future work — at
+10^12 docs the pruned-read cost profile equals the engine's disjunctive
+non-WAND paths (prefix/wildcard oracles), which BENCH.md records as
+interactive at the tested scales.
+
+Reference parity: the reference's query engine is unimplemented
+(/root/reference/index/index.cc:161 stops at the FileManager TODO); BM25F
+is part of the driver-mandated "complete query surface a reference user
+would need", built from the published algorithm only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from .build import decode_posting_rows, encode_postings, spimi_emit
+from .query import parse_query_terms
+
+
+@dataclass
+class FieldPlane:
+    """One field's posting plane: the SPIMI→VByte-block pipeline applied to
+    a docs-catalog text column. ``avg_len`` is total field tokens / n_docs
+    (every admitted doc counts in the denominator, zero-token fields
+    included — the same identity the main build uses for avgdl)."""
+
+    field: str
+    weight: float
+    b: float
+    postings: DataFrame
+    avg_len: float
+
+
+def build_field_plane(
+    docs: DataFrame,
+    field: str,
+    n_docs: int,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    weight: float = 1.0,
+    b: float | None = None,
+) -> FieldPlane:
+    """Build one field's plane from the docs catalog (docid + the field
+    column — column-pruned; ``content`` is never touched). Reuses the exact
+    build pipeline: Arrow SPIMI emit → (term, bucket) salted merge → VByte
+    blocks, so the plane inherits the build's shuffle/skew discipline and
+    its dl stream carries the FIELD length per doc (B_f needs it)."""
+    fdocs = docs.select("docid", F.col(field).alias("content"))
+    runs = spimi_emit(fdocs, cfg).persist()
+    try:
+        total = int(runs.agg(F.sum("run_cf").alias("s")).collect()[0]["s"] or 0)
+        avg_len = (total / n_docs) if n_docs else 0.0
+        postings = encode_postings(runs, avg_len, cfg)
+        return FieldPlane(
+            field=field,
+            weight=float(weight),
+            b=cfg.b if b is None else float(b),
+            postings=postings,
+            avg_len=avg_len,
+        )
+    finally:
+        # encode_postings consumed the runs lazily; keep the persist for the
+        # plane's lifetime — callers persist postings themselves if reused
+        pass
+
+
+def bm25f_topk(
+    spark: SparkSession,
+    index,
+    planes: list[FieldPlane],
+    queries: list[str],
+    k: int,
+    cfg: EngineConfig | None = None,
+    *,
+    content_weight: float = 1.0,
+) -> DataFrame:
+    """(query_id, rank, docid, score) — BM25F top-k over the main index's
+    content plane (weight ``content_weight``, b = cfg.b, avgdl =
+    index.avgdl) plus the given field planes. Deterministic tie-break
+    (score DESC, docid ASC) over unrounded float64 scores.
+
+    Plan: one pruned `term IN` read + map-side decode per plane (the same
+    pushdown discipline as WAND's fetch, plan-asserted in test_plans), a
+    (term, docid) hash agg to combine legs, an exact union-df agg for idf,
+    one broadcast join with the |queries|·|terms| table, and the rank
+    window over ≤ matched-docs rows. No corpus scan, no driver collect."""
+    cfg = cfg or index.cfg
+    k1 = float(cfg.k1)
+    n_docs = float(index.n_docs)
+    q_pairs = parse_query_terms(queries, cfg)
+    if not q_pairs:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, docid long, score double"
+        )
+    terms = sorted({t for _, t in q_pairs})
+
+    def leg(postings: DataFrame, weight: float, b: float, avg: float) -> DataFrame:
+        rows = decode_posting_rows(postings.filter(F.col("term").isin(terms)))
+        bf = F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avg if avg else 1.0)
+        return rows.select(
+            "term", "docid", (F.lit(weight) * F.col("tf") / bf).alias("tfn_part")
+        )
+
+    legs = leg(index.postings, content_weight, float(cfg.b), float(index.avgdl))
+    for p in planes:
+        legs = legs.unionByName(leg(p.postings, p.weight, p.b, p.avg_len))
+
+    combined = legs.groupBy("term", "docid").agg(
+        F.sum("tfn_part").alias("tfn")
+    )
+    # exact union df per term: the combined rows are distinct (term, docid)
+    df_t = combined.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qdf = spark.createDataFrame(q_pairs, "query_id int, term string")
+    scored = (
+        combined.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(qdf), "term")
+        .withColumn(
+            "s",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * F.col("tfn")
+            * F.lit(k1 + 1.0)
+            / (F.col("tfn") + F.lit(k1)),
+        )
+        .groupBy("query_id", "docid")
+        .agg(F.sum("s").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "rank", "docid", "score")
+    )
+
+
+def duckdb_bm25f_sql(
+    corpus_sql: str,
+    queries: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int | None = None,
+    round_to: int = 4,
+    *,
+    field_sql: str = "path",
+    field_weight: float = 3.0,
+    field_b: float = 0.5,
+    content_weight: float = 1.0,
+) -> str:
+    """Oracle twin of ``bm25f_topk`` (one extra field over content): both
+    fields re-tokenized from the corpus rows, per-field length norms from
+    per-field average lengths over ALL admitted docs, union df, the same
+    combined-saturation score — ranked over unrounded scores."""
+    from .docids import duckdb_docid_sql
+    from .query import duckdb_tok
+
+    qvalues = ", ".join(f"({i}, '{q}')" for i, q in enumerate(queries))
+    k1, b_c = cfg.k1, cfg.b
+    topk_filter = f"WHERE rank <= {int(k)}" if k is not None else ""
+    return f"""
+WITH ids AS ({duckdb_docid_sql(corpus_sql, cfg)}),
+docs AS (
+  SELECT docid,
+         len({duckdb_tok('content', cfg)}) AS dl_c,
+         len({duckdb_tok(field_sql, cfg)}) AS dl_f,
+         content, {field_sql} AS fld
+  FROM ids
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         (sum(dl_c)::DOUBLE / count(*)) AS avg_c,
+         (sum(dl_f)::DOUBLE / count(*)) AS avg_f
+  FROM docs
+),
+qterms AS (
+  SELECT DISTINCT query_id, qterm AS term FROM (
+    SELECT query_id, unnest({duckdb_tok('text', cfg)}) AS qterm
+    FROM (VALUES {qvalues}) AS queries(query_id, text)
+  )
+),
+tf_c AS (
+  SELECT term, docid, any_value(dl_c) AS dl, count(*) AS tf
+  FROM (SELECT docid, dl_c, unnest({duckdb_tok('content', cfg)}) AS term FROM docs)
+  GROUP BY term, docid
+),
+tf_f AS (
+  SELECT term, docid, any_value(dl_f) AS dl, count(*) AS tf
+  FROM (SELECT docid, dl_f, unnest({duckdb_tok('fld', cfg)}) AS term FROM docs)
+  GROUP BY term, docid
+),
+combined AS (
+  SELECT term, docid, sum(tfn_part) AS tfn FROM (
+    SELECT c.term, c.docid,
+           {content_weight} * c.tf
+             / ({1.0 - b_c} + {b_c} * c.dl / s.avg_c) AS tfn_part
+    FROM tf_c c CROSS JOIN stats s
+    UNION ALL
+    SELECT f.term, f.docid,
+           {field_weight} * f.tf
+             / ({1.0 - field_b} + {field_b} * f.dl / s.avg_f) AS tfn_part
+    FROM tf_f f CROSS JOIN stats s
+  ) GROUP BY term, docid
+),
+df_t AS (SELECT term, count(*)::DOUBLE AS df FROM combined GROUP BY term),
+scored AS (
+  SELECT q.query_id, c.docid,
+         sum(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * c.tfn * {k1 + 1.0} / (c.tfn + {k1})
+         ) AS raw_score
+  FROM combined c
+  JOIN qterms q USING (term)
+  JOIN df_t d ON d.term = c.term
+  CROSS JOIN stats s
+  GROUP BY q.query_id, c.docid
+)
+SELECT query_id, rank, docid, round(raw_score, {int(round_to)}) AS score
+FROM (
+  SELECT query_id, docid, raw_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, docid ASC) AS rank
+  FROM scored
+) {topk_filter}
+ORDER BY query_id, rank
+"""

@@ -1,0 +1,133 @@
+"""BM25F multi-field ranking (operators/fields.py): DuckDB parity on the
+synthetic corpus, field-boost semantics, and plan/scale discipline."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.corpus import STOPWORD, synthetic_corpus_pdf
+from information_retrieval_spark.operators.build import build_index
+from information_retrieval_spark.operators.fields import (
+    bm25f_topk,
+    build_field_plane,
+    duckdb_bm25f_sql,
+)
+
+CFG = EngineConfig(n_doc_buckets=8, block_size=16)
+
+QUERIES = [
+    "ident_1",               # content term
+    "mod12 ident_3",         # path term + content term
+    "py",                    # extension token — path-only for most docs
+    f"{STOPWORD}",           # ~99%-df skew term (ties)
+    "zzz_not_in_corpus",     # df = 0
+]
+K = 10
+W_PATH, B_PATH = 3.0, 0.5
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return synthetic_corpus_pdf(400, seed=42)[
+        ["repo", "path", "commit", "lang", "content"]
+    ]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, corpus_pdf):
+    return spark.createDataFrame(corpus_pdf).cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus):
+    idx = build_index(spark, corpus, CFG)
+    idx.postings = idx.postings.cache()
+    idx.dictionary = idx.dictionary.cache()
+    return idx
+
+
+@pytest.fixture(scope="module")
+def path_plane(index):
+    plane = build_field_plane(
+        index.docs, "path", index.n_docs, CFG, weight=W_PATH, b=B_PATH
+    )
+    plane.postings = plane.postings.cache()
+    return plane
+
+
+def test_bm25f_matches_duckdb_oracle(spark, index, path_plane, corpus_pdf):
+    """Full rank+score parity with the brute-force two-field SQL definition
+    (per-field length norms, union df, combined saturation)."""
+    got = (
+        bm25f_topk(spark, index, [path_plane], QUERIES, K, CFG)
+        .select("query_id", "rank", "docid", F.round("score", 6).alias("score"))
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("corpus_tbl", corpus_pdf)
+    sql = duckdb_bm25f_sql(
+        "SELECT * FROM corpus_tbl",
+        QUERIES,
+        CFG,
+        k=K,
+        round_to=6,
+        field_weight=W_PATH,
+        field_b=B_PATH,
+    )
+    want = con.execute(sql).fetchall()
+    assert [(r["query_id"], r["rank"], r["docid"]) for r in got] == [
+        (int(q), int(rk), int(d)) for q, rk, d, _ in want
+    ]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w[3], abs=1e-9)
+    assert len(got) > 0
+
+
+def test_bm25f_path_boost_semantics(spark, index, path_plane):
+    """A term occurring in a doc's PATH contributes even when absent from
+    its content: the 'py' extension token must surface .py docs, and raising
+    the path weight must not LOWER a path-matched doc's score."""
+    hits = {
+        r["docid"]: r["score"]
+        for r in bm25f_topk(spark, index, [path_plane], ["py"], 50, CFG).collect()
+    }
+    assert hits, "extension token found nothing"
+    # every hit's catalog row actually has a .py path or 'py' in content
+    docs = {
+        r["docid"]: (r["path"], r["content"])
+        for r in index.docs.select("docid", "path", "content").collect()
+    }
+    path_only = [
+        d for d in hits if docs[d][0].endswith(".py") and " py " not in docs[d][1]
+    ]
+    assert path_only, "expected at least one path-only match"
+
+    heavier = build_field_plane(
+        index.docs, "path", index.n_docs, CFG, weight=10.0, b=B_PATH
+    )
+    hits10 = {
+        r["docid"]: r["score"]
+        for r in bm25f_topk(spark, index, [heavier], ["py"], 50, CFG).collect()
+    }
+    common = set(hits) & set(hits10)
+    assert common
+    assert all(hits10[d] >= hits[d] - 1e-9 for d in common)
+
+
+def test_bm25f_empty_and_absent_queries(spark, index, path_plane):
+    out = bm25f_topk(spark, index, [path_plane], ["::: //"], K, CFG)
+    assert out.count() == 0
+    out2 = bm25f_topk(spark, index, [path_plane], ["zzz_not_in_corpus"], K, CFG)
+    assert out2.count() == 0
+
+
+def test_bm25f_pruned_plane_read(spark, index, path_plane):
+    """Both plane reads carry the static term IN filter (the same pushdown
+    discipline as WAND's fetch) — no full-postings decode."""
+    plan = bm25f_topk(
+        spark, index, [path_plane], ["ident_1"], K, CFG
+    )._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.lower().count("ident_1") >= 2  # IN-filter on both legs
