@@ -248,6 +248,12 @@ class EngineConfig:
     # region plane — the depth-annotated positional table whose markup tags
     # become <level!N> / </level!N> pseudo-token terms (operators/regions.py).
     enable_xpath: bool = False
+    # BM25F field planes (operators/fields.py): extra docs-catalog text
+    # columns (e.g. ("path",)) indexed through the same SPIMI→VByte-block
+    # pipeline and persisted under fields/<name>/ across the whole index
+    # lifecycle (build / streamed append / GC). Ranking weights are
+    # query-time parameters, not index state.
+    field_planes: tuple = ()
 
     # --- admission filter (S2) -----------------------------------------
     min_file_size: int = 8
@@ -293,6 +299,10 @@ class EngineConfig:
         if self.max_file_size < 32:
             # clamp mirrors /root/reference/index/index.cc:22-24
             object.__setattr__(self, "max_file_size", 32)
+        # JSON meta roundtrips tuples as lists — normalize so cfg equality
+        # and hashing survive open_index
+        if not isinstance(self.field_planes, tuple):
+            object.__setattr__(self, "field_planes", tuple(self.field_planes))
 
     @classmethod
     def from_env(cls, **overrides) -> "EngineConfig":

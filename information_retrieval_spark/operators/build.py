@@ -754,6 +754,9 @@ class InvertedIndex:
     # the persisted T9 region plane (operators/regions.py; None unless the
     # index was built with cfg.enable_xpath, reference index.h:60-66)
     regions: DataFrame | None = None
+    # persisted BM25F field planes (operators/fields.py): field name →
+    # FieldPlane; None unless the index was built with cfg.field_planes
+    fields: dict | None = None
     # the persisted SPIMI run cache of an in-memory build_index (kept so
     # callers can unpersist it; None for indexes opened from disk)
     runs: DataFrame | None = None

@@ -222,6 +222,20 @@ def _compact_index_locked(
             "term", "docid", "tf", "positions", "depths", "bucket"
         ).write.mode("overwrite").partitionBy("bucket").parquet(p["regions"])
 
+    # BM25F field planes: block rows are run-shaped like the main postings,
+    # so GC is the same bucket-granular compact_postings re-encode (against
+    # each plane's pinned avg_len baseline — scores must not re-rank)
+    if index.fields:
+        from ..sources.manifest import field_plane_path
+
+        for name, plane in index.fields.items():
+            fsub = plane.postings.filter(F.col("bucket").isin(affected))
+            compact_postings(
+                fsub, deleted, plane.avg_len, cfg, small_set_cap
+            ).write.mode("overwrite").partitionBy("bucket").parquet(
+                field_plane_path(root, name)
+            )
+
     # refresh dictionary (+ reversed twin) + stats from the full
     # (post-rewrite) tables
     from ..sources.manifest import write_dictionary_planes
@@ -242,6 +256,24 @@ def _compact_index_locked(
         "avgdl": index.avgdl,
         "total_tokens": int(row["toks"] or 0),
     }
+    if index.fields:
+        from ..sources.manifest import field_plane_path, read_meta
+
+        # surviving per-field token counts from the rewritten planes' block
+        # rows (block_cf sums — |blocks| rows, never a decode); the pinned
+        # avg_len baseline rides along unchanged (avgdl policy)
+        stats["field_tokens"] = {
+            name: int(
+                spark.read.parquet(field_plane_path(root, name))
+                .agg(F.sum("block_cf").alias("s"))
+                .collect()[0]["s"]
+                or 0
+            )
+            for name in index.fields
+        }
+        stats["field_avg_len"] = read_meta(root)["stats"].get(
+            "field_avg_len", {}
+        )
     write_meta(root, cfg, stats, consistent=True)
 
     # clear the ledger (it has been fully applied)

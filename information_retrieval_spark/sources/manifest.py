@@ -62,8 +62,14 @@ def _paths(root: str) -> dict:
         "dictionary_rev": os.path.join(root, "dictionary_rev"),
         "dictionary_fuzzy": os.path.join(root, "dictionary_fuzzy"),
         "dictionary_trigram": os.path.join(root, "dictionary_trigram"),
+        "fields": os.path.join(root, "fields"),
         "manifest": os.path.join(root, "manifest"),
     }
+
+
+def field_plane_path(root: str, name: str) -> str:
+    """Persisted BM25F field-plane dataset: fields/<name>/bucket=*/…"""
+    return os.path.join(root, "fields", name)
 
 
 _PLANE_TAG = "_plane_tag"  # leading '_': invisible to Spark AND pyarrow reads
@@ -650,9 +656,55 @@ def _build_index_resumable_locked(
                 ],
             )
 
+    # ---- stage 2d: BM25F field planes (operators/fields.py) --------------
+    # one extra SPIMI→VByte plane per cfg.field_planes column, same
+    # per-bucket resumable contract; the dl stream carries the FIELD length
+    field_tokens: dict = {}
+    if cfg.field_planes:
+        from ..functions.analyzer import doc_len_expr
+
+        for name in cfg.field_planes:
+            stage = f"field:{name}"
+            ftoks = int(
+                docs_all.agg(
+                    F.sum(doc_len_expr(F.col(name), cfg)).alias("s")
+                ).collect()[0]["s"]
+                or 0
+            )
+            field_tokens[name] = ftoks
+            avg_f = (ftoks / n_docs) if n_docs else 0.0
+            todo_f = sorted(all_buckets - completed_buckets(spark, root, stage))
+            if todo_f:
+                t0 = time.time()
+                docs_todo = docs_all.filter(
+                    F.col("bucket").isin([int(b) for b in todo_f])
+                ).select("docid", F.col(name).alias("content"))
+                encode_postings(spimi_emit(docs_todo, cfg), avg_f, cfg).write.mode(
+                    "overwrite"
+                ).partitionBy("bucket").parquet(field_plane_path(root, name))
+                elapsed = time.time() - t0
+                now = time.time()
+                _append_manifest(
+                    spark,
+                    root,
+                    [
+                        (stage, int(b), input_snapshot, n_docs, 0, elapsed,
+                         0.0, 0.0, 0, "complete", now)
+                        for b in todo_f
+                    ],
+                )
+
     postings_all = spark.read.parquet(p["postings"])
     write_dictionary_planes(spark, build_dictionary(postings_all), root)
     stats = {"n_docs": n_docs, "avgdl": avgdl, "total_tokens": total_tokens}
+    if field_tokens:
+        stats["field_tokens"] = field_tokens
+        # pinned per-field length baseline — same policy as avgdl: appends
+        # keep it so scores stay stable; rebuild from scratch to re-baseline
+        stats["field_avg_len"] = {
+            name: (t / n_docs if n_docs else 0.0)
+            for name, t in field_tokens.items()
+        }
     # per-bucket docid allocator state: streamed appends continue each
     # bucket's local-row counter O(1) from meta — never a docs-table rescan
     counters = {
@@ -675,7 +727,39 @@ def _build_index_resumable_locked(
         cfg=cfg,
         positional=spark.read.parquet(p["positional"]) if cfg.positional else None,
         regions=spark.read.parquet(p["regions"]) if cfg.enable_xpath else None,
+        fields=_read_field_planes(spark, root, cfg, stats),
     )
+
+
+def _read_field_planes(spark: SparkSession, root: str, cfg, stats: dict):
+    """name → FieldPlane for every cfg.field_planes dataset present on disk.
+    avg_len comes from the meta ``field_tokens`` counters (maintained
+    incrementally by append/compact — never a rescan). Ranking weight/b are
+    QUERY-time parameters: planes open neutral (weight 1.0, b = cfg.b) and
+    callers set them per query."""
+    if not cfg.field_planes:
+        return None
+    from ..operators.fields import FieldPlane
+
+    n = int(stats.get("n_docs", 0))
+    ftoks = stats.get("field_tokens", {})
+    favg = stats.get("field_avg_len", {})
+    out = {}
+    for name in cfg.field_planes:
+        path = field_plane_path(root, name)
+        if not os.path.isdir(path):
+            continue
+        out[name] = FieldPlane(
+            field=name,
+            weight=1.0,
+            b=cfg.b,
+            postings=spark.read.parquet(path),
+            # pinned build baseline (same policy as avgdl); legacy fallback
+            avg_len=float(
+                favg.get(name, (ftoks.get(name, 0) / n) if n else 0.0)
+            ),
+        )
+    return out or None
 
 
 def open_index(spark: SparkSession, root: str) -> InvertedIndex:
@@ -714,4 +798,5 @@ def open_index(spark: SparkSession, root: str) -> InvertedIndex:
             if cfg.enable_xpath and os.path.isdir(p["regions"])
             else None
         ),
+        fields=_read_field_planes(spark, root, cfg, s),
     )

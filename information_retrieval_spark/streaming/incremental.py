@@ -227,12 +227,49 @@ def _append_batch_locked(
         region_postings(docs_new, cfg).write.mode("overwrite").partitionBy(
             "bucket"
         ).parquet(os.path.join(staging, "regions"))
+    field_toks_new: dict = {}
+    if cfg.field_planes:
+        # BM25F field planes: one staged delta segment per field, encoded
+        # against the plane's PINNED avg_len baseline (same discipline as
+        # avgdl above — block maxima stay consistent across segments; the
+        # query side reads avg_len from the meta counters, not the blocks)
+        meta_ftoks = meta["stats"].get("field_tokens", {})
+        meta_favg = meta["stats"].get("field_avg_len", {})
+        base_n = int(meta["stats"].get("n_docs", 0))
+        for name in cfg.field_planes:
+            avg_f = float(
+                meta_favg.get(
+                    name,
+                    (meta_ftoks.get(name, 0) / base_n) if base_n else 0.0,
+                )
+            )
+            field_toks_new[name] = int(
+                docs_new.agg(
+                    F.sum(doc_len_expr(F.col(name), cfg)).alias("s")
+                ).collect()[0]["s"]
+                or 0
+            )
+            fdocs = docs_new.select("docid", F.col(name).alias("content"))
+            encode_postings(spimi_emit(fdocs, cfg), avg_f, cfg).write.mode(
+                "overwrite"
+            ).partitionBy("bucket").parquet(
+                os.path.join(staging, f"field_{name}")
+            )
     _promote(os.path.join(staging, "docs"), p["docs"], batch_id)
     _promote(os.path.join(staging, "postings"), p["postings"], batch_id)
     if cfg.positional:
         _promote(os.path.join(staging, "positional"), p["positional"], batch_id)
     if cfg.enable_xpath:
         _promote(os.path.join(staging, "regions"), p["regions"], batch_id)
+    if cfg.field_planes:
+        from ..sources.manifest import field_plane_path
+
+        for name in cfg.field_planes:
+            _promote(
+                os.path.join(staging, f"field_{name}"),
+                field_plane_path(root, name),
+                batch_id,
+            )
 
     if refresh_dict:
         # INCREMENTAL merge: df/cf/n_blocks are additive over posting
@@ -254,6 +291,14 @@ def _append_batch_locked(
         "avgdl": avgdl,  # pinned baseline (see module docstring)
         "total_tokens": int(meta["stats"]["total_tokens"]) + toks_new,
     }
+    if cfg.field_planes:
+        prev_ft = meta["stats"].get("field_tokens", {})
+        stats["field_tokens"] = {
+            name: int(prev_ft.get(name, 0)) + field_toks_new.get(name, 0)
+            for name in cfg.field_planes
+        }
+        # pinned baseline rides along unchanged (avgdl policy)
+        stats["field_avg_len"] = meta["stats"].get("field_avg_len", {})
     write_meta(
         root,
         cfg,

@@ -131,3 +131,91 @@ def test_bm25f_pruned_plane_read(spark, index, path_plane):
     )._jdf.queryExecution().toString()
     assert "CartesianProduct" not in plan
     assert plan.lower().count("ident_1") >= 2  # IN-filter on both legs
+
+
+def test_field_plane_lifecycle(spark, corpus, tmp_path_factory):
+    """cfg.field_planes carries the path plane through the FULL index
+    lifecycle: resumable build persists fields/path + pinned avg_len,
+    open_index mounts it and bm25f matches the in-memory plane exactly,
+    append_batch extends it (new docs retrievable via path terms, counters
+    advanced O(1)), and compact_index GCs it (tombstoned docs vanish)."""
+    from information_retrieval_spark.operators.compaction import (
+        compact_index,
+        record_deletions,
+    )
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+        open_index,
+        read_meta,
+    )
+    from information_retrieval_spark.streaming.incremental import append_batch
+
+    cfg = EngineConfig(n_doc_buckets=8, block_size=16, field_planes=("path",))
+    root = str(tmp_path_factory.mktemp("fieldplane") / "idx")
+    build_index_resumable(spark, corpus, root, cfg)
+    idx = open_index(spark, root)
+    assert idx.fields and "path" in idx.fields
+    plane = idx.fields["path"]
+    assert plane.avg_len > 0
+
+    # parity with the in-memory plane (same weights)
+    plane.weight, plane.b = W_PATH, B_PATH
+    mem = build_field_plane(
+        idx.docs, "path", idx.n_docs, cfg, weight=W_PATH, b=B_PATH
+    )
+    queries = ["mod12 ident_3", "py"]
+    got = [
+        (r["query_id"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in bm25f_topk(spark, idx, [plane], queries, K, cfg)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    want = [
+        (r["query_id"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in bm25f_topk(spark, idx, [mem], queries, K, cfg)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
+
+    # append: a doc reachable ONLY through its path tokens
+    batch = spark.createDataFrame(
+        [
+            (
+                "orgX/projY",
+                "src/zzfieldterm/newdoc.py",
+                "c" * 40,
+                "py",
+                "ident_1 ident_2 ident_3 ident_4 ident_5 ident_6 ident_7",
+            )
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    ft_before = read_meta(root)["stats"]["field_tokens"]["path"]
+    out = append_batch(spark, batch, root, cfg, batch_id=1)
+    assert out["docs_appended"] == 1
+    meta = read_meta(root)
+    assert meta["stats"]["field_tokens"]["path"] == ft_before + 4  # src zzfieldterm newdoc py
+    assert meta["stats"]["field_avg_len"]["path"] == pytest.approx(plane.avg_len)
+
+    idx2 = open_index(spark, root)
+    idx2.fields["path"].weight = W_PATH
+    hits = bm25f_topk(spark, idx2, [idx2.fields["path"]], ["zzfieldterm"], 5, cfg).collect()
+    assert len(hits) == 1
+    new_docid = hits[0]["docid"]
+    resolved = idx2.docs.filter(F.col("docid") == new_docid).collect()[0]
+    assert resolved["path"] == "src/zzfieldterm/newdoc.py"
+
+    # GC: tombstone the appended doc, compact, plane forgets it
+    record_deletions(
+        spark, root, spark.createDataFrame([(int(new_docid),)], "docid long")
+    )
+    stats = compact_index(spark, root, cfg)
+    assert stats["deleted_docs"] == 1
+    idx3 = open_index(spark, root)
+    idx3.fields["path"].weight = W_PATH
+    assert (
+        bm25f_topk(spark, idx3, [idx3.fields["path"]], ["zzfieldterm"], 5, cfg).count()
+        == 0
+    )
+    assert read_meta(root)["stats"]["field_tokens"]["path"] == ft_before
