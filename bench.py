@@ -417,6 +417,19 @@ def main() -> None:
 
     from __spark_entry__ import ANN_QVEC, HYBRID_K_LEG, RRF_K
     from information_retrieval_spark.operators.fusion import hybrid_rrf_topk
+    from information_retrieval_spark.operators.fields import (
+        bm25f_topk,
+        build_field_plane,
+    )
+    from information_retrieval_spark.operators.query import (
+        did_you_mean,
+        metadata_filtered_topk,
+    )
+
+    path_plane = build_field_plane(
+        idx.docs, "path", idx.n_docs, cfg, weight=3.0, b=0.5
+    )
+    path_plane.postings = path_plane.postings.persist()
 
     embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     doc_key = idx.docs.select(
@@ -437,6 +450,14 @@ def main() -> None:
         ("hybrid_rrf", lambda: hybrid_rrf_topk(
             spark, idx, QUERY_SET[0], ANN_QVEC, embs, doc_key,
             k=TOP_K, k_leg=HYBRID_K_LEG, rrf_k=RRF_K, cfg=cfg)),
+        # round-4 ranked surfaces: catalog-predicate filter, per-token
+        # spelling correction, and two-field BM25F over a prebuilt plane
+        ("filtered", lambda: metadata_filtered_topk(
+            spark, idx, [QUERY_SET[0]], TOP_K, "lang = 'en'", cfg)),
+        ("did_you_mean", lambda: did_you_mean(
+            idx, ["hash joim tabl", "spark srot mrege"], cfg, max_edit=2)),
+        ("bm25f", lambda: bm25f_topk(
+            spark, idx, [path_plane], [QUERY_SET[0], "doc 42"], TOP_K, cfg)),
     ):
         fn().count()  # warm (plan compile + worker spin-up)
         t0 = time.time()

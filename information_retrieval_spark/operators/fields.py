@@ -137,11 +137,15 @@ def bm25f_topk(
     combined = legs.groupBy("term", "docid").agg(
         F.sum("tfn_part").alias("tfn")
     )
-    # exact union df per term: the combined rows are distinct (term, docid)
-    df_t = combined.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # exact union df per term as a window count over the combined rows
+    # (they are distinct (term, docid) by construction): ONE linear plan —
+    # a separate df aggregation joined back would re-run the plane decodes
+    # a second time to build its broadcast side (measured 5× slower)
     qdf = spark.createDataFrame(q_pairs, "query_id int, term string")
     scored = (
-        combined.join(F.broadcast(df_t), "term")
+        combined.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .join(F.broadcast(qdf), "term")
         .withColumn(
             "s",
