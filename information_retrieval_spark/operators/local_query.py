@@ -942,3 +942,71 @@ def answer_queries(
                 hits.append(h)
             out[i]["hits"] = hits
     return out
+
+
+def did_you_mean_local(
+    index: "LocalIndex | str",
+    queries: list[str],
+    max_edit: int = 2,
+) -> pd.DataFrame:
+    """(query_id, pos, qterm, suggestion, cf) — Spark-free twin of
+    ``query.did_you_mean``, pinned to the same semantics: in-dictionary
+    tokens self-suggest, OOV tokens take the cf-argmax (cf DESC, term ASC)
+    of the Levenshtein-``max_edit`` neighborhood (UNCAPPED — the argmax
+    must see every neighbor), no-candidate tokens get NULL.
+
+    Interactive shape: one term-isin pruned (term, cf) dictionary read for
+    membership, the shared plane-pruned neighborhood expansion for the OOV
+    tokens, one more pruned (term, cf) read for the candidates — all
+    pyarrow, zero Spark jobs."""
+    import pyarrow.dataset as ds
+
+    from ..functions.analyzer import tokenize_series
+
+    if max_edit not in (1, 2):
+        raise ValueError(f"max_edit must be 1 or 2, got {max_edit}")
+    idx = LocalIndex(index) if isinstance(index, str) else index
+    toks = tokenize_series(pd.Series(queries, dtype=object), idx.cfg)
+    norm = [
+        (qid, pos, t) for qid, ts in enumerate(toks) for pos, t in enumerate(ts)
+    ]
+    cols = ["query_id", "pos", "qterm", "suggestion", "cf"]
+    if not norm:
+        return pd.DataFrame(columns=cols)
+    qset = sorted({t for _, _, t in norm})
+    dset = ds.dataset(os.path.join(idx.root, "dictionary"), format="parquet")
+    tab = dset.to_table(columns=["term", "cf"], filter=ds.field("term").isin(qset))
+    exact = dict(
+        zip(tab.column("term").to_pylist(), tab.column("cf").to_pylist())
+    )
+    missing = [t for t in qset if t not in exact]
+    best: dict[str, tuple[str, int]] = {}
+    if missing:
+        pairs = _expand_fuzzy_terms_local(
+            idx, list(enumerate(missing)), max_edit, max_expansions=1 << 30
+        )
+        cand_terms = sorted({t for _, t in pairs})
+        ctab = dset.to_table(
+            columns=["term", "cf"], filter=ds.field("term").isin(cand_terms)
+        )
+        cf_map = dict(
+            zip(ctab.column("term").to_pylist(), ctab.column("cf").to_pylist())
+        )
+        for i, t in pairs:
+            q = missing[i]
+            cur = best.get(q)
+            key = (-cf_map[t], t)
+            if cur is None or key < (-cur[1], cur[0]):
+                best[q] = (t, int(cf_map[t]))
+    rows = []
+    for qid, pos, t in norm:
+        if t in exact:
+            rows.append((qid, pos, t, t, int(exact[t])))
+        elif t in best:
+            rows.append((qid, pos, t, best[t][0], best[t][1]))
+        else:
+            rows.append((qid, pos, t, None, None))
+    df = pd.DataFrame(rows, columns=cols)
+    # keep cf int-or-None (a mixed column would coerce to float NaN)
+    df["cf"] = pd.Series([r[4] for r in rows], dtype=object)
+    return df

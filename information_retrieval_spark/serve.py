@@ -26,6 +26,7 @@ This module re-creates those semantics over :class:`LocalIndex`
 Protocol: newline-delimited JSON, one object per line.
 
     {"op": "query", "queries": ["hash join", "tab*"], "k": 10}
+    {"op": "did_you_mean", "queries": ["hash joim tabl"], "max_edit": 2}
     {"op": "stats"}
     {"op": "shutdown"}
 
@@ -208,6 +209,35 @@ class QueryDaemon:
         if op == "shutdown":
             threading.Thread(target=self.stop, daemon=True).start()
             return {"ok": True, "bye": True}
+        if op == "did_you_mean":
+            queries = req.get("queries")
+            if queries is None:
+                queries = [req["query"]] if "query" in req else []
+            if not isinstance(queries, list) or not all(
+                isinstance(q, str) for q in queries
+            ):
+                return {"ok": False, "error": "queries must be a list of strings"}
+            try:
+                from .operators.local_query import did_you_mean_local
+
+                df = did_you_mean_local(
+                    self._snapshot(), queries, max_edit=int(req.get("max_edit", 2))
+                )
+                results = [
+                    {
+                        "query_id": int(q),
+                        "pos": int(p),
+                        "qterm": t,
+                        "suggestion": s,
+                        "cf": int(c) if c is not None else None,
+                    }
+                    for q, p, t, s, c in df.itertuples(index=False)
+                ]
+            except Exception as e:
+                return {"ok": False, "error": str(e)}
+            with self._reg_lock:
+                self._queries_served += len(queries)
+            return {"ok": True, "registration_id": reg_id, "results": results}
         if op == "query":
             queries = req.get("queries")
             if queries is None:

@@ -711,6 +711,18 @@ def test_did_you_mean_matches_brute_force(spark, corpus, index, tmp_path_factory
     }
     assert got_disk == got
 
+    # the Spark-free pyarrow twin is pinned to the same frame
+    from information_retrieval_spark.operators.local_query import (
+        did_you_mean_local,
+    )
+
+    got_local = {
+        (int(q), int(p)): (t, s, int(c) if c is not None else None)
+        for q, p, t, s, c in did_you_mean_local(root, queries, max_edit=2)
+        .itertuples(index=False)
+    }
+    assert got_local == got
+
 
 def test_metadata_filtered_topk_semantics(spark, corpus, index):
     """metadata_filtered_topk: every hit satisfies the predicate; scores of

@@ -198,3 +198,30 @@ def test_writer_lease_breaks_stale_holder(tmp_path):
     with pytest.raises(ConcurrentWriterError):
         writer_lease(root).__enter__()
     os.unlink(lock)
+
+
+def test_daemon_did_you_mean_op(root):
+    """op=did_you_mean returns the local twin's rows over the wire."""
+    from information_retrieval_spark.operators.local_query import (
+        did_you_mean_local,
+    )
+
+    qs = ["idnet_1 zzzzzzzz"]
+    want = [
+        {
+            "query_id": int(q),
+            "pos": int(p),
+            "qterm": t,
+            "suggestion": s,
+            "cf": int(c) if c is not None else None,
+        }
+        for q, p, t, s, c in did_you_mean_local(root, qs, max_edit=2)
+        .itertuples(index=False)
+    ]
+    with QueryDaemon(root, max_registered_users=4) as d:
+        got = request("127.0.0.1", d.port, {"op": "did_you_mean", "queries": qs})
+    assert got["ok"] and got["results"] == want
+    # the corrected token actually resolved to a real dictionary term
+    assert any(r["suggestion"] == "ident_1" for r in got["results"])
+    # the hopeless token got NULLs
+    assert any(r["suggestion"] is None for r in got["results"])
