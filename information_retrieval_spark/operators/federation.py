@@ -172,6 +172,39 @@ def open_federated_index(spark: SparkSession, roots: list[str]) -> InvertedIndex
             _union(frames).distinct() if all(f is not None for f in frames) else None
         )
 
+    # BM25F field planes: all-or-none per field name (like positional — a
+    # partial union would silently miss slices). avg_len goes GLOBAL
+    # (Σ field_tokens / Σ n_docs), matching the avgdl_g treatment, so
+    # federated BM25F is score-identical to one combined index whose
+    # baseline equals the global average. No block-max rescale needed:
+    # bm25f_topk decodes raw (tf, dl) and never reads plane block maxima.
+    fields = None
+    field_names = sorted({n for idx in idxs for n in (idx.fields or {})})
+    if field_names:
+        from .fields import FieldPlane
+
+        fields = {}
+        for name in field_names:
+            have = [idx.fields is not None and name in idx.fields for idx in idxs]
+            if not all(have):
+                missing = [r for r, h in zip(roots, have) if not h]
+                raise ValueError(
+                    f"only some roots carry the fields/{name} plane "
+                    f"(missing: {missing}); a federated BM25F query would "
+                    "silently miss those slices — rebuild them first"
+                )
+            ftoks = sum(
+                int(m["stats"].get("field_tokens", {}).get(name, 0))
+                for m in metas
+            )
+            fields[name] = FieldPlane(
+                field=name,
+                weight=1.0,
+                b=idxs[0].cfg.b,
+                postings=_union([idx.fields[name].postings for idx in idxs]),
+                avg_len=(ftoks / n_docs) if n_docs else 0.0,
+            )
+
     return InvertedIndex(
         docs=docs,
         postings=postings,
@@ -185,6 +218,7 @@ def open_federated_index(spark: SparkSession, roots: list[str]) -> InvertedIndex
         dictionary_trigram=planes["dictionary_trigram"],
         positional=planes["positional"],
         regions=planes["regions"],
+        fields=fields,
     )
 
 

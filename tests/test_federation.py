@@ -227,3 +227,53 @@ def test_federated_extended_surface_rank_identical(spark, tmp_path_factory):
     build_index_resumable(spark, spark.createDataFrame(pdf2), plain, cfg_plain)
     with pytest.raises(ValueError, match="positional"):
         open_federated_index(spark, [ra, plain])
+
+
+def test_federated_bm25f_rank_identical_to_combined(spark, tmp_path_factory):
+    """Field planes mount all-or-none into the federation with a GLOBAL
+    avg_len; federated BM25F is score-identical to one combined index over
+    the union corpus; a partial plane raises."""
+    from information_retrieval_spark.operators.federation import (
+        open_federated_index,
+    )
+    from information_retrieval_spark.operators.fields import bm25f_topk
+
+    cfg = EngineConfig(n_doc_buckets=8, block_size=16, field_planes=("path",))
+    base = tmp_path_factory.mktemp("fedbm25f")
+    full = synthetic_corpus_pdf(160, seed=61)[COLS]
+    b = full.apply(_bucket, axis=1)
+    combined, ra, rb = str(base / "all"), str(base / "a"), str(base / "b")
+    build_index_resumable(spark, spark.createDataFrame(full), combined, cfg)
+    build_index_resumable(spark, spark.createDataFrame(full[b < 4]), ra, cfg)
+    build_index_resumable(spark, spark.createDataFrame(full[b >= 4]), rb, cfg)
+
+    queries = ["mod12 ident_3", "py"]
+    idx = open_index(spark, combined)
+    plane = idx.fields["path"]
+    plane.weight, plane.b = 3.0, 0.5
+    want = _key(
+        bm25f_topk(spark, idx, [plane], queries, 5, cfg)
+        .withColumn("score", F.round("score", 9))
+        .collect()
+    )
+
+    fed = open_federated_index(spark, [ra, rb])
+    assert fed.fields and "path" in fed.fields
+    assert fed.fields["path"].avg_len == pytest.approx(plane.avg_len)
+    fplane = fed.fields["path"]
+    fplane.weight, fplane.b = 3.0, 0.5
+    got = _key(
+        bm25f_topk(spark, fed, [fplane], queries, 5, cfg)
+        .withColumn("score", F.round("score", 9))
+        .collect()
+    )
+    assert got == want and want
+
+    # partial plane -> loud failure, not silent slice loss
+    no_plane = str(base / "noplane")
+    cfg_np = EngineConfig(n_doc_buckets=8, block_size=16)
+    build_index_resumable(
+        spark, spark.createDataFrame(full[b >= 4]), no_plane, cfg_np
+    )
+    with pytest.raises(ValueError, match="fields/path"):
+        open_federated_index(spark, [ra, no_plane])
