@@ -288,6 +288,9 @@ def federated_topk_local(
 _MERGE_COMPAT_FIELDS = (
     "token_pattern", "stemming_level", "bigram_indexing",
     "doc_bucket_bits", "block_size", "k1", "b",
+    # field-plane sets must agree: a root without fields/<name> merged into
+    # one with it would silently lose BM25F coverage for that slice
+    "field_planes",
 )
 
 
@@ -389,6 +392,49 @@ def merge_indexes(
                 "overwrite"
             ).partitionBy("bucket").parquet(out[plane])
 
+    # BM25F field planes: pure bucket-partitioned concatenation per field
+    # (field_planes config equality is enforced above, so presence is
+    # uniform), with the same admissible block-max rescale against each
+    # plane's GLOBAL re-baselined average — bm25f_topk never reads plane
+    # block maxima, but the persisted blocks stay admissible under the
+    # merged meta for any future pruning consumer
+    fp_names = tuple(cfgs[0].get("field_planes", ()) or ())
+    merged_field_tokens: dict = {}
+    for name in fp_names:
+        dirs = [os.path.join(r, "fields", name) for r in roots]
+        missing = [r for r, d in zip(roots, dirs) if not os.path.isdir(d)]
+        if missing:
+            raise ValueError(
+                f"roots declare field plane {name!r} but lack fields/{name} "
+                f"on disk (missing: {missing}); rebuild them first"
+            )
+        ftoks_g = sum(
+            int(m["stats"].get("field_tokens", {}).get(name, 0)) for m in metas
+        )
+        merged_field_tokens[name] = ftoks_g
+        avg_g_f = (ftoks_g / n_docs) if n_docs else 0.0
+        fparts = []
+        for r, d, m in zip(roots, dirs, metas):
+            s, nd = m["stats"], int(m["stats"]["n_docs"])
+            avg_r = float(
+                s.get("field_avg_len", {}).get(
+                    name,
+                    (s.get("field_tokens", {}).get(name, 0) / nd) if nd else 0.0,
+                )
+            )
+            scale = max(1.0, avg_g_f / avg_r) if avg_r else 1.0
+            fparts.append(
+                spark.read.parquet(d).withColumn(
+                    "block_max_tfnorm", F.col("block_max_tfnorm") * F.lit(scale)
+                )
+            )
+        fu = fparts[0]
+        for df in fparts[1:]:
+            fu = fu.unionByName(df)
+        fu.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(out_root, "fields", name)
+        )
+
     # deletion ledgers carry over (compaction on the merged root GCs them)
     del_in = [os.path.join(r, "deleted") for r in roots]
     del_in = [d for d in del_in if os.path.isdir(d)]
@@ -424,6 +470,13 @@ def merge_indexes(
         n_doc_buckets=max(spans) - min(bases),
     )
     stats = {"n_docs": n_docs, "avgdl": avgdl_g, "total_tokens": total_tokens}
+    if merged_field_tokens:
+        stats["field_tokens"] = merged_field_tokens
+        # merge re-baselines averages globally (as it does avgdl_g)
+        stats["field_avg_len"] = {
+            name: (t / n_docs if n_docs else 0.0)
+            for name, t in merged_field_tokens.items()
+        }
     write_meta(out_root, cfg, stats, consistent=True,
                bucket_counters=counters, stream_batches=batches)
     now = time.time()

@@ -275,5 +275,28 @@ def test_federated_bm25f_rank_identical_to_combined(spark, tmp_path_factory):
     build_index_resumable(
         spark, spark.createDataFrame(full[b >= 4]), no_plane, cfg_np
     )
-    with pytest.raises(ValueError, match="fields/path"):
+    with pytest.raises(ValueError, match="field_planes"):
         open_federated_index(spark, [ra, no_plane])
+
+    # physical merge carries the plane: merged root == combined, and the
+    # merged meta re-baselines field_avg_len globally
+    from information_retrieval_spark.operators.federation import merge_indexes
+    from information_retrieval_spark.sources.manifest import read_meta
+
+    merged_root = str(base / "merged")
+    midx = merge_indexes(spark, [ra, rb], merged_root)
+    assert midx.fields and "path" in midx.fields
+    mplane = midx.fields["path"]
+    assert mplane.avg_len == pytest.approx(plane.avg_len)
+    mplane.weight, mplane.b = 3.0, 0.5
+    got_m = _key(
+        bm25f_topk(spark, midx, [mplane], queries, 5, cfg)
+        .withColumn("score", F.round("score", 9))
+        .collect()
+    )
+    assert got_m == want
+    mstats = read_meta(merged_root)["stats"]
+    assert mstats["field_tokens"]["path"] > 0
+    # config mismatch on field_planes refuses to merge
+    with pytest.raises(ValueError, match="field_planes"):
+        merge_indexes(spark, [ra, no_plane], str(base / "bad"))
