@@ -56,6 +56,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--enable-xpath", action="store_true",
                    help="also build the T9 region plane: <level!N> pseudo-"
                         "tokens from markup tags (index.h:60-66)")
+    p.add_argument("--field-planes", default=None, metavar="COL[,COL...]",
+                   help="also build persisted BM25F field planes over these "
+                        "docs-catalog text columns (e.g. 'path'); planes ride "
+                        "the full lifecycle (append/GC) and open_index mounts "
+                        "them at idx.fields[<col>]")
     p.add_argument("--conf", action="append", default=[], metavar="KEY=VALUE",
                    help="reference-style configurator parameter (repeatable; "
                         "STEMMING_LEVEL=2, MAX_UPDATE_SPACE=64m, CONFIG=<file>, "
@@ -67,6 +72,10 @@ def main(argv: list[str] | None = None) -> None:
         overrides["positional"] = True
     if args.enable_xpath:
         overrides["enable_xpath"] = True
+    if args.field_planes:
+        overrides["field_planes"] = tuple(
+            s.strip() for s in args.field_planes.split(",") if s.strip()
+        )
     if args.buckets is not None:
         overrides["n_doc_buckets"] = args.buckets
     if args.block_size is not None:

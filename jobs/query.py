@@ -52,6 +52,18 @@ def main(argv: list[str] | None = None) -> None:
                         "term~ / term~2 -> fuzzy, uppercase AND/OR/NOT -> "
                         "boolean, else ranked BM25 "
                         "(with snippets if --snippets)")
+    p.add_argument("--filter", default=None, metavar="SQL_PREDICATE",
+                   help="metadata-filtered ranked retrieval: restrict hits "
+                        "to docs-catalog rows satisfying this predicate "
+                        "(e.g. \"lang = 'py'\"); BM25 stats stay global")
+    p.add_argument("--did-you-mean", action="store_true",
+                   help="print per-token spelling suggestions instead of "
+                        "hits (cf-argmax of the Levenshtein<=2 neighborhood; "
+                        "works with both engines)")
+    p.add_argument("--bm25f", default=None, metavar="FIELD[:WEIGHT[:B]]",
+                   help="BM25F multi-field ranking over a persisted field "
+                        "plane, e.g. 'path:3.0:0.5' (requires "
+                        "--field-planes at build)")
     p.add_argument("queries", nargs="+")
     args = p.parse_args(argv)
 
@@ -80,8 +92,50 @@ def main(argv: list[str] | None = None) -> None:
             print(json.dumps({"query": q, "hits": by_q.get(i, [])}))
         spark.stop()
         return
-    qterms = parse_queries(spark, args.queries, idx.cfg)
-    topk = wand_topk(spark, idx, qterms, args.k, idx.cfg)
+    if args.did_you_mean:
+        from information_retrieval_spark.operators.query import did_you_mean
+
+        rows = did_you_mean(idx, args.queries, idx.cfg).orderBy(
+            "query_id", "pos"
+        ).collect()
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(
+                {"pos": r["pos"], "qterm": r["qterm"],
+                 "suggestion": r["suggestion"],
+                 "cf": int(r["cf"]) if r["cf"] is not None else None}
+            )
+        for i, q in enumerate(args.queries):
+            print(json.dumps({"query": q, "tokens": by_q.get(i, [])}))
+        spark.stop()
+        return
+    if args.bm25f:
+        from information_retrieval_spark.operators.fields import bm25f_topk
+
+        parts = args.bm25f.split(":")
+        fname = parts[0]
+        if idx.fields is None or fname not in idx.fields:
+            raise SystemExit(
+                f"index has no fields/{fname} plane; rebuild with "
+                f"--field-planes {fname}"
+            )
+        plane = idx.fields[fname]
+        if len(parts) > 1:
+            plane.weight = float(parts[1])
+        if len(parts) > 2:
+            plane.b = float(parts[2])
+        topk = bm25f_topk(spark, idx, [plane], args.queries, args.k, idx.cfg)
+    elif args.filter:
+        from information_retrieval_spark.operators.query import (
+            metadata_filtered_topk,
+        )
+
+        topk = metadata_filtered_topk(
+            spark, idx, args.queries, args.k, args.filter, idx.cfg
+        )
+    else:
+        qterms = parse_queries(spark, args.queries, idx.cfg)
+        topk = wand_topk(spark, idx, qterms, args.k, idx.cfg)
     resolved = (
         topk.join(F.broadcast(idx.docs.select("docid", "repo", "path")), "docid")
         .select("query_id", "rank", "docid", "score", "repo", "path")
@@ -131,6 +185,21 @@ def _main_local(args) -> None:
     )
 
     li = LocalIndex(args.index)
+    if args.did_you_mean:
+        from information_retrieval_spark.operators.local_query import (
+            did_you_mean_local,
+        )
+
+        df = did_you_mean_local(li, args.queries)
+        by_q: dict[int, list] = {}
+        for q, pos, t, s, c in df.itertuples(index=False):
+            by_q.setdefault(int(q), []).append(
+                {"pos": int(pos), "qterm": t, "suggestion": s,
+                 "cf": int(c) if c is not None else None}
+            )
+        for i, q in enumerate(args.queries):
+            print(json.dumps({"query": q, "tokens": by_q.get(i, [])}))
+        return
     if args.auto:
         from information_retrieval_spark.operators.local_query import answer_queries
 
