@@ -806,6 +806,15 @@ def build_index(
     avgdl = (total_tokens / n_docs) if n_docs else 1.0
     postings = encode_postings(runs, avgdl, cfg)
     dictionary = build_dictionary(postings)
+    fields = None
+    if cfg.field_planes:
+        # in-memory twin of the persisted fields/<name> lifecycle tables
+        from .fields import build_field_plane
+
+        fields = {
+            name: build_field_plane(docs, name, n_docs, cfg)
+            for name in cfg.field_planes
+        }
     return InvertedIndex(
         docs=docs,
         postings=postings,
@@ -815,4 +824,5 @@ def build_index(
         total_tokens=total_tokens,
         cfg=cfg,
         runs=runs,
+        fields=fields,
     )

@@ -219,3 +219,32 @@ def test_field_plane_lifecycle(spark, corpus, tmp_path_factory):
         == 0
     )
     assert read_meta(root)["stats"]["field_tokens"]["path"] == ft_before
+
+
+def test_build_index_mounts_inmemory_field_planes(spark, corpus, index, path_plane):
+    """cfg.field_planes on an IN-MEMORY build attaches the same planes the
+    persisted lifecycle serves — rank/score-identical to an explicit
+    build_field_plane."""
+    cfg = EngineConfig(
+        n_doc_buckets=8, block_size=16, field_planes=("path",)
+    )
+    from information_retrieval_spark.operators.build import build_index
+
+    idx2 = build_index(spark, corpus, cfg)
+    assert idx2.fields and "path" in idx2.fields
+    assert idx2.fields["path"].avg_len == pytest.approx(path_plane.avg_len)
+    p2 = idx2.fields["path"]
+    p2.weight, p2.b = W_PATH, B_PATH
+    got = [
+        (r["query_id"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in bm25f_topk(spark, idx2, [p2], ["mod12 ident_3"], K, cfg)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    want = [
+        (r["query_id"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in bm25f_topk(spark, index, [path_plane], ["mod12 ident_3"], K, CFG)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == want and got
