@@ -47,6 +47,7 @@ from information_retrieval_spark.operators.query import (  # noqa: E402
     duckdb_mlt_sql,
     duckdb_prefix_bm25_sql,
     duckdb_suggest_sql,
+    duckdb_synonym_bm25_sql,
     duckdb_tok,
     duckdb_wildcard_bm25_sql,
     naive_bm25,
@@ -687,6 +688,27 @@ DYM_SET = ["hash joim tabl", "spark srot mrege", "zzzzqqqq keyy", "the row"]
 # BM25F queries: content terms, path tokens (mapped paths are doc/<id> so
 # 'doc' is an every-doc path term and '42' a one-doc one), skew, absent
 BM25F_SET = ["hash join table", "doc 42", "the a", "zzz_not_in_corpus"]
+
+# synonym surface: expansion to real terms, multi-token value, OOV key
+SYNONYM_SET = ["hash join", "fast scan", "zzz_not_in_corpus", "the"]
+SYNONYM_TABLE = {
+    "hash": ["digest", "checksum"],
+    "join": ["merge"],
+    "fast": ["quick Rapid"],
+    "zzz_not_in_corpus": ["table"],
+}
+
+
+def _q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonym expansion (Lucene SynonymGraphFilter-at-query-time
+    shape): each analyzed token contributes its synonym set disjunctively
+    to the same block-max WAND. Oracle re-derives the expansion with the
+    shared analyzer and scores with the shared BM25 body."""
+    from information_retrieval_spark.operators.query import synonym_topk
+
+    idx = _index(spark, sf_dir)
+    out = synonym_topk(spark, idx, SYNONYM_SET, TOP_K, SYNONYM_TABLE, CFG)
+    return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
 _FIELD_PLANE_CACHE: dict = {}
 
 
@@ -1006,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did_you_mean": _q_did_you_mean,
         "filtered_topk": _q_filtered_topk,
         "bm25f_topk": _q_bm25f_topk,
+        "synonym_topk": _q_synonym_topk,
         "facets": _q_facets,
         "more_like_this": _q_more_like_this,
         "suggest": _q_suggest,
@@ -1242,6 +1265,9 @@ FROM events GROUP BY event_type
         "bm25f_topk": duckdb_bm25f_sql(
             corpus, BM25F_SET, CFG, k=TOP_K, round_to=4,
             field_weight=3.0, field_b=0.5,
+        ),
+        "synonym_topk": duckdb_synonym_bm25_sql(
+            corpus, SYNONYM_SET, SYNONYM_TABLE, CFG, k=TOP_K, round_to=4
         ),
         "suggest": duckdb_suggest_sql(corpus, PREFIX_SET, CFG, k=8),
         "related_terms": duckdb_related_terms_sql(RELATED_SEEDS, CFG, k=10),

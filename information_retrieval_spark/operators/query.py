@@ -1195,3 +1195,99 @@ def duckdb_filtered_bm25_sql(
     return _duckdb_bm25_body(
         corpus_sql, qterms_sql, cfg, k, round_to, restrict_sql=restrict_sql
     )
+
+
+# --------------------------------------------------------------------------
+# Query-time synonym expansion — the classic SynonymGraphFilter-at-query-time
+# shape (Lucene docs recommend query-time over index-time so the synonym
+# table can change without reindexing): each analyzed token contributes its
+# synonym set's postings disjunctively.
+# --------------------------------------------------------------------------
+
+
+def synonym_topk(
+    spark: SparkSession,
+    index,
+    queries: list[str],
+    k: int,
+    synonyms: dict[str, list[str]],
+    cfg: EngineConfig | None = None,
+    **wand_kwargs,
+) -> "DataFrame":
+    """(query_id, rank, docid, score) — BM25 top-k where every analyzed
+    query token expands to {token} ∪ synonyms[token] before scoring
+    (disjunctive, deduplicated per query), ranked by the same block-max
+    WAND. The synonym table is query input (driver-side dict) — bounded by
+    the query, never corpus-sized; expansion itself is zero Spark jobs.
+
+    Synonym VALUES pass through the same analyzer as the query text (the
+    same-analyzer contract Q1): an entry mapping to a phrase contributes
+    each of its analyzed tokens."""
+    import pandas as pd
+
+    from ..functions.analyzer import tokenize_series
+
+    from .wand import wand_topk
+
+    cfg = cfg or index.cfg
+    base = parse_query_terms(queries, cfg)
+    # normalize the synonym table through the analyzer once
+    keys = sorted(synonyms)
+    norm_vals: dict[str, list[str]] = {}
+    if keys:
+        key_toks = tokenize_series(pd.Series(keys, dtype=object), cfg)
+        for key, kts in zip(keys, key_toks):
+            if len(kts) != 1:
+                continue  # only single-token keys can match analyzed tokens
+            vals = synonyms[key]
+            vtoks = tokenize_series(pd.Series(vals, dtype=object), cfg)
+            norm_vals[kts[0]] = sorted(
+                {t for ts in vtoks for t in ts}
+            )
+    pairs = set()
+    for qid, t in base:
+        pairs.add((qid, t))
+        for s in norm_vals.get(t, ()):
+            pairs.add((qid, s))
+    return wand_topk(spark, index, sorted(pairs), k, cfg, **wand_kwargs)
+
+
+def duckdb_synonym_bm25_sql(
+    corpus_sql: str,
+    queries: list[str],
+    synonyms: dict[str, list[str]],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int | None = None,
+    round_to: int = 4,
+) -> str:
+    """Oracle twin of ``synonym_topk``: the expansion is re-derived in
+    Python with the same analyzer (it is query input, not data) and scored
+    by the shared disjunctive-BM25 body."""
+    import pandas as pd
+
+    from ..functions.analyzer import tokenize_series
+
+    base = parse_query_terms(queries, cfg)
+    keys = sorted(synonyms)
+    norm_vals: dict[str, list[str]] = {}
+    if keys:
+        key_toks = tokenize_series(pd.Series(keys, dtype=object), cfg)
+        for key, kts in zip(keys, key_toks):
+            if len(kts) != 1:
+                continue
+            vtoks = tokenize_series(
+                pd.Series(synonyms[key], dtype=object), cfg
+            )
+            norm_vals[kts[0]] = sorted({t for ts in vtoks for t in ts})
+    pairs = set()
+    for qid, t in base:
+        pairs.add((qid, t))
+        for s in norm_vals.get(t, ()):
+            pairs.add((qid, s))
+    qvalues = ", ".join(f"({q}, '{t}')" for q, t in sorted(pairs)) or (
+        "(0, CAST(NULL AS VARCHAR))"
+    )
+    qterms_sql = f"""
+  SELECT query_id, term FROM (VALUES {qvalues}) AS q(query_id, term)
+  WHERE term IS NOT NULL"""
+    return _duckdb_bm25_body(corpus_sql, qterms_sql, cfg, k, round_to)

@@ -763,3 +763,34 @@ def test_metadata_filtered_topk_semantics(spark, corpus, index):
         .collect()
     )
     assert [tuple(r) for r in rerouted] == [tuple(r) for r in filt]
+
+
+def test_synonym_topk_semantics(spark, corpus, index):
+    """synonym_topk: expansion = base ∪ analyzed synonym tokens per query,
+    rank-identical to wand_topk over the hand-built pair set; an
+    identity/empty table degrades to plain BM25; synonym VALUES pass
+    through the analyzer (multi-token and mixed-case values)."""
+    from information_retrieval_spark.operators.query import synonym_topk
+
+    syn = {"ident_1": ["ident_2", "IDENT_3 ident_4"], "zzz_nope": ["ident_0"]}
+    queries = ["ident_1", "zzz_nope", f"{STOPWORD}"]
+    got = (
+        synonym_topk(spark, index, queries, K, syn, CFG)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    pairs = [
+        (0, "ident_1"), (0, "ident_2"), (0, "ident_3"), (0, "ident_4"),
+        (1, "ident_0"), (1, "zzz_nope"),
+        (2, STOPWORD),
+    ]
+    want = wand_topk(spark, index, pairs, K, CFG).orderBy(
+        "query_id", "rank"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want] and got
+
+    plain = synonym_topk(spark, index, queries, K, {}, CFG)
+    base = wand_topk(
+        spark, index, parse_queries(spark, queries, CFG), K, CFG
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, base.collect()))
