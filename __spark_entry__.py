@@ -985,7 +985,18 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering contract: the driver's correctness gate checks entries in
+    # dict order and may stop after a fixed window (r4 covered only the
+    # first 50), so entries NEW or previously-uncovered this round come
+    # FIRST; the long-stable core follows.
     return {
+        "boolean_near": _q_boolean_near,
+        "boolean_expansion": _q_boolean_expansion,
+        "boolean_ranked": _q_boolean_ranked,
+        "quality_filter": _q_quality_filter,
+        "sequence_pack": _q_sequence_pack,
+        "decontaminate": _q_decontaminate,
+        "knn_join": _q_knn_join,
         "docids": _q_docids,
         "sha256_invariant": _q_sha256,
         "collection_stats": _q_collection_stats,
@@ -1036,13 +1047,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_query": _q_boolean_query,
         "boolean_query_indexed": _q_boolean_query_indexed,
         "boolean_phrase": _q_boolean_phrase,
-        "boolean_near": _q_boolean_near,
-        "boolean_expansion": _q_boolean_expansion,
-        "boolean_ranked": _q_boolean_ranked,
-        "quality_filter": _q_quality_filter,
-        "sequence_pack": _q_sequence_pack,
-        "decontaminate": _q_decontaminate,
-        "knn_join": _q_knn_join,
     }
 
 

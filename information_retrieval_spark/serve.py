@@ -171,21 +171,29 @@ class QueryDaemon:
         with self._snap_lock:
             self._idx = None
 
-    def _answer(self, queries: list[str], k: int, snippet_window) -> list[dict]:
+    def _with_snapshot(self, fn):
+        """Run ``fn(idx)`` against the current snapshot, wait-polling through
+        a writer's (tiny) non-atomic plane-swap promotion window: on failure,
+        invalidate + reopen on the reference's INDEX_WAIT_INTERVAL until the
+        deadline. Every read op routes through here so concurrent appends
+        never surface as transient spurious errors."""
         deadline = time.monotonic() + self.retry_timeout_sec
         while True:
             idx = self._snapshot()
             try:
-                return answer_queries(
-                    idx, queries, k=k, snippet_window=snippet_window
-                )
+                return fn(idx)
             except Exception:
-                # a writer is mid-promotion (plane swap window) — wait-poll
-                # like the reference's INDEX_WAIT_INTERVAL and reopen
                 if time.monotonic() >= deadline:
                     raise
                 self._invalidate()
                 time.sleep(INDEX_WAIT_INTERVAL_MS / 1000.0)
+
+    def _answer(self, queries: list[str], k: int, snippet_window) -> list[dict]:
+        return self._with_snapshot(
+            lambda idx: answer_queries(
+                idx, queries, k=k, snippet_window=snippet_window
+            )
+        )
 
     # --- dispatch -----------------------------------------------------------
     def _dispatch(self, line: bytes, reg_id: int) -> dict:
@@ -220,8 +228,10 @@ class QueryDaemon:
             try:
                 from .operators.local_query import did_you_mean_local
 
-                df = did_you_mean_local(
-                    self._snapshot(), queries, max_edit=int(req.get("max_edit", 2))
+                df = self._with_snapshot(
+                    lambda idx: did_you_mean_local(
+                        idx, queries, max_edit=int(req.get("max_edit", 2))
+                    )
                 )
                 results = [
                     {

@@ -228,6 +228,7 @@ def _append_batch_locked(
             "bucket"
         ).parquet(os.path.join(staging, "regions"))
     field_toks_new: dict = {}
+    field_avg_resolved: dict = {}
     if cfg.field_planes:
         # BM25F field planes: one staged delta segment per field, encoded
         # against the plane's PINNED avg_len baseline (same discipline as
@@ -243,6 +244,7 @@ def _append_batch_locked(
                     (meta_ftoks.get(name, 0) / base_n) if base_n else 0.0,
                 )
             )
+            field_avg_resolved[name] = avg_f
             field_toks_new[name] = int(
                 docs_new.agg(
                     F.sum(doc_len_expr(F.col(name), cfg)).alias("s")
@@ -297,8 +299,15 @@ def _append_batch_locked(
             name: int(prev_ft.get(name, 0)) + field_toks_new.get(name, 0)
             for name in cfg.field_planes
         }
-        # pinned baseline rides along unchanged (avgdl policy)
-        stats["field_avg_len"] = meta["stats"].get("field_avg_len", {})
+        # pinned baseline rides along (avgdl policy) — write the RESOLVED
+        # avg_f used to encode this delta segment, not the possibly-empty
+        # meta dict: a legacy index whose meta lacked field_avg_len would
+        # otherwise leave readers deriving a baseline from POST-append
+        # counters, drifting away from the blocks' encoding with each batch
+        stats["field_avg_len"] = {
+            **field_avg_resolved,
+            **meta["stats"].get("field_avg_len", {}),
+        }
     write_meta(
         root,
         cfg,
