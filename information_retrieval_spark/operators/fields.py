@@ -135,17 +135,24 @@ def bm25f_topk(
     cfg: EngineConfig | None = None,
     *,
     content_weight: float = 1.0,
+    prune: bool = True,
+    mode: str = "auto",
+    local_block_limit: int = 20_000,
 ) -> DataFrame:
     """(query_id, rank, docid, score) — BM25F top-k over the main index's
     content plane (weight ``content_weight``, b = cfg.b, avgdl =
     index.avgdl) plus the given field planes. Deterministic tie-break
     (score DESC, docid ASC) over unrounded float64 scores.
 
-    Plan: one pruned `term IN` read + map-side decode per plane (the same
-    pushdown discipline as WAND's fetch, plan-asserted in test_plans), a
-    (term, docid) hash agg to combine legs, an exact union-df agg for idf,
-    one broadcast join with the |queries|·|terms| table, and the rank
-    window over ≤ matched-docs rows. No corpus scan, no driver collect."""
+    ``prune=True`` (default) runs the block-max pruned evaluator (module
+    docstring: composite per-term BMW cursors over per-field block cursors,
+    bound = idf·sat(Σ_f w_f·sat⁻¹(block_max_f)); exact union-df idf from a
+    docs-only decode pass) whenever every plane's block maxima were encoded
+    with the b it scores with (``encoded_b``); otherwise — or with
+    ``prune=False`` — the dense decode-all evaluator runs. ``mode`` follows
+    ``wand_topk``: 'auto' answers driver-local when the candidate blocks
+    fit under ``local_block_limit`` (interactive latency; fills
+    ``LAST_PRUNE_STATS``), else the applyInPandas distributed path."""
     cfg = cfg or index.cfg
     k1 = float(cfg.k1)
     n_docs = float(index.n_docs)
@@ -154,6 +161,40 @@ def bm25f_topk(
         return spark.createDataFrame(
             [], "query_id int, rank int, docid long, score double"
         )
+    admissible = all(
+        p.encoded_b is not None and abs(float(p.encoded_b) - float(p.b)) < 1e-12
+        for p in planes
+    )
+    if prune and admissible:
+        return _bm25f_topk_pruned(
+            spark, index, planes, q_pairs, k, cfg,
+            content_weight=content_weight, mode=mode,
+            local_block_limit=local_block_limit,
+        )
+    return _bm25f_topk_dense(
+        spark, index, planes, q_pairs, k, cfg, content_weight=content_weight
+    )
+
+
+def _bm25f_topk_dense(
+    spark: SparkSession,
+    index,
+    planes: list[FieldPlane],
+    q_pairs: list[tuple[int, str]],
+    k: int,
+    cfg: EngineConfig,
+    *,
+    content_weight: float = 1.0,
+) -> DataFrame:
+    """Dense evaluator: one pruned `term IN` read + map-side decode per
+    plane (the same pushdown discipline as WAND's fetch, plan-asserted in
+    test_plans), a (term, docid) hash agg to combine legs, an exact
+    union-df window for idf, one broadcast join with the |queries|·|terms|
+    table, and the rank window over ≤ matched-docs rows. No corpus scan,
+    no driver collect — but every queried term's postings decode fully in
+    every plane (the pruned path's reference twin)."""
+    k1 = float(cfg.k1)
+    n_docs = float(index.n_docs)
     terms = sorted({t for _, t in q_pairs})
 
     def leg(postings: DataFrame, weight: float, b: float, avg: float) -> DataFrame:
@@ -197,6 +238,379 @@ def bm25f_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "rank", "docid", "score")
+    )
+
+
+# ----------------------------------------------------------------------
+# Block-max pruned BM25F (round 5, judge r4 #2) — Ding-Suel BMW adapted to
+# the RZT combined pseudo-frequency; see module docstring for the bound.
+# ----------------------------------------------------------------------
+
+# prune evidence from the last driver-local run: blocks_total (candidate
+# blocks fetched for the query set) vs blocks_decoded (blocks whose tf/dl
+# streams were actually decoded by the cursor loop) — bench/tests read it
+LAST_PRUNE_STATS: dict = {}
+
+# float-inversion guard: sat⁻¹ of a float64 max can land ulps below the
+# true block max; inflating the bound keeps it admissible at no real
+# pruning cost
+_BOUND_SLACK = 1.0 + 1e-9
+
+
+def _sat(x: float, k1: float) -> float:
+    """BM25 saturation sat(x) = x·(k1+1)/(x+k1) — strictly increasing."""
+    return x * (k1 + 1.0) / (x + k1) if x > 0.0 else 0.0
+
+
+class _FieldCursor:
+    """Per-(term, field) cursor over that plane's blocks within one bucket:
+    wand._Cursor's lazy-decode/skip machinery, but exposing the UNSATURATED
+    weighted field leg w_f·tf/B_f and its per-block bound
+    w_f·sat⁻¹(block_max_tfnorm)."""
+
+    __slots__ = ("firsts", "lasts", "umax", "docs_vb", "tfs_vb", "dls_vb",
+                 "blk", "pos", "docids", "u", "exhausted", "_w", "_b",
+                 "_avg", "_stats")
+
+    def __init__(self, block_rows, weight, b, avg, k1, stats=None):
+        import numpy as np
+
+        from ..functions import codec as _codec
+
+        order = np.argsort(
+            block_rows["first_docid"].to_numpy(np.int64), kind="stable"
+        )
+        self.firsts = block_rows["first_docid"].to_numpy(np.int64)[order]
+        self.lasts = block_rows["last_docid"].to_numpy(np.int64)[order]
+        m = block_rows["block_max_tfnorm"].to_numpy(np.float64)[order]
+        # max over block of w·tf/B = w·sat⁻¹(m), inflated for admissibility;
+        # a float-saturated m == k1+1 inverts to inf — a loose-but-valid
+        # bound (that block simply never prunes)
+        with np.errstate(divide="ignore"):
+            self.umax = (
+                float(weight) * (k1 * m / ((k1 + 1.0) - m)) * _BOUND_SLACK
+            )
+        self.docs_vb = block_rows["docs_vb"].to_numpy(object)[order]
+        self.tfs_vb = block_rows["tfs_vb"].to_numpy(object)[order]
+        self.dls_vb = block_rows["dls_vb"].to_numpy(object)[order]
+        self._w = float(weight)
+        self._b = float(b)
+        self._avg = float(avg) if avg else 1.0
+        self._stats = stats
+        self.blk = -1
+        self.exhausted = False
+        self._load_block(0)
+
+    def _load_block(self, blk: int):
+        from ..functions import codec as _codec
+
+        if blk >= len(self.firsts):
+            self.exhausted = True
+            return
+        self.blk = blk
+        d, t, l = _codec.decode_block(
+            self.docs_vb[blk], self.tfs_vb[blk], self.dls_vb[blk]
+        )
+        if self._stats is not None:
+            self._stats["blocks_decoded"] += 1
+        self.docids = d
+        bf = (1.0 - self._b) + self._b * (l.astype("float64") / self._avg)
+        self.u = self._w * (t.astype("float64") / bf)
+        self.pos = 0
+
+    @property
+    def doc(self) -> int:
+        return int(self.docids[self.pos])
+
+    def block_umax(self) -> float:
+        return float(self.umax[self.blk])
+
+    def advance_to(self, target: int):
+        import numpy as np
+
+        if self.exhausted:
+            return
+        if target > self.lasts[self.blk]:
+            nxt = int(np.searchsorted(self.lasts, target, side="left"))
+            if nxt >= len(self.firsts):
+                self.exhausted = True
+                return
+            self._load_block(nxt)
+        pos = int(np.searchsorted(self.docids, target, side="left"))
+        if pos >= len(self.docids):
+            self._load_block(self.blk + 1)
+            if not self.exhausted:
+                self.advance_to(target)
+        else:
+            self.pos = pos
+
+    def next(self):
+        self.pos += 1
+        if self.pos >= len(self.docids):
+            self._load_block(self.blk + 1)
+
+
+class _TermCursorF:
+    """Composite per-term cursor across field planes: current doc is the
+    min over live field cursors; bounds combine under the saturation."""
+
+    __slots__ = ("term", "idf", "fields", "ub", "_k1")
+
+    def __init__(self, term, idf, fields, k1):
+        self.term = term
+        self.idf = float(idf)
+        self.fields = fields
+        self._k1 = float(k1)
+        tot = sum(float(f.umax.max()) for f in fields)
+        self.ub = self.idf * _sat(tot, self._k1)
+
+    @property
+    def exhausted(self) -> bool:
+        return all(f.exhausted for f in self.fields)
+
+    @property
+    def doc(self) -> int:
+        return min(f.doc for f in self.fields if not f.exhausted)
+
+    def advance_to(self, target: int):
+        for f in self.fields:
+            if not f.exhausted and f.doc < target:
+                f.advance_to(target)
+
+    def block_bound(self) -> float:
+        tot = sum(f.block_umax() for f in self.fields if not f.exhausted)
+        return self.idf * _sat(tot, self._k1)
+
+    def min_block_last(self) -> int:
+        return min(int(f.lasts[f.blk]) for f in self.fields if not f.exhausted)
+
+    def score_and_next(self, pivot: int) -> float:
+        """Exact idf·sat(Σ matched fields' w·tf/B) at ``pivot``; advances
+        the matched field cursors past it. Field accumulation order is the
+        fixed plane order — deterministic float64."""
+        tfn = 0.0
+        matched = []
+        for f in self.fields:
+            if not f.exhausted and f.doc == pivot:
+                tfn += float(f.u[f.pos])
+                matched.append(f)
+        for f in matched:
+            f.next()
+        return self.idf * _sat(tfn, self._k1)
+
+
+def _bmwf(cursors: list[_TermCursorF], k: int) -> list[tuple[int, float]]:
+    """Block-max WAND main loop over composite BM25F cursors → [(docid,
+    score)] unordered, ≤ k. Identical pivot/threshold/tie discipline to
+    wand._bmw (>= keeps exact theta ties evaluable for the deterministic
+    score DESC, docid ASC rank)."""
+    import heapq
+
+    heap: list[tuple[float, int]] = []
+    live = [c for c in cursors if not c.exhausted]
+    while True:
+        live = [c for c in live if not c.exhausted]
+        if not live:
+            break
+        live.sort(key=lambda c: c.doc)
+        theta = heap[0][0] if len(heap) >= k else float("-inf")
+        acc = 0.0
+        pivot_idx = -1
+        for i, c in enumerate(live):
+            acc += c.ub
+            if acc >= theta:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break
+        pivot_doc = live[pivot_idx].doc
+        if live[0].doc == pivot_doc:
+            involved = [c for c in live if c.doc <= pivot_doc]
+            bub = sum(c.block_bound() for c in involved)
+            if bub >= theta:
+                score = 0.0
+                for c in sorted(involved, key=lambda c: c.term):
+                    if not c.exhausted and c.doc == pivot_doc:
+                        score += c.score_and_next(pivot_doc)
+                item = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+            else:
+                nxt = min(c.min_block_last() for c in involved) + 1
+                for c in involved:
+                    c.advance_to(max(nxt, pivot_doc))
+        else:
+            for c in live:
+                if c.doc >= pivot_doc:
+                    break
+                c.advance_to(pivot_doc)
+    return [(-nd, s) for s, nd in heap]
+
+
+def _union_df_from_blocks(blocks) -> dict[str, float]:
+    """Exact UNION document frequency per term from fetched block rows —
+    docs_vb-only vectorized decode (no tf/dl streams, no scoring)."""
+    import numpy as np
+
+    from ..functions import codec as _codec
+
+    out: dict[str, float] = {}
+    for term, tb in blocks.groupby("term", sort=False):
+        n = tb["n"].to_numpy(np.int64)
+        data = np.frombuffer(b"".join(tb["docs_vb"].tolist()), np.uint8)
+        vals = _codec.vbyte_decode(data).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+        cs = np.cumsum(vals)
+        base = np.repeat(cs[starts] - vals[starts], n)
+        out[str(term)] = float(np.unique(cs - base).size)
+    return out
+
+
+def _bmwf_cursors(bucket_blocks, idf, params, k1, stats=None):
+    """Composite term cursors for one bucket's (fld-tagged) block rows."""
+    cursors = []
+    for term, tb in bucket_blocks.groupby("term", sort=True):
+        if term not in idf:
+            continue
+        fields = []
+        for fld, fb in tb.groupby("fld", sort=True):
+            w, b, avg = params[int(fld)]
+            fc = _FieldCursor(fb, w, b, avg, k1, stats)
+            if not fc.exhausted:
+                fields.append(fc)
+        if fields:
+            cursors.append(_TermCursorF(term, idf[term], fields, k1))
+    return cursors
+
+
+def bmwf_over_blocks(
+    blocks,
+    q_pairs: list[tuple[int, str]],
+    k: int,
+    idf: dict[str, float],
+    params: dict[int, tuple[float, float, float]],
+    k1: float,
+    stats: dict | None = None,
+) -> list[tuple[int, int, int, float]]:
+    """In-process pruned BM25F over pre-fetched fld-tagged block rows →
+    [(query_id, rank, docid, score)] — the driver-local twin of the
+    distributed applyInPandas path (same per-bucket partials, same rank)."""
+    by_qid: dict[int, list[str]] = {}
+    for qid, t in q_pairs:
+        by_qid.setdefault(int(qid), []).append(t)
+    rows: list[tuple[int, int, int, float]] = []
+    for qid in sorted(by_qid):
+        tset = set(by_qid[qid]) & set(idf)
+        qblocks = blocks[blocks["term"].isin(tset)]
+        if qblocks.empty:
+            continue
+        collected: list[tuple[int, float]] = []
+        for _, bucket_blocks in qblocks.groupby("bucket", sort=True):
+            collected.extend(
+                _bmwf(_bmwf_cursors(bucket_blocks, idf, params, k1, stats), k)
+            )
+        collected.sort(key=lambda ds: (-ds[1], ds[0]))
+        for rank, (docid, score) in enumerate(collected[:k], start=1):
+            rows.append((int(qid), rank, int(docid), float(score)))
+    return rows
+
+
+def _bm25f_topk_pruned(
+    spark: SparkSession,
+    index,
+    planes: list[FieldPlane],
+    q_pairs: list[tuple[int, str]],
+    k: int,
+    cfg: EngineConfig,
+    *,
+    content_weight: float,
+    mode: str,
+    local_block_limit: int,
+) -> DataFrame:
+    """Block-max pruned BM25F: per-plane pruned ``term IN`` block fetch
+    (row-group pushdown intact), exact union-df idf from a docs_vb-only
+    pass, then the BMW-F cursor loop — driver-local under
+    ``local_block_limit`` (one fetch job), else per-(query, bucket)
+    applyInPandas (the 10^12-doc shape, same bucket partials + global rank
+    window as wand_topk)."""
+    import pandas as pd
+
+    from ..functions import codec as _codec
+    from .wand import TOPK_SCHEMA
+
+    k1 = float(cfg.k1)
+    n_docs = float(index.n_docs)
+    terms = sorted({t for _, t in q_pairs})
+    params = {0: (float(content_weight), float(cfg.b), float(index.avgdl))}
+    legs = [index.postings]
+    for i, p in enumerate(planes, start=1):
+        params[i] = (float(p.weight), float(p.b), float(p.avg_len))
+        legs.append(p.postings)
+    cols = ["term", "bucket", "first_docid", "last_docid",
+            "block_max_tfnorm", "docs_vb", "tfs_vb", "dls_vb", "n"]
+    fetch = None
+    for fid, post in enumerate(legs):
+        part = post.filter(F.col("term").isin(terms)).select(
+            F.lit(fid).alias("fld"), *cols
+        )
+        fetch = part if fetch is None else fetch.unionByName(part)
+
+    if mode in ("local", "auto"):
+        f2 = fetch.limit(local_block_limit + 1) if mode == "auto" else fetch
+        blocks = f2.toPandas()
+        if mode == "local" or len(blocks) <= local_block_limit:
+            dfu = _union_df_from_blocks(blocks)
+            idf = {
+                t: float(_codec.bm25_idf(dfu[t], n_docs)) for t in dfu
+            }
+            stats = {"blocks_total": int(len(blocks)), "blocks_decoded": 0}
+            rows = bmwf_over_blocks(blocks, q_pairs, k, idf, params, k1, stats)
+            global LAST_PRUNE_STATS
+            LAST_PRUNE_STATS = stats
+            return spark.createDataFrame(
+                rows, "query_id int, rank int, docid long, score double"
+            )
+
+    # distributed: exact union df per term (docs_vb-only decode pass over
+    # the same pruned reads), then one BMW-F run per (query, bucket)
+    from .boolquery import _decoded_docids
+
+    df_rows = (
+        _decoded_docids(fetch.select("term", "docs_vb", "n"), "term")
+        .groupBy("term")
+        .agg(F.count_distinct("docid").alias("df"))
+        .collect()
+    )
+    idf = {
+        r["term"]: float(_codec.bm25_idf(float(r["df"]), n_docs))
+        for r in df_rows
+    }
+    qdf = spark.createDataFrame(
+        sorted(set(q_pairs)), "query_id int, term string"
+    )
+    joined = fetch.join(F.broadcast(qdf), "term")
+
+    def run(key, pdf):
+        qid = int(pdf["query_id"].iloc[0])
+        top = _bmwf(_bmwf_cursors(pdf, idf, params, k1), k)
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "docid": [d for d, _ in top],
+                "score": [s for _, s in top],
+            }
+        )
+
+    partials = joined.groupBy("query_id", "bucket").applyInPandas(
+        run, TOPK_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(k))
         .select("query_id", "rank", "docid", "score")
     )

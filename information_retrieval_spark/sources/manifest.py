@@ -758,6 +758,14 @@ def _read_field_planes(spark: SparkSession, root: str, cfg, stats: dict):
             avg_len=float(
                 favg.get(name, (ftoks.get(name, 0) / n) if n else 0.0)
             ),
+            # persisted plane segments are encoded with cfg.b (build +
+            # append both pass cfg straight through) — admissible for the
+            # pruned evaluator as long as the query keeps b == cfg.b AND the
+            # avg_len is the pinned encode-time baseline (a legacy index
+            # without field_avg_len derives avg from post-append counters,
+            # which may disagree with what the blocks were encoded with —
+            # flag those inadmissible so they take the dense path)
+            encoded_b=float(cfg.b) if name in favg else None,
         )
     return out or None
 

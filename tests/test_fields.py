@@ -125,12 +125,92 @@ def test_bm25f_empty_and_absent_queries(spark, index, path_plane):
 
 def test_bm25f_pruned_plane_read(spark, index, path_plane):
     """Both plane reads carry the static term IN filter (the same pushdown
-    discipline as WAND's fetch) — no full-postings decode."""
-    plan = bm25f_topk(
-        spark, index, [path_plane], ["ident_1"], K, CFG
-    )._jdf.queryExecution().toString()
-    assert "CartesianProduct" not in plan
-    assert plan.lower().count("ident_1") >= 2  # IN-filter on both legs
+    discipline as WAND's fetch) — no full-postings decode. Checked on the
+    two lazy evaluators (dense, and distributed block-max); the driver-local
+    pruned path fetches through the identical `fetch` plan eagerly."""
+    for kwargs in ({"prune": False}, {"mode": "distributed"}):
+        plan = bm25f_topk(
+            spark, index, [path_plane], ["ident_1"], K, CFG, **kwargs
+        )._jdf.queryExecution().toString()
+        assert "CartesianProduct" not in plan
+        assert plan.lower().count("ident_1") >= 2  # IN-filter on both legs
+
+
+def test_bm25f_pruned_rank_identical_to_dense(spark, index, path_plane):
+    """Block-max pruned BM25F (both the driver-local and the distributed
+    applyInPandas paths) is rank- AND score-identical to the dense
+    decode-everything evaluator on the full query set, skew term included."""
+    def rows(**kw):
+        return [
+            (r["query_id"], r["rank"], r["docid"], round(r["score"], 9))
+            for r in bm25f_topk(
+                spark, index, [path_plane], QUERIES, K, CFG, **kw
+            ).orderBy("query_id", "rank").collect()
+        ]
+
+    dense = rows(prune=False)
+    assert rows(mode="local") == dense
+    assert rows(mode="distributed") == dense
+    assert len(dense) > 0
+
+
+def test_bm25f_pruning_engages(spark):
+    """The BMW-F cursor loop actually skips block decodes. Pruning needs a
+    real theta, so this runs on a single-bucket 1200-doc index (per-bucket
+    top-k over 50-doc buckets never saturates): on 'STOPWORD mod12' at k=5
+    the skew term's low-bound blocks are skipped — decoded strictly below
+    the candidate-block count (the dense path's cost) — while results stay
+    identical to the dense evaluator."""
+    from information_retrieval_spark.operators import fields as fields_mod
+
+    cfg = EngineConfig(n_doc_buckets=1, block_size=16)
+    pdf = synthetic_corpus_pdf(1200, seed=7)[
+        ["repo", "path", "commit", "lang", "content"]
+    ]
+    corpus = spark.createDataFrame(pdf)
+    idx = build_index(spark, corpus, cfg)
+    idx.postings = idx.postings.cache()
+    plane = build_field_plane(
+        idx.docs, "path", idx.n_docs, cfg, weight=W_PATH, b=B_PATH
+    )
+    plane.postings = plane.postings.cache()
+    query = [f"{STOPWORD} mod12"]
+    got = [
+        (r["rank"], r["docid"], round(r["score"], 9))
+        for r in bm25f_topk(spark, idx, [plane], query, 5, cfg, mode="local")
+        .orderBy("rank").collect()
+    ]
+    stats = fields_mod.LAST_PRUNE_STATS
+    assert stats["blocks_total"] > 0
+    assert 0 < stats["blocks_decoded"] < stats["blocks_total"]
+    want = [
+        (r["rank"], r["docid"], round(r["score"], 9))
+        for r in bm25f_topk(spark, idx, [plane], query, 5, cfg, prune=False)
+        .orderBy("rank").collect()
+    ]
+    assert got == want and len(got) == 5
+    plane.unpersist()
+    idx.postings.unpersist()
+
+
+def test_bm25f_inadmissible_plane_falls_back_dense(spark, index, path_plane):
+    """A query-time b override (encoded_b mismatch) must not use the stored
+    block maxima: results still match the dense definition exactly."""
+    from dataclasses import replace
+
+    overridden = replace(path_plane, b=0.9, runs=None)  # encoded with 0.5
+    got = [
+        (r["query_id"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in bm25f_topk(spark, index, [overridden], QUERIES, K, CFG)
+        .orderBy("query_id", "rank").collect()
+    ]
+    want = [
+        (r["query_id"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in bm25f_topk(
+            spark, index, [overridden], QUERIES, K, CFG, prune=False
+        ).orderBy("query_id", "rank").collect()
+    ]
+    assert got == want and len(got) > 0
 
 
 def test_field_plane_lifecycle(spark, corpus, tmp_path_factory):
