@@ -741,6 +741,21 @@ def _q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
 
 
+def _q_bm25f_bmw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The block-max-pruned BM25F evaluator on its DISTRIBUTED path (per-
+    (query, bucket) applyInPandas BMW-F cursors, exact union-df idf from a
+    docs-stream-only decode) — same oracle as bm25f_topk: pruning must be
+    invisible in the results, it only skips block decodes."""
+    from information_retrieval_spark.operators.fields import bm25f_topk
+
+    idx = _index(spark, sf_dir)
+    out = bm25f_topk(
+        spark, idx, [_path_plane(spark, sf_dir)], BM25F_SET, TOP_K, CFG,
+        mode="distributed",
+    )
+    return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
+
+
 def _q_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered ranked retrieval (lang = 'en'): the docs-catalog
     predicate feeds WAND's allowed keep-list (auto-routing to the pre-rank
@@ -990,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50), so entries NEW or previously-uncovered this round come
     # FIRST; the long-stable core follows.
     return {
+        "bm25f_bmw": _q_bm25f_bmw,
         "boolean_near": _q_boolean_near,
         "boolean_expansion": _q_boolean_expansion,
         "boolean_ranked": _q_boolean_ranked,
@@ -1267,6 +1283,13 @@ FROM events GROUP BY event_type
             corpus, QUERY_SET, "lang = 'en'", CFG, k=TOP_K, round_to=4
         ),
         "bm25f_topk": duckdb_bm25f_sql(
+            corpus, BM25F_SET, CFG, k=TOP_K, round_to=4,
+            field_weight=3.0, field_b=0.5,
+        ),
+        # same definition: the pruned distributed evaluator must reproduce
+        # the brute-force RZT formula exactly (pruning skips decodes, never
+        # results)
+        "bm25f_bmw": duckdb_bm25f_sql(
             corpus, BM25F_SET, CFG, k=TOP_K, round_to=4,
             field_weight=3.0, field_b=0.5,
         ),

@@ -488,3 +488,115 @@ def merge_indexes(
     from ..sources.manifest import open_index
 
     return open_index(spark, out_root)
+
+
+class FederatedLocalIndex:
+    """Spark-free MasterIndex read head: several persisted, bucket-disjoint
+    roots mounted as ONE LocalIndex-shaped object, so the ENTIRE interactive
+    surface (``answer_queries``' bm25 / phrase / NEAR / prefix / wildcard /
+    fuzzy / boolean routing, snippets, ``did_you_mean_local``) runs
+    federated. This is the reference's master-daemon shape: a sub-index
+    "cannot have its own connection daemon" — the MasterIndex front-ends
+    them (/root/reference/index/index.h:184-186, masterindex/
+    masterindex.h:12-17). ``serve.QueryDaemon`` opens one of these when
+    given several roots.
+
+    Semantics: identical to ``federated_topk_local`` — global statistics
+    (idf from the union blocks' summed df, avgdl from summed tokens),
+    per-root ``block_max_tfnorm`` scaled by max(1, avgdl_g/avgdl_r) (the
+    admissible bound proven in the module docstring), per-root deletion
+    ledgers unioned. Dictionary expansions union each root's
+    lexicographically-first ``max_expansions`` candidates, whose union's
+    first ``max_expansions`` is exactly the combined index's expansion.
+    Positional planes are all-or-none (a federated phrase query silently
+    missing half the corpus is worse than an error) and mount as one
+    pyarrow UnionDataset, which keeps the per-root row-group pushdown.
+    """
+
+    def __init__(self, roots: list[str]):
+        import pyarrow.dataset as ds
+
+        from ..sources.manifest import read_meta
+
+        if not roots:
+            raise ValueError("FederatedLocalIndex: no index roots given")
+        metas = [read_meta(r) for r in roots]
+        _check_disjoint([_root_buckets(m) for m in metas], roots)
+        cfgs = [m["config"] for m in metas]
+        for f_ in _MERGE_COMPAT_FIELDS:
+            vals = {repr(c.get(f_)) for c in cfgs}
+            if len(vals) > 1:
+                raise ValueError(
+                    f"indexes disagree on {f_} ({sorted(vals)}); federation "
+                    "across analyzer/codec configs would be inconsistent"
+                )
+        self.roots = list(roots)
+        self.subs = [LocalIndex(r) for r in roots]
+        self.cfg = self.subs[0].cfg
+        self.n_docs, self.avgdl, self.total_tokens = _global_stats(metas)
+        dels = [s.deleted for s in self.subs if s.deleted is not None]
+        self.deleted = np.unique(np.concatenate(dels)) if dels else None
+        have = [s.positional is not None for s in self.subs]
+        if any(have) and not all(have):
+            missing = [r for r, h in zip(roots, have) if not h]
+            raise ValueError(
+                f"only some roots carry a positional/ plane (missing: "
+                f"{missing}); a federated phrase query over it would "
+                "silently miss those slices — rebuild them first"
+            )
+        self.positional = (
+            ds.dataset([s.positional for s in self.subs]) if all(have) else None
+        )
+
+    # --- LocalIndex surface ------------------------------------------------
+    def fetch_blocks(self, terms: list[str]) -> pd.DataFrame:
+        parts = []
+        for s in self.subs:
+            b = s.fetch_blocks(terms)
+            if len(b):
+                scale = max(1.0, self.avgdl / float(s.avgdl))
+                b = b.assign(block_max_tfnorm=b["block_max_tfnorm"] * scale)
+                parts.append(b)
+        if not parts:
+            return self.subs[0].fetch_blocks([])  # empty frame, right columns
+        return pd.concat(parts, ignore_index=True)
+
+    def fetch_positions(self, terms: list[str]) -> pd.DataFrame:
+        parts = [s.fetch_positions(terms) for s in self.subs]
+        return pd.concat(parts, ignore_index=True)
+
+    def _union_expand(self, per_sub: list[list[tuple[int, str]]],
+                      max_expansions: int) -> list[tuple[int, str]]:
+        merged: dict[int, set] = {}
+        for pairs in per_sub:
+            for qid, t in pairs:
+                merged.setdefault(int(qid), set()).add(t)
+        out: list[tuple[int, str]] = []
+        for qid in sorted(merged):
+            out.extend(
+                (qid, t) for t in sorted(merged[qid])[: int(max_expansions)]
+            )
+        return out
+
+    def expand_prefix_terms(
+        self, prefixes: list[str], max_expansions: int = 64
+    ) -> list[tuple[int, str]]:
+        return self._union_expand(
+            [s.expand_prefix_terms(prefixes, max_expansions) for s in self.subs],
+            max_expansions,
+        )
+
+    def expand_wildcard_terms(
+        self,
+        patterns: list[str],
+        max_expansions: int = 64,
+        *,
+        norm: list[tuple[int, str, str]] | None = None,
+    ) -> list[tuple[int, str]]:
+        return self._union_expand(
+            [
+                s.expand_wildcard_terms(patterns, max_expansions, norm=norm)
+                for s in self.subs
+            ],
+            max_expansions,
+        )

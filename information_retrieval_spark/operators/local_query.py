@@ -422,6 +422,13 @@ def fuzzy_local(
     return _rank_pairs(idx, pairs, k)
 
 
+def _index_roots(idx) -> list[str]:
+    """The persisted roots behind ``idx`` — [root] for a plain LocalIndex,
+    the mounted list for a federation.FederatedLocalIndex (whose expansion
+    and cf semantics are the union / summed-stats of its roots)."""
+    return list(getattr(idx, "roots", None) or [idx.root])
+
+
 def _expand_fuzzy_terms_local(
     idx: "LocalIndex",
     norm: list[tuple[int, str]],
@@ -429,15 +436,24 @@ def _expand_fuzzy_terms_local(
     max_expansions: int,
 ) -> list[tuple[int, str]]:
     """[(query_id, term)] for pre-analyzed cores — the Spark-free fuzzy
-    expansion shared by ``fuzzy_local`` and the boolean fuzzy leaves."""
+    expansion shared by ``fuzzy_local`` and the boolean fuzzy leaves.
+    Multi-root (federated) indexes read every root's plane/dictionary and
+    dedup the union; the variant-plane fast path needs ALL roots to carry
+    the plane (else recall would silently drop to the planeless roots'...
+    nothing — so any planeless root degrades the whole read to the
+    dictionary scan, correct just slower, same rule as the Spark side)."""
     import numpy as np
+    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.dataset as ds
 
     from ..sources.manifest import fuzzy_dictionary_path
 
-    fuzzy_dir = fuzzy_dictionary_path(idx.root) if max_edit <= 2 else None
-    if fuzzy_dir is not None:
+    roots = _index_roots(idx)
+    fuzzy_dirs = (
+        [fuzzy_dictionary_path(r) for r in roots] if max_edit <= 2 else None
+    )
+    if fuzzy_dirs is not None and all(d is not None for d in fuzzy_dirs):
         # persisted SymSpell variant plane: the query neighborhoods form an
         # isin filter pushed to the variant-sorted Parquet's row-group
         # stats — candidates only, never the full vocabulary (recall
@@ -448,16 +464,21 @@ def _expand_fuzzy_terms_local(
             {v for _, q in norm for v in _delete_variants(q, max_edit)}
         )
         tcol = pc.unique(
-            ds.dataset(fuzzy_dir, format="parquet")
-            .to_table(columns=["term"], filter=ds.field("variant").isin(qset))
-            .column("term")
+            pa.concat_tables(
+                ds.dataset(d, format="parquet").to_table(
+                    columns=["term"], filter=ds.field("variant").isin(qset)
+                )
+                for d in fuzzy_dirs
+            ).column("term")
         )
     else:
-        dict_dir = os.path.join(idx.root, "dictionary")
-        tcol = (
-            ds.dataset(dict_dir, format="parquet")
-            .to_table(columns=["term"])
-            .column("term")
+        tcol = pc.unique(
+            pa.concat_tables(
+                ds.dataset(
+                    os.path.join(r, "dictionary"), format="parquet"
+                ).to_table(columns=["term"])
+                for r in roots
+            ).column("term")
         )
     lens = pc.utf8_length(tcol)
 
@@ -600,10 +621,22 @@ def boolean_local(
 
     need_universe = any(eval_on_set(t, set()) for t in trees)
     if need_universe:
-        tab = ds.dataset(
-            os.path.join(idx.root, "docs"), partitioning="hive", format="parquet"
-        ).to_table(columns=["docid"])
-        cand = np.unique(np.asarray(tab.column("docid")).astype(np.int64))
+        cand = np.unique(
+            np.concatenate(
+                [
+                    np.asarray(
+                        ds.dataset(
+                            os.path.join(r, "docs"),
+                            partitioning="hive",
+                            format="parquet",
+                        )
+                        .to_table(columns=["docid"])
+                        .column("docid")
+                    ).astype(np.int64)
+                    for r in _index_roots(idx)
+                ]
+            )
+        )
         if idx.deleted is not None and cand.size:
             cand = cand[~np.isin(cand, idx.deleted)]
     else:
@@ -958,7 +991,10 @@ def did_you_mean_local(
     Interactive shape: one term-isin pruned (term, cf) dictionary read for
     membership, the shared plane-pruned neighborhood expansion for the OOV
     tokens, one more pruned (term, cf) read for the candidates — all
-    pyarrow, zero Spark jobs."""
+    pyarrow, zero Spark jobs. Multi-root (federated) indexes sum each
+    term's cf across roots — the GLOBAL collection frequency, so the
+    cf-argmax ranks against the federated corpus exactly like the combined
+    index would."""
     import pyarrow.dataset as ds
 
     from ..functions.analyzer import tokenize_series
@@ -966,6 +1002,21 @@ def did_you_mean_local(
     if max_edit not in (1, 2):
         raise ValueError(f"max_edit must be 1 or 2, got {max_edit}")
     idx = LocalIndex(index) if isinstance(index, str) else index
+
+    def dict_cf(terms: list[str]) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for r in _index_roots(idx):
+            tab = ds.dataset(
+                os.path.join(r, "dictionary"), format="parquet"
+            ).to_table(
+                columns=["term", "cf"], filter=ds.field("term").isin(terms)
+            )
+            for t, c in zip(
+                tab.column("term").to_pylist(), tab.column("cf").to_pylist()
+            ):
+                out[t] = out.get(t, 0) + int(c)
+        return out
+
     toks = tokenize_series(pd.Series(queries, dtype=object), idx.cfg)
     norm = [
         (qid, pos, t) for qid, ts in enumerate(toks) for pos, t in enumerate(ts)
@@ -974,24 +1025,14 @@ def did_you_mean_local(
     if not norm:
         return pd.DataFrame(columns=cols)
     qset = sorted({t for _, _, t in norm})
-    dset = ds.dataset(os.path.join(idx.root, "dictionary"), format="parquet")
-    tab = dset.to_table(columns=["term", "cf"], filter=ds.field("term").isin(qset))
-    exact = dict(
-        zip(tab.column("term").to_pylist(), tab.column("cf").to_pylist())
-    )
+    exact = dict_cf(qset)
     missing = [t for t in qset if t not in exact]
     best: dict[str, tuple[str, int]] = {}
     if missing:
         pairs = _expand_fuzzy_terms_local(
             idx, list(enumerate(missing)), max_edit, max_expansions=1 << 30
         )
-        cand_terms = sorted({t for _, t in pairs})
-        ctab = dset.to_table(
-            columns=["term", "cf"], filter=ds.field("term").isin(cand_terms)
-        )
-        cf_map = dict(
-            zip(ctab.column("term").to_pylist(), ctab.column("cf").to_pylist())
-        )
+        cf_map = dict_cf(sorted({t for _, t in pairs}))
         for i, t in pairs:
             q = missing[i]
             cur = best.get(q)

@@ -34,11 +34,14 @@ Responses are one JSON line each: ``{"ok": true, "results": [...]}`` with
 the ``answer_queries`` routing surface (bm25 / phrase / proximity / prefix /
 wildcard / fuzzy / boolean), or ``{"ok": false, "error": "..."}``.
 
-Scale shape: the daemon is a READ head over one index root. At 100 TB the
-corpus lives in many roots behind ``operators.federation``; you run one
-daemon per root (the reference's sub-index shape — a sub-index "cannot have
-its own connection daemon", index.h:184-186, the master front-ends them)
-and the distributed ``wand_topk`` path remains the corpus-scale scan.
+Scale shape: the daemon is a READ head over one index root — or, given
+SEVERAL roots, the reference's MASTER daemon: a sub-index "cannot have its
+own connection daemon" (index.h:184-186); the master front-ends the
+bucket-disjoint sub-indexes through one
+``operators.federation.FederatedLocalIndex`` (global idf/avgdl, admissible
+block-max rescale, unioned deletion ledgers — rank-identical to a combined
+index, pinned by test_daemon). The distributed ``wand_topk`` path remains
+the corpus-scale scan either way.
 """
 
 from __future__ import annotations
@@ -87,13 +90,19 @@ class QueryDaemon:
 
     def __init__(
         self,
-        root: str,
+        root: str | list[str],
         host: str = "127.0.0.1",
         port: int = 0,
         max_registered_users: int = DEFAULT_MAX_REGISTERED_USERS,
         retry_timeout_sec: float = 5.0,
     ) -> None:
-        self.root = root
+        # several roots = the reference's MASTER daemon (a sub-index
+        # "cannot have its own connection daemon", index.h:184-186): one
+        # FederatedLocalIndex front-ends the bucket-disjoint sub-indexes
+        self.roots = [root] if isinstance(root, str) else list(root)
+        if not self.roots:
+            raise ValueError("QueryDaemon: no index roots given")
+        self.root = self.roots[0]
         self.host, self.port = host, int(port)
         self.retry_timeout_sec = float(retry_timeout_sec)
         self._slots = threading.Semaphore(int(max_registered_users))
@@ -153,17 +162,25 @@ class QueryDaemon:
 
     # --- snapshot management ----------------------------------------------
     def _snapshot(self) -> LocalIndex:
-        """The LocalIndex for the CURRENT meta generation; reopened when the
-        writer's atomic ``_index_meta.json`` commit changes it."""
-        meta_path = os.path.join(self.root, "_index_meta.json")
+        """The LocalIndex (or FederatedLocalIndex for a multi-root master
+        daemon) for the CURRENT meta generation(s); reopened when ANY
+        root's atomic ``_index_meta.json`` commit changes."""
         with self._snap_lock:
-            try:
-                with open(meta_path, "rb") as f:
-                    raw = f.read()
-            except OSError:
-                raw = b""
+            raws = []
+            for r in self.roots:
+                try:
+                    with open(os.path.join(r, "_index_meta.json"), "rb") as f:
+                        raws.append(f.read())
+                except OSError:
+                    raws.append(b"")
+            raw = b"\x00".join(raws)
             if self._idx is None or raw != self._meta_raw:
-                self._idx = LocalIndex(self.root)
+                if len(self.roots) == 1:
+                    self._idx = LocalIndex(self.root)
+                else:
+                    from .operators.federation import FederatedLocalIndex
+
+                    self._idx = FederatedLocalIndex(self.roots)
                 self._meta_raw = raw
             return self._idx
 
@@ -213,6 +230,7 @@ class QueryDaemon:
                     "registration_id": self._registration_id,
                     "queries_served": self._queries_served,
                     "root": self.root,
+                    "roots": self.roots,
                 }
         if op == "shutdown":
             threading.Thread(target=self.stop, daemon=True).start()

@@ -445,17 +445,36 @@ def stream_index_updates(
     checkpoint: str,
     cfg: EngineConfig = DEFAULT_CONFIG,
     available_now: bool = True,
+    trigger_interval: str | None = None,
+    max_files_per_trigger: int | None = None,
 ):
-    """Start the incremental indexer over a parquet file-source directory.
+    """Start the incremental indexer over a parquet file-source directory —
+    the live filesystem-change monitor analog (the reference's
+    ``/proc/fschange`` daemon, /root/reference/index/index.h:47-49 and
+    masterindex/masterindex.h:6-10, re-created on Spark's file streaming
+    source: directory listing + checkpointed file ledger instead of a
+    kernel change feed).
 
     New parquet files dropped into ``input_path`` (corpus schema) are
-    discovered by the file source (the /proc/fschange analog) and indexed
-    per micro-batch. ``foreachBatch`` delivery is at-least-once, but the
-    sink is IDEMPOTENT (ledger skip + deterministic staged promotion +
-    commit-last counters — see ``append_batch``), so the composition is
-    effectively exactly-once. Returns the StreamingQuery; ``availableNow``
-    drains pending input then stops."""
-    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(input_path)
+    discovered by the file source and indexed per micro-batch.
+    ``foreachBatch`` delivery is at-least-once, but the sink is IDEMPOTENT
+    (ledger skip + deterministic staged promotion + commit-last counters —
+    see ``append_batch``), so the composition is effectively exactly-once.
+    Returns the StreamingQuery.
+
+    Two trigger shapes:
+    - ``available_now=True`` (default): drain pending input, then stop —
+      the batch catch-up mode;
+    - ``available_now=False``: keep RUNNING and pick up files as they
+      arrive (``trigger_interval`` e.g. ``"2 seconds"`` sets the poll
+      cadence — the INDEX_WAIT_INTERVAL analog at ingest; None = as fast
+      as batches complete). ``max_files_per_trigger`` bounds each
+      micro-batch's file count so one giant drop cannot starve the
+      single-writer lease for minutes (backpressure at the source)."""
+    reader = spark.readStream.schema(CORPUS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(input_path)
 
     def sink(df: DataFrame, batch_id: int) -> None:
         append_batch(spark, df, root, cfg, batch_id=batch_id)
@@ -465,4 +484,6 @@ def stream_index_updates(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()

@@ -1,0 +1,90 @@
+"""spark-submit entry: live filesystem-change monitor feeding the index.
+
+Usage (cluster):
+    spark-submit --py-files dist/information_retrieval_spark.zip \
+        jobs/monitor.py --inbox /path/to/inbox --index /path/to/index \
+        --checkpoint /path/to/ckpt [--interval "2 seconds"] \
+        [--max-files-per-trigger 64] [--drain]
+
+Local dev:
+    python jobs/monitor.py --inbox /tmp/inbox --index /tmp/idx \
+        --checkpoint /tmp/ckpt --drain
+
+The reference plans live change ingestion through a ``/proc/fschange``
+monitor daemon (/root/reference/index/index.h:47-49,
+/root/reference/masterindex/masterindex.h:6-10). This is its Spark-native
+analog: Structured Streaming's file source watches ``--inbox`` for new
+parquet files (corpus schema) and ``append_batch`` indexes each micro-batch
+under the single-writer lease — idempotent (replay-safe) delta segments, a
+resident query daemon (``jobs/serve.py``) picks each promoted generation up
+on its next request via snapshot reopen. ``--drain`` processes everything
+pending and exits (the catch-up mode); without it the monitor keeps running
+until SIGINT, discovering files as they arrive on the ``--interval``
+cadence. ``--conf KEY=VALUE`` feeds the full configurator cascade, exactly
+like the other jobs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.session import make_session
+from information_retrieval_spark.streaming.incremental import (
+    stream_index_updates,
+)
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--inbox", required=True,
+                   help="watched directory of incoming corpus parquet files")
+    p.add_argument("--index", required=True, help="persisted index root")
+    p.add_argument("--checkpoint", required=True,
+                   help="streaming checkpoint dir (the processed-file ledger "
+                        "— reuse it across restarts for exactly-once)")
+    p.add_argument("--interval", default="2 seconds",
+                   help='poll cadence in continuous mode, e.g. "2 seconds"')
+    p.add_argument("--max-files-per-trigger", type=int, default=None,
+                   help="bound each micro-batch's file count (source "
+                        "backpressure; a giant drop won't hold the writer "
+                        "lease for minutes)")
+    p.add_argument("--drain", action="store_true",
+                   help="process pending input, then exit (availableNow)")
+    p.add_argument("--conf", action="append", default=[], metavar="KEY=VALUE")
+    p.add_argument("--master", default=None, help="override master for local dev")
+    args = p.parse_args(argv)
+
+    cfg = EngineConfig.from_sources(argv=args.conf)
+    spark = make_session(master=args.master, app_name="ir-monitor", cfg=cfg)
+    try:
+        q = stream_index_updates(
+            spark,
+            args.inbox,
+            args.index,
+            args.checkpoint,
+            cfg,
+            available_now=args.drain,
+            trigger_interval=args.interval,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        print(json.dumps({
+            "monitoring": args.inbox,
+            "index": args.index,
+            "mode": "drain" if args.drain else f"live ({args.interval})",
+        }), flush=True)
+        try:
+            q.awaitTermination()
+        except KeyboardInterrupt:
+            q.stop()
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -90,7 +90,18 @@ def main(argv: list[str] | None = None) -> None:
     spark = make_session(args.master, "ir-query")
     spark.sparkContext.setLogLevel("WARN")
 
-    idx = open_index(spark, args.index)
+    # comma-separated roots = federated querying with global statistics
+    # (the reference's ir executable takes the same comma list of index
+    # directories, /root/reference/executable/ir.cc:39-65)
+    roots = [r for r in args.index.split(",") if r]
+    if len(roots) > 1:
+        from information_retrieval_spark.operators.federation import (
+            open_federated_index,
+        )
+
+        idx = open_federated_index(spark, roots)
+    else:
+        idx = open_index(spark, args.index)
     if args.phrase:
         from information_retrieval_spark.operators.positional import phrase_match
 
@@ -200,7 +211,16 @@ def _main_local(args) -> None:
         snippet_local,
     )
 
-    li = LocalIndex(args.index)
+    roots = [r for r in args.index.split(",") if r]
+    if len(roots) > 1:
+        # comma list = the master shape, Spark-free (ir.cc:39-65 parity)
+        from information_retrieval_spark.operators.federation import (
+            FederatedLocalIndex,
+        )
+
+        li = FederatedLocalIndex(roots)
+    else:
+        li = LocalIndex(args.index)
     if args.did_you_mean:
         from information_retrieval_spark.operators.local_query import (
             did_you_mean_local,
@@ -239,8 +259,13 @@ def _main_local(args) -> None:
             for q, d, _, _, s in sdf.itertuples(index=False)
         }
     out = query_index_local(li, args.queries, k=args.k)
-    docs = ds.dataset(os.path.join(args.index, "docs"), partitioning="hive",
-                      format="parquet")
+    docs = ds.dataset(
+        [
+            ds.dataset(os.path.join(r, "docs"), partitioning="hive",
+                       format="parquet")
+            for r in roots
+        ]
+    )
     ids = [int(d) for d in out["docid"].unique()] if len(out) else []
     resolve = {}
     if ids:

@@ -36,7 +36,16 @@ from information_retrieval_spark.serve import (
 
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--index", required=True, help="persisted index root")
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--index", help="persisted index root")
+    g.add_argument(
+        "--roots",
+        help="comma-separated list of bucket-disjoint index roots — the "
+        "MASTER daemon (reference shape: sub-indexes cannot have their own "
+        "connection daemon, index.h:184-186; the ir executable takes the "
+        "same comma list, executable/ir.cc:39-65): queries run federated "
+        "with global statistics, rank-identical to one combined index",
+    )
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--conf", action="append", default=[], metavar="KEY=VALUE",
                    help="configurator parameter (TCP_PORT=..., "
@@ -52,13 +61,16 @@ def main(argv: list[str] | None = None) -> None:
     readers = cfgr.get_int(
         "MAX_SIMULTANEOUS_READERS", DEFAULT_MAX_REGISTERED_USERS
     )
+    roots = (
+        [r for r in args.roots.split(",") if r] if args.roots else args.index
+    )
     daemon = QueryDaemon(
-        args.index, host=args.host, port=port, max_registered_users=readers
+        roots, host=args.host, port=port, max_registered_users=readers
     )
     bound = daemon.start()
     print(json.dumps({"listening": f"{args.host}:{bound}",
                       "max_registered_users": readers,
-                      "index": args.index}), flush=True)
+                      "index": daemon.roots}), flush=True)
     try:
         daemon._thread.join()
     except KeyboardInterrupt:
