@@ -795,32 +795,19 @@ def _capped_leaf_expansions(
 ) -> dict[tuple, list[str]]:
     """The lexicographically-first ``cap`` dictionary terms per expansion
     leaf — ONE Spark job for ALL leaves (the dedicated top-k paths'
-    64-expansion scoring discipline, batched): the per-leaf candidate
-    frames union with a leaf tag, each partition contributes its partial
-    first-``cap`` (array_sort + slice over the partition's distinct terms —
-    bounded by the partition, the map-side-combine shape), and the final
-    per-leaf merge sees ≤ cap·P rows. Never a full-expansion collect, never
-    a single-partition global sort of a 10^8-term leaf."""
+    64-expansion scoring discipline, batched through the shared
+    ``capped_terms_by_tag`` partial-cap helper). Never a full-expansion
+    collect, never a single-partition global sort of a 10^8-term leaf."""
+    from .query import capped_terms_by_tag
+
     mapping = None
     for li, key in enumerate(leaf_keys):
         leaf = leaf_terms_df(index, key, cfg).select(
-            F.lit(li).alias("leaf"), "term"
+            F.lit(li).alias("tag"), "term"
         )
         mapping = leaf if mapping is None else mapping.unionByName(leaf)
-    partial = (
-        mapping.withColumn("p", F.spark_partition_id())
-        .groupBy("leaf", "p")
-        .agg(F.slice(F.array_sort(F.collect_set("term")), 1, cap).alias("ts"))
-    )
-    final = (
-        partial.select("leaf", F.explode("ts").alias("term"))
-        .groupBy("leaf")
-        .agg(F.slice(F.array_sort(F.collect_set("term")), 1, cap).alias("ts"))
-    )
-    return {
-        leaf_keys[int(r["leaf"])]: [str(t) for t in r["ts"]]
-        for r in final.collect()
-    }
+    got = capped_terms_by_tag(mapping, cap)
+    return {key: got.get(li, []) for li, key in enumerate(leaf_keys)}
 
 
 def duckdb_boolean_ranked_sql(

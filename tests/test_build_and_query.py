@@ -794,3 +794,39 @@ def test_synonym_topk_semantics(spark, corpus, index):
         spark, index, parse_queries(spark, queries, CFG), K, CFG
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_expansion_job_count_independent_of_pattern_count(spark, index):
+    """Round 5: expand_prefixes / expand_wildcards run ONE Spark job for
+    the whole batch (shared capped_terms_by_tag partial-cap helper) — the
+    job count does not grow with the number of patterns."""
+    from information_retrieval_spark.operators.query import (
+        expand_prefixes,
+        expand_wildcards,
+    )
+
+    sc = spark.sparkContext
+    seq = iter(range(1000))
+
+    def jobs(fn, args) -> int:
+        group = f"exp-{next(seq)}-{len(args)}"
+        sc.setJobGroup(group, "expansion jobs assert")
+        try:
+            fn(index, args, CFG, 10)
+        finally:
+            sc.setJobGroup("exp-done", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    # Warm-up absorbs one-time lazy plane loads/persists before counting.
+    # AQE materializes each shuffle stage as its own job, so the absolute
+    # count is plan-shaped; the invariant is that it stays FLAT as the
+    # pattern count doubles (the old shape paid one TakeOrdered job per
+    # pattern, so 4 -> 8 patterns doubled it).
+    p4 = ["ide", "ta", "s", "zz"]
+    p8 = p4 + ["a", "b", "c", "d"]
+    w4 = ["ta*", "*ble", "*as*", "ident_1"]
+    w8 = w4 + ["s*", "*s", "*en*", "zz*"]
+    jobs(expand_prefixes, p8)
+    jobs(expand_wildcards, w8)
+    assert jobs(expand_prefixes, p8) <= jobs(expand_prefixes, p4)
+    assert jobs(expand_wildcards, w8) <= jobs(expand_wildcards, w4)

@@ -300,3 +300,49 @@ def test_federated_bm25f_rank_identical_to_combined(spark, tmp_path_factory):
     # config mismatch on field_planes refuses to merge
     with pytest.raises(ValueError, match="field_planes"):
         merge_indexes(spark, [ra, no_plane], str(base / "bad"))
+
+
+def test_federated_local_index_full_routing_surface(spark, tmp_path_factory):
+    """Round 5: the Spark-FREE federated read head (FederatedLocalIndex —
+    the master daemon's engine) answers the ENTIRE interactive routing
+    surface identically to one combined index: ranked BM25 with snippets,
+    phrase, NEAR, prefix/wildcard/fuzzy, boolean (incl. a NOT complement
+    over the federated universe), and did_you_mean with globally-summed
+    cf."""
+    from information_retrieval_spark.operators.federation import (
+        FederatedLocalIndex,
+    )
+    from information_retrieval_spark.operators.local_query import (
+        LocalIndex,
+        answer_queries,
+        did_you_mean_local,
+    )
+
+    cfgp = EngineConfig(n_doc_buckets=8, block_size=16, positional=True)
+    base = tmp_path_factory.mktemp("fedlocal")
+    full = synthetic_corpus_pdf(160, seed=61)[COLS]
+    b = full.apply(_bucket, axis=1)
+    combined, ra, rb = str(base / "all"), str(base / "a"), str(base / "b")
+    build_index_resumable(spark, spark.createDataFrame(full), combined, cfgp)
+    build_index_resumable(spark, spark.createDataFrame(full[b < 4]), ra, cfgp)
+    build_index_resumable(spark, spark.createDataFrame(full[b >= 4]), rb, cfgp)
+
+    queries = [
+        "ident_1 ident_2",            # bm25 (+ snippets)
+        '"ident_1 ident_2"',          # phrase through the positional plane
+        "ident_1 NEAR/5 ident_3",     # proximity
+        "ident*",                     # prefix expansion
+        "*dent_1",                    # suffix via the reversed twin
+        "idemt_1~1",                  # fuzzy via the variant plane
+        "ident_1 AND NOT ident_2",    # boolean
+        "NOT ident_1",                # complement over the federated universe
+    ]
+    fed = FederatedLocalIndex([ra, rb])
+    want = answer_queries(LocalIndex(combined), queries, k=5, snippet_window=6)
+    got = answer_queries(fed, queries, k=5, snippet_window=6)
+    assert got == want
+    assert any(ans["hits"] for ans in got)  # not vacuous
+
+    dwant = did_you_mean_local(combined, ["idemt_1 zzz ident_3"], max_edit=2)
+    dgot = did_you_mean_local(fed, ["idemt_1 zzz ident_3"], max_edit=2)
+    assert dgot.values.tolist() == dwant.values.tolist()
