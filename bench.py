@@ -765,14 +765,20 @@ def main() -> None:
     # final line as JSON — round 4's full report (~5 KB with the micro
     # sections) overflowed that window and parsed as null. Ship the full
     # report to BENCH_full.json beside this script and print a compact line
-    # that always fits: contract keys first, then headline + scaling, then
-    # optional sections dropped largest-first until it fits.
+    # that always fits.
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_full.json"), "w"
     ) as f:
         json.dump(out, f, indent=1)
+    print(compact_line(out))
 
+
+def compact_line(out: dict, limit: int = 1900) -> str:
+    """The one-line JSON printed to stdout for the recorder: contract keys
+    first (metric/value/unit/queries/sf), then headline + scaling, then the
+    optional per-surface sections dropped largest-first until the line fits
+    ``limit`` chars (the recorder's tail window is ~2000)."""
     compact = {
         "metric": out["metric"],
         "value": out["value"],
@@ -797,13 +803,14 @@ def main() -> None:
         }
     for opt in ("queries_extended", "queries_pyarrow_local",
                 "queries_daemon_tcp"):
-        compact[opt] = out[opt]
+        if opt in out:
+            compact[opt] = out[opt]
     for opt in ("queries_daemon_tcp", "queries_pyarrow_local",
                 "queries_extended"):
-        if len(json.dumps(compact, separators=(",", ":"))) <= 1900:
+        if len(json.dumps(compact, separators=(",", ":"))) <= limit:
             break
         compact.pop(opt, None)
-    print(json.dumps(compact, separators=(",", ":")))
+    return json.dumps(compact, separators=(",", ":"))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,61 @@
+"""The recorder keeps only the last ~2000 chars of bench stdout and parses
+the final line as JSON (round 4's full report overflowed it and parsed as
+null) — pin that the compact line always fits and keeps the contract keys."""
+
+import json
+
+from bench import compact_line
+
+CONTRACT = ("metric", "value", "unit", "queries", "sf")
+
+
+def _fake_out(extended_n: int) -> dict:
+    return {
+        "metric": "index-build + BM25 block-max-WAND top-k wall time",
+        "value": 1234.567,
+        "unit": "sec",
+        "sf": "0.1",
+        "n_docs": 5000,
+        "build_sec": 2.493,
+        "docs_per_sec": 2005.9,
+        "queries": {f"q{i}": 0.5678 for i in range(6)},
+        "queries_extended": {f"surface_name_{i}": 1.2345 for i in range(extended_n)},
+        "queries_pyarrow_local": {f"q{i}": 0.1234 for i in range(6)},
+        "queries_daemon_tcp": {f"q{i}": 0.1234 for i in range(6)},
+        "scaling": {
+            "docs_per_sec_local8": 1111.1,
+            "docs_per_sec_local32": 3333.3,
+            "throughput_ratio_8_to_32": 3.0,
+            "efficiency_vs_ideal_4x": 0.75,
+            "efficiency_vs_cpu_ceiling": 0.9,
+            "efficiency_vs_workload_ceiling": 0.88,
+            "hw_ceiling": {"cpu": {"big": list(range(200))}},
+        },
+        "fuzzy_plane_micro": {"huge": ["x" * 50] * 100},
+        "curate": {"stages": {f"s{i}": 9.9 for i in range(40)}},
+    }
+
+
+def test_compact_line_fits_and_keeps_contract():
+    for n in (0, 18, 400):
+        line = compact_line(_fake_out(n))
+        assert len(line) <= 1900
+        d = json.loads(line)
+        for key in CONTRACT:
+            assert key in d
+        assert d["scaling"]["throughput_ratio_8_to_32"] == 3.0
+        assert "hw_ceiling" not in d["scaling"]
+        assert "fuzzy_plane_micro" not in d and "curate" not in d
+
+
+def test_compact_line_keeps_optional_sections_when_small():
+    d = json.loads(compact_line(_fake_out(18)))
+    assert "queries_extended" in d and "queries_daemon_tcp" in d
+
+
+def test_compact_line_drops_largest_first_when_huge():
+    d = json.loads(compact_line(_fake_out(400)))
+    assert "queries_extended" not in d  # the overflowing section went
+    assert json.loads(compact_line(_fake_out(400), limit=400)).keys() >= set(
+        CONTRACT
+    )
