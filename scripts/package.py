@@ -1,0 +1,67 @@
+"""Build the spark-submit distribution zip: dist/information_retrieval_spark.zip.
+
+The north rule ships the engine to a real cluster as
+``spark-submit --py-files dist/information_retrieval_spark.zip jobs/<job>.py``
+(BASELINE.json north_star; every jobs/*.py docstring shows the invocation).
+This script produces that artifact: the ``information_retrieval_spark``
+package zipped at the archive root so ``--py-files`` puts it on the driver's
+sys.path and every executor's PYTHONPATH.
+
+The zip is DETERMINISTIC (sorted member order, fixed timestamp, no .pyc):
+rebuilding from the same tree is byte-identical, so cluster deploys can be
+content-addressed / cached.
+
+Usage:
+    python scripts/package.py [out_zip]      # default dist/information_retrieval_spark.zip
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+_FIXED_DATE = (1980, 1, 1, 0, 0, 0)  # zip epoch: determinism over mtimes
+
+
+def build_zip(repo_root: str, out_zip: str) -> str:
+    """Zip ``<repo_root>/information_retrieval_spark`` into ``out_zip``
+    (package dir at archive root, as --py-files expects). Returns out_zip."""
+    pkg = os.path.join(repo_root, "information_retrieval_spark")
+    if not os.path.isdir(pkg):
+        raise SystemExit(f"package dir not found: {pkg}")
+    members: list[tuple[str, str]] = []
+    for dirpath, dirnames, filenames in os.walk(pkg):
+        dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+        for fn in sorted(filenames):
+            if fn.endswith((".pyc", ".pyo")):
+                continue
+            full = os.path.join(dirpath, fn)
+            arc = os.path.relpath(full, repo_root)
+            members.append((full, arc))
+    os.makedirs(os.path.dirname(os.path.abspath(out_zip)) or ".", exist_ok=True)
+    tmp = out_zip + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+        for full, arc in members:
+            info = zipfile.ZipInfo(arc, date_time=_FIXED_DATE)
+            info.compress_type = zipfile.ZIP_DEFLATED
+            info.external_attr = 0o644 << 16
+            with open(full, "rb") as f:
+                z.writestr(info, f.read())
+    os.replace(tmp, out_zip)  # atomic: a concurrent deploy never sees a torn zip
+    return out_zip
+
+
+def main(argv: list[str] | None = None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = argv[0] if argv else os.path.join(
+        repo_root, "dist", "information_retrieval_spark.zip"
+    )
+    path = build_zip(repo_root, out)
+    n = len(zipfile.ZipFile(path).namelist())
+    print(f"{path}  ({n} files, {os.path.getsize(path)} bytes)")
+
+
+if __name__ == "__main__":
+    main()

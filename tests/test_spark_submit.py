@@ -1,0 +1,77 @@
+"""The north rule's deploy shape: ``spark-submit --py-files
+dist/information_retrieval_spark.zip jobs/<job>.py`` on a multi-executor
+cluster (BASELINE.json north_star). Prove it end-to-end: build the zip with
+scripts/package.py, copy the job scripts OUTSIDE the repo (their
+repo-relative sys.path fallback must not be able to find the package), and
+run build + query through real ``spark-submit`` with the repo stripped from
+PYTHONPATH — every import on the driver AND the Python UDF workers must
+come from the --py-files zip, exactly as on a cluster.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit")
+SF_DIR = os.environ.get("IR_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    SPARK_SUBMIT is None, reason="spark-submit not on PATH"
+)
+
+
+def _clean_env() -> dict:
+    env = dict(os.environ)
+    # strip every path that could leak the repo's package to the subprocess:
+    # the only way the job may import information_retrieval_spark is the zip
+    parts = [
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and os.path.abspath(p) != REPO
+    ]
+    env["PYTHONPATH"] = os.pathsep.join(parts)
+    env.pop("SPARK_CONF_DIR", None)
+    return env
+
+
+def test_spark_submit_py_files_build_and_query(tmp_path):
+    sys.path.insert(0, REPO)
+    from scripts.package import build_zip
+
+    zip_path = build_zip(REPO, str(tmp_path / "information_retrieval_spark.zip"))
+    # job scripts live outside the repo: their sys.path.insert(dirname(dirname))
+    # points at tmp_path's parent, so the package can ONLY come from --py-files
+    build_job = shutil.copy(os.path.join(REPO, "jobs", "build_index.py"), tmp_path)
+    query_job = shutil.copy(os.path.join(REPO, "jobs", "query.py"), tmp_path)
+    idx = str(tmp_path / "idx")
+
+    common = [
+        SPARK_SUBMIT, "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--py-files", zip_path,
+    ]
+    r = subprocess.run(
+        common + [build_job,
+                  "--input", os.path.join(SF_DIR, "documents.parquet"),
+                  "--from-documents", "--output", idx],
+        capture_output=True, text=True, timeout=600,
+        cwd=str(tmp_path), env=_clean_env(),
+    )
+    assert r.returncode == 0, r.stderr[-4000:]
+    built = json.loads(r.stdout.strip().splitlines()[-1])
+    assert built["n_docs"] > 0 and built["index_root"] == idx
+
+    r = subprocess.run(
+        common + [query_job, "--index", idx, "--k", "5", "hash join"],
+        capture_output=True, text=True, timeout=600,
+        cwd=str(tmp_path), env=_clean_env(),
+    )
+    assert r.returncode == 0, r.stderr[-4000:]
+    hits = json.loads(r.stdout.strip().splitlines()[-1])
+    assert hits["query"] == "hash join" and len(hits["hits"]) == 5
+    assert hits["hits"][0]["score"] >= hits["hits"][-1]["score"]
