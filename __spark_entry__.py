@@ -46,6 +46,7 @@ from information_retrieval_spark.operators.query import (  # noqa: E402
     duckdb_fuzzy_bm25_sql,
     duckdb_mlt_sql,
     duckdb_prefix_bm25_sql,
+    duckdb_regex_bm25_sql,
     duckdb_suggest_sql,
     duckdb_synonym_bm25_sql,
     duckdb_tok,
@@ -562,13 +563,14 @@ BOOL_PHRASE_SET = [
 ]
 
 
-# wildcard / fuzzy expansion leaves composed under the algebra (UNCAPPED
-# verdicts — parity with the corpus-scan token test)
+# wildcard / fuzzy / regex expansion leaves composed under the algebra
+# (UNCAPPED verdicts — parity with the corpus-scan token test)
 BOOL_EXPANSION_SET = [
     "ta* AND NOT key",
     "NOT *ble",
     "(*as* OR hash~1) AND table",
     'tabel~2 AND NOT "table hash"',
+    "/ha.h/ AND NOT /tab(le|el)s?/",
 ]
 
 
@@ -677,6 +679,10 @@ def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # wildcard set: prefix, suffix, infix, and an infix with no dictionary match
 WILDCARD_SET = ["ta*", "*ble", "*as*", "*zzz*"]
+
+# regex set (RE2/java.util common subset): dot, group alternation +
+# optional suffix, unanchored infix (trigram-prunable), and a miss
+REGEX_SET = ["ha.h", "tab(le|el)s?", ".*abl.*", "zzz.*q"]
 
 # misspelled queries: 1-edit, 2-edit (transposition), and unmatched
 FUZZY_SET = ["hasj", "tabel", "scann", "windoww", "zzzz"]
@@ -793,6 +799,19 @@ def _q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _index(spark, sf_dir)
     out = fuzzy_topk(spark, idx, FUZZY_SET, TOP_K, CFG, max_edit=2)
+    return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
+
+
+def _q_regex_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex retrieval (Lucene RegexpQuery analog): full-match dictionary
+    expansion (literal-prefix / trigram-plane pruned, JVM-side rlike
+    verify, lexicographic cap) -> disjunctive block-max WAND. Oracle
+    re-derives the expansion with a regexp_full_match join against the
+    corpus vocabulary."""
+    from information_retrieval_spark.operators.query import regex_topk
+
+    idx = _index(spark, sf_dir)
+    out = regex_topk(spark, idx, REGEX_SET, TOP_K, CFG)
     return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
 
 
@@ -1005,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50), so entries NEW or previously-uncovered this round come
     # FIRST; the long-stable core follows.
     return {
+        "regex_topk": _q_regex_topk,
         "bm25f_bmw": _q_bm25f_bmw,
         "boolean_near": _q_boolean_near,
         "boolean_expansion": _q_boolean_expansion,
@@ -1271,6 +1291,9 @@ FROM events GROUP BY event_type
         ),
         "wildcard_topk": duckdb_wildcard_bm25_sql(
             corpus, WILDCARD_SET, CFG, k=TOP_K, round_to=4
+        ),
+        "regex_topk": duckdb_regex_bm25_sql(
+            corpus, REGEX_SET, CFG, k=TOP_K, round_to=4
         ),
         "wildcard_plane_topk": duckdb_wildcard_bm25_sql(
             corpus, WILDCARD_PLANE_SET, CFG, k=TOP_K, round_to=4

@@ -10,10 +10,12 @@ AND) with a full expression language:
     or    := and ("OR" and)*
     and   := near (("AND")? near)*        -- adjacency is implicit AND
     near  := unary ("NEAR/k" unary)?      -- proximity leaf, no chaining
-    unary := "NOT" unary | "(" expr ")" | PHRASE | WILD | FUZZY | TERM
+    unary := "NOT" unary | "(" expr ")" | PHRASE | WILD | FUZZY | REGEX | TERM
     PHRASE := '"' ... '"'                 -- consecutive-token adjacency
     WILD   := ta* | *ble | *as*           -- edge-star token match
     FUZZY  := word~ | word~2              -- Levenshtein <= d token match
+    REGEX  := /pattern/                   -- full-match token regex (Lucene
+                                             /regex/ syntax; round 5)
 
 ``AND`` / ``OR`` / ``NOT`` are the UPPERCASE keywords (lowercase ``and`` is
 a content word); every TERM passes through the SAME indexing analyzer as
@@ -86,7 +88,10 @@ def _lex(query: str) -> list[str]:
     if _TOKEN_RE is None:
         import re
 
-        _TOKEN_RE = re.compile(r'"[^"]*"|[()]|[^\s()"]+|"')
+        # a /regex/ span (escaped slashes allowed) lexes whole so patterns
+        # may hold spaces/parens; it only fires on a LEADING slash, so
+        # words containing '/' (NEAR/3, a/b) lex unchanged
+        _TOKEN_RE = re.compile(r'"[^"]*"|/(?:\\.|[^/\\])*/|[()]|[^\s()"]+|"')
     out = _TOKEN_RE.findall(query)
     if '"' in out:  # a lone quote only matches when unpaired
         raise BooleanSyntaxError(f"unterminated quote in {query!r}")
@@ -182,6 +187,16 @@ def parse_boolean(query: str, cfg: EngineConfig = DEFAULT_CONFIG) -> tuple:
             if len(analyzed) >= 2:
                 return ("phrase", analyzed)
             return ("term", analyzed)  # 1 token == containment; 0 == FALSE
+        if len(word) >= 2 and word.startswith("/") and word.endswith("/"):
+            # regex leaf, Lucene /pattern/ syntax: full-match against doc
+            # tokens; checked before the wildcard/fuzzy forms because a
+            # pattern may itself contain '*' or '~'
+            from .query import _regex_lower
+
+            pat = _regex_lower(word[1:-1])
+            if not pat:
+                return ("term", [])  # // matches only the empty string
+            return ("regex", [pat])
         if "*" in word:  # edge-star wildcard leaf
             from .query import normalize_wildcards
 
@@ -264,6 +279,9 @@ def _to_column(node: tuple, toks: Column) -> Column:
         return F.exists(
             toks, lambda t: F.levenshtein(t, F.lit(core)) <= F.lit(int(d))
         )
+    if kind == "regex":
+        (pat,) = node[1]
+        return F.exists(toks, lambda t: t.rlike("^(?:" + pat + ")$"))
     if kind == "and":
         return reduce(lambda a, b: a & b, (_to_column(c, toks) for c in node[1]))
     if kind == "or":
@@ -323,6 +341,13 @@ def _to_sql(node: tuple, toks_col: str = "toks") -> str:
             f"(len(list_filter({toks_col}, "
             f"t -> levenshtein(t, '{core}') <= {int(d)})) > 0)"
         )
+    if kind == "regex":
+        (pat,) = node[1]
+        esc = pat.replace("'", "''")
+        return (
+            f"(len(list_filter({toks_col}, "
+            f"t -> regexp_full_match(t, '{esc}'))) > 0)"
+        )
     if kind == "and":
         return "(" + " AND ".join(_to_sql(c, toks_col) for c in node[1]) + ")"
     if kind == "or":
@@ -362,7 +387,7 @@ def boolean_query(
     )
 
 
-_INDEX_LEAVES = ("phrase", "near", "wild", "fuzzy")
+_INDEX_LEAVES = ("phrase", "near", "wild", "fuzzy", "regex")
 
 
 def _levenshtein(a: str, b: str) -> int:
@@ -460,6 +485,11 @@ def eval_on_set(node: tuple, toks: set[str], ordered: tuple = ()) -> bool:
     if kind == "fuzzy":
         core, d = node[1]
         return any(_levenshtein(core, t) <= d for t in toks)
+    if kind == "regex":
+        import re
+
+        (pat,) = node[1]
+        return any(re.fullmatch(pat, t) for t in toks)
     if kind == "and":
         return all(eval_on_set(c, toks, ordered) for c in node[1])
     if kind == "or":
@@ -539,6 +569,11 @@ def leaf_terms_df(index, key: tuple, cfg) -> DataFrame:
 
         mode, core = args
         return wildcard_candidate_terms(index, mode, core)
+    if kind == "regex":
+        from .query import regex_candidate_terms
+
+        (pat,) = args
+        return regex_candidate_terms(index, pat)
     from .query import fuzzy_candidate_terms
 
     core, d = args
@@ -628,7 +663,7 @@ def boolean_query_indexed(
         # joins the postings distributed — no driver materialization of the
         # matched vocabulary at all. A leaf matching nothing contributes no
         # rows (absent sentinel == FALSE).
-        exp_keys = [s for s in seen if s[0] in ("wild", "fuzzy")]
+        exp_keys = [s for s in seen if s[0] in ("wild", "fuzzy", "regex")]
         if exp_keys:
             mapping = None
             for key in exp_keys:
@@ -695,7 +730,7 @@ def positive_terms(node: tuple, neg: bool = False) -> set[str]:
         return set() if neg else set(node[1])
     if kind == "near":
         return set() if neg else set(node[1][:2])
-    if kind in ("wild", "fuzzy"):
+    if kind in ("wild", "fuzzy", "regex"):
         # scoring terms need dictionary expansion — handled separately by
         # positive_expansion_leaves + the ranked paths' capped expansion
         return set()
@@ -709,7 +744,7 @@ def positive_expansion_leaves(node: tuple, neg: bool = False) -> list[tuple]:
     whose EXPANDED terms the ranked paths score (capped at the dedicated
     paths' 64-expansion discipline; the keep-list stays uncapped)."""
     kind = node[0]
-    if kind in ("wild", "fuzzy"):
+    if kind in ("wild", "fuzzy", "regex"):
         return [] if neg else [plane_leaf_key(node)]
     if kind in ("term", "phrase", "near"):
         return []

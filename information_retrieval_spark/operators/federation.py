@@ -586,6 +586,14 @@ class FederatedLocalIndex:
             max_expansions,
         )
 
+    def expand_regex_terms(
+        self, patterns: list[str], max_expansions: int = 64
+    ) -> list[tuple[int, str]]:
+        return self._union_expand(
+            [s.expand_regex_terms(patterns, max_expansions) for s in self.subs],
+            max_expansions,
+        )
+
     def expand_wildcard_terms(
         self,
         patterns: list[str],

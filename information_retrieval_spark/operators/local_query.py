@@ -288,6 +288,70 @@ class LocalIndex:
         return out
 
 
+    def expand_regex_terms(
+        self, patterns: list[str], max_expansions: int = 64
+    ) -> list[tuple[int, str]]:
+        """[(query_id, term)] for full-match regexes — identical semantics
+        to the Spark-side ``expand_regexes``. A literal pattern prefix
+        range-prunes the term-sorted dictionary read; any other required
+        literal >= 3 chars gram-IN-prunes the char-trigram plane; the RE2
+        full match (pyarrow compute, vectorized) is the exact verify."""
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        from ..sources.manifest import trigram_dictionary_path
+        from .query import (
+            _char_trigrams,
+            _regex_lower,
+            regex_literal_prefix,
+            regex_required_literals,
+        )
+
+        dict_dir = os.path.join(self.root, "dictionary")
+        tri_dir = trigram_dictionary_path(self.root)
+        out: list[tuple[int, str]] = []
+        for qid, raw in enumerate(patterns):
+            pat = _regex_lower(raw)
+            full = "^(?:" + pat + ")$"
+            pref = regex_literal_prefix(pat)
+            lits = [l for l in regex_required_literals(pat) if len(l) >= 3]
+            if pref:
+                flt = ds.field("term") >= pref
+                if ord(pref[-1]) < 0x10FFFF:
+                    flt = flt & (
+                        ds.field("term") < pref[:-1] + chr(ord(pref[-1]) + 1)
+                    )
+                terms = (
+                    ds.dataset(dict_dir, format="parquet")
+                    .to_table(columns=["term"], filter=flt)
+                    .column("term")
+                )
+            elif lits and tri_dir:
+                grams = sorted(_char_trigrams(max(lits, key=len)))
+                tab = ds.dataset(tri_dir, format="parquet").to_table(
+                    columns=["gram", "term"],
+                    filter=ds.field("gram").isin(grams),
+                )
+                pdf = tab.to_pandas()
+                cnt = pdf.groupby("term")["gram"].nunique()
+                import pyarrow as pa
+
+                terms = pa.array(
+                    cnt.index[cnt.to_numpy() == len(grams)], type=pa.string()
+                )
+            else:
+                terms = (
+                    ds.dataset(dict_dir, format="parquet")
+                    .to_table(columns=["term"])
+                    .column("term")
+                )
+            hit = terms.filter(pc.match_substring_regex(terms, full))
+            matched = np.sort(np.asarray(hit.to_pylist(), dtype=object))
+            out.extend((qid, str(t)) for t in matched[: int(max_expansions)])
+        return out
+
+
 def query_index_local(
     index: "LocalIndex | str",
     queries: list[str],
@@ -349,6 +413,10 @@ def boolean_ranked_local(
                     for _, t in idx.expand_wildcard_terms(
                         [], 64, norm=[(0, mode, core)]
                     )
+                )
+            elif key[0] == "regex":
+                pos_set.update(
+                    t for _, t in idx.expand_regex_terms([key[1][0]], 64)
                 )
             else:
                 core, d = key[1]
@@ -516,6 +584,19 @@ def wildcard_local(
     return _rank_pairs(idx, idx.expand_wildcard_terms(patterns, max_expansions), k)
 
 
+def regex_local(
+    index: "LocalIndex | str",
+    patterns: list[str],
+    k: int = 10,
+    max_expansions: int = 64,
+) -> pd.DataFrame:
+    """(query_id, rank, docid, score) — Spark-free regex retrieval
+    (``/tab(le|el)s?/``): full-match dictionary expansion + the shared
+    in-process BMW ranking (twin of the Spark-side ``regex_topk``)."""
+    idx = LocalIndex(index) if isinstance(index, str) else index
+    return _rank_pairs(idx, idx.expand_regex_terms(patterns, max_expansions), k)
+
+
 def _term_docids_local(idx: "LocalIndex", terms: list[str]) -> dict:
     """{term: sorted int64 ndarray of docids} decoded from the persisted
     block postings (pushdown-pruned fetch, per-block VByte decode), deleted
@@ -594,7 +675,7 @@ def boolean_local(
         # wildcard / fuzzy leaves: UNCAPPED dictionary expansion (parity
         # with the corpus-scan token test), union of the matched terms'
         # decoded posting lists
-        for s in (x for x in seen if x[0] in ("wild", "fuzzy")):
+        for s in (x for x in seen if x[0] in ("wild", "fuzzy", "regex")):
             if s[0] == "wild":
                 mode, core = s[1]
                 matched = [
@@ -602,6 +683,10 @@ def boolean_local(
                     for _, t in idx.expand_wildcard_terms(
                         [], 1 << 31, norm=[(0, mode, core)]
                     )
+                ]
+            elif s[0] == "regex":
+                matched = [
+                    t for _, t in idx.expand_regex_terms([s[1][0]], 1 << 31)
                 ]
             else:
                 core, d = s[1]
@@ -858,6 +943,7 @@ def route_query(q: str) -> tuple[str, object]:
       'hash*'              -> ("prefix", "hash")
       '*ble' / '*as*'      -> ("wildcard", pattern)
       'hasj~' / 'tabel~2'  -> ("fuzzy", (term, max_edit))   [Lucene syntax]
+      '/tab(le|el)s?/'     -> ("regex", pattern)            [Lucene syntax]
       'a AND (b OR c)'     -> ("boolean", q)   [uppercase keyword present]
       anything else        -> ("bm25", q)
     """
@@ -876,6 +962,11 @@ def route_query(q: str) -> tuple[str, object]:
         return "prefix", s[:-1]
     if len(s) >= 2 and " " not in s and "*" in s and "*" not in s.strip("*"):
         return "wildcard", s
+    if len(s) >= 3 and s[0] == "/" and s[-1] == "/" and " " not in s:
+        # single /regex/ leaf (tokens are whitespace-free, so a pattern
+        # with a literal space could never match anyway — and a composite
+        # '/a/ AND /b/' must fall through to the boolean router below)
+        return "regex", s[1:-1]
     if " " not in s and "~" in s:
         core, _, d = s.partition("~")
         if core and "~" not in core and (d == "" or d.isdigit()):
@@ -949,6 +1040,15 @@ def answer_queries(
     if wc:
         res = wildcard_local(idx, [a for _, a in wc], k=k)
         for (i, _), qid in zip(wc, range(len(wc))):
+            out[i]["hits"] = [
+                {"rank": int(rk), "docid": int(d), "score": round(float(s), 4)}
+                for q, rk, d, s in res.itertuples(index=False)
+                if q == qid
+            ]
+    rx = [(i, arg) for i, (t, arg) in enumerate(routed) if t == "regex"]
+    if rx:
+        res = regex_local(idx, [a for _, a in rx], k=k)
+        for (i, _), qid in zip(rx, range(len(rx))):
             out[i]["hits"] = [
                 {"rank": int(rk), "docid": int(d), "score": round(float(s), 4)}
                 for q, rk, d, s in res.itertuples(index=False)

@@ -307,6 +307,274 @@ def wildcard_topk(
     return wand_topk(spark, index, pairs, k, cfg, **wand_kwargs)
 
 
+# ---------------------------------------------------------------------
+# Regex retrieval (round 5) — the Lucene RegexpQuery analog: full-match a
+# regular expression against the DICTIONARY (never the corpus), then score
+# the matched terms disjunctively with the same block-max WAND machinery
+# as every other expansion surface. Pruning mirrors the wildcard modes:
+# a literal pattern prefix range-prunes the term-sorted dictionary
+# (RegexpQuery's common-prefix extraction), any other required literal
+# >= 3 chars gram-IN-prunes the char-trigram plane (the pg_trgm
+# trigram-extraction-from-regex technique); the regex itself is the exact
+# verify and runs JVM-side (Catalyst ``rlike``), so candidates decided by
+# a conservative literal analysis are always safe.
+# ---------------------------------------------------------------------
+
+_REGEX_META = set(".[]()|?*+{}^$\\")
+
+
+def _regex_lower(pattern: str) -> str:
+    """Lowercase the pattern's literal characters WITHOUT touching escape
+    sequences (lower('\\D') is '\\d' — a different class): the indexing
+    analyzer lowercases every term, so an uppercase literal could never
+    match (Q1 same-analyzer contract applied to the regex surface)."""
+    out: list[str] = []
+    i = 0
+    while i < len(pattern):
+        if pattern[i] == "\\" and i + 1 < len(pattern):
+            out.append(pattern[i : i + 2])
+            i += 2
+        else:
+            out.append(pattern[i].lower())
+            i += 1
+    return "".join(out)
+
+
+def regex_literal_prefix(pattern: str) -> str:
+    """The pattern's leading literal run — every full match starts with it,
+    so it range-prunes the term-sorted dictionary exactly like a prefix
+    query (Lucene RegexpQuery's common-prefix trick). Stops BEFORE a char
+    governed by a quantifier (``ab?`` requires only ``a``); empty when the
+    pattern opens with a metacharacter."""
+    pat = pattern[1:] if pattern.startswith("^") else pattern
+    out: list[str] = []
+    for i, c in enumerate(pat):
+        if c in _REGEX_META:
+            break
+        if i + 1 < len(pat) and pat[i + 1] in "?*{":
+            break
+        out.append(c)
+    return "".join(out)
+
+
+def regex_required_literals(pattern: str) -> list[str]:
+    """Maximal literal substrings that EVERY full match of ``pattern`` must
+    contain — the trigram-prune feed. Conservative by construction: returns
+    ``[]`` whenever the analysis is unsafe (top-level alternation,
+    lookaround), and a group's literals are discarded when the whole group
+    is optional (``(abc)?``). ``x?``/``x*``/``x{0,n}`` drop x from its run;
+    ``x+``/``x{1,n}`` keep x but break the run (repeats sever adjacency)."""
+    if "|" in pattern:
+        return []  # alternation: no substring is unconditionally required
+    runs: list[str] = []
+    cur: list[str] = []
+    group_marks: list[int] = []  # len(runs) at each open paren
+
+    def flush() -> None:
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    def skip_quantifier(j: int) -> tuple[int, bool]:
+        """(next index, min-zero?) for a quantifier starting at j."""
+        c = pattern[j] if j < len(pattern) else ""
+        if c in "?*":
+            return j + 1, True
+        if c == "+":
+            return j + 1, False
+        if c == "{":
+            end = pattern.find("}", j)
+            if end < 0:
+                return j + 1, True  # malformed: assume optional (safe)
+            body = pattern[j + 1 : end].split(",")[0].strip()
+            return end + 1, not (body.isdigit() and int(body) > 0)
+        return j, False
+
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            esc = pattern[i + 1] if i + 1 < n else ""
+            i += 2
+            if esc.isalnum() or esc == "":
+                flush()  # \d, \w, \b ... : a class/anchor, not a literal
+                i, _ = skip_quantifier(i)
+                continue
+            j, minzero = skip_quantifier(i)
+            if j != i:
+                flush()  # quantified escaped literal: not required as-run
+                if not minzero:
+                    runs.append(esc)
+                i = j
+            else:
+                cur.append(esc)
+            continue
+        if c == "(":
+            flush()
+            if pattern[i + 1 : i + 3] == "?:":
+                group_marks.append(len(runs))
+                i += 3
+                continue
+            if pattern[i + 1 : i + 2] == "?":
+                return []  # lookaround / flags: bail conservatively
+            group_marks.append(len(runs))
+            i += 1
+            continue
+        if c == ")":
+            flush()
+            mark = group_marks.pop() if group_marks else 0
+            j, minzero = skip_quantifier(i + 1)
+            if minzero and j != i + 1:
+                del runs[mark:]  # optional group: nothing inside required
+            i = j
+            continue
+        if c == "[":
+            flush()
+            j = i + 1
+            if j < n and pattern[j] == "^":
+                j += 1
+            if j < n and pattern[j] == "]":
+                j += 1
+            while j < n and pattern[j] != "]":
+                j += 2 if pattern[j] == "\\" else 1
+            i, _ = skip_quantifier(j + 1)
+            continue
+        if c in ".^$":
+            flush()
+            i, _ = skip_quantifier(i + 1)
+            continue
+        if c in "?*+{":
+            # quantifier on the run's last literal
+            last = cur.pop() if cur else ""
+            flush()
+            j, minzero = skip_quantifier(i)
+            if last and not minzero:
+                runs.append(last)  # x+ : x itself still required
+            i = j
+            continue
+        # plain literal
+        if i + 1 < n and pattern[i + 1] in "?*+{":
+            _, minzero = skip_quantifier(i + 1)
+            if minzero:
+                flush()
+                i += 1  # the quantifier branch above consumes it
+                continue
+        cur.append(c)
+        i += 1
+    flush()
+    return [r for r in runs if r]
+
+
+def regex_candidate_terms(index, pattern: str) -> DataFrame:
+    """The single-column (term) candidate frame for one lowercased regex —
+    full-match semantics (the pattern wraps in ``^(?:...)$``). Prune order:
+    literal-prefix range scan > trigram-plane gram-IN > column-pruned
+    vocab scan; the JVM-side ``rlike`` verify closes every gap, so the
+    cost is bounded by the prune's selectivity and NEVER by the corpus."""
+    t = F.col("term")
+    verify = t.rlike("^(?:" + pattern + ")$")
+    pref = regex_literal_prefix(pattern)
+    if pref:
+        return (
+            index.dictionary.select("term")
+            .filter(t.startswith(pref))
+            .filter(verify)
+        )
+    lits = [l for l in regex_required_literals(pattern) if len(l) >= 3]
+    if lits and getattr(index, "dictionary_trigram", None) is not None:
+        grams = sorted(_char_trigrams(max(lits, key=len)))
+        if len(grams) == 1:
+            return (
+                index.dictionary_trigram.filter(F.col("gram") == grams[0])
+                .filter(verify)
+                .select("term")
+            )
+        return (
+            index.dictionary_trigram.filter(F.col("gram").isin(grams))
+            .groupBy("term")
+            .agg(F.count_distinct("gram").alias("_ng"))
+            .filter(F.col("_ng") == len(grams))
+            .filter(verify)
+            .select("term")
+        )
+    return index.dictionary.select("term").filter(verify)
+
+
+def expand_regexes(
+    index,
+    patterns: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    max_expansions: int = 64,
+) -> list[tuple[int, str]]:
+    """[(query_id, term)] — dictionary terms full-matching each pattern,
+    capped at the lexicographically-first ``max_expansions`` per query
+    (deterministic, mirrored by the SQL oracle). Same one-job-for-the-batch
+    discipline as ``expand_wildcards``: every pattern's pruned candidate
+    frame unions tag-labelled into ``capped_terms_by_tag``."""
+    pats = [(i, _regex_lower(p)) for i, p in enumerate(patterns)]
+    if not pats:
+        return []
+    mapping = None
+    for j, (_qid, p) in enumerate(pats):
+        part = regex_candidate_terms(index, p).select(
+            F.lit(j).alias("tag"), "term"
+        )
+        mapping = part if mapping is None else mapping.unionByName(part)
+    got = capped_terms_by_tag(mapping, int(max_expansions))
+    out: list[tuple[int, str]] = []
+    for j, (qid, _p) in enumerate(pats):
+        out.extend((qid, t) for t in got.get(j, []))
+    return out
+
+
+def regex_topk(
+    spark: SparkSession,
+    index,
+    patterns: list[str],
+    k: int,
+    cfg: EngineConfig | None = None,
+    max_expansions: int = 64,
+    **wand_kwargs,
+) -> DataFrame:
+    """(query_id, rank, docid, score) — regex retrieval: full-match
+    dictionary expansion (see ``regex_candidate_terms`` for the pruning
+    story), then the expanded term set scored disjunctively by the same
+    block-max WAND machinery as plain/prefix/wildcard/fuzzy queries."""
+    from .wand import wand_topk
+
+    cfg = cfg or index.cfg
+    pairs = expand_regexes(index, patterns, cfg, max_expansions)
+    return wand_topk(spark, index, pairs, k, cfg, **wand_kwargs)
+
+
+def duckdb_regex_bm25_sql(
+    corpus_sql: str,
+    patterns: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int | None = None,
+    round_to: int = 4,
+    max_expansions: int = 64,
+) -> str:
+    """Oracle twin of ``regex_topk``: expansion re-derived as a
+    ``regexp_full_match`` join against the corpus's own distinct
+    vocabulary with the same lexicographic cap; scoring is the shared
+    disjunctive-BM25 body. Gate patterns stay inside the RE2/java.util
+    common subset (classes, quantifiers, groups, alternation)."""
+    pats = [(i, _regex_lower(p)) for i, p in enumerate(patterns)]
+    qvalues = ", ".join(
+        "({}, '{}')".format(i, p.replace("'", "''")) for i, p in pats
+    ) or "(0, CAST(NULL AS VARCHAR))"
+    qterms_sql = f"""
+  SELECT query_id, term FROM (
+    SELECT q.query_id, v.term,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY v.term) AS rn
+    FROM (VALUES {qvalues}) AS q(query_id, pat)
+    JOIN (SELECT DISTINCT term FROM tf) v
+      ON q.pat IS NOT NULL AND regexp_full_match(v.term, q.pat)
+  ) WHERE rn <= {int(max_expansions)}"""
+    return _duckdb_bm25_body(corpus_sql, qterms_sql, cfg, k, round_to)
+
+
 def _char_trigrams(core: str) -> set[str]:
     """The distinct character trigrams of ``core`` — the Python twin of the
     trigram-plane kernel (``sources.manifest._char_trigram_batches``); empty

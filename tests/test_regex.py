@@ -1,0 +1,193 @@
+"""Regex retrieval (Lucene RegexpQuery analog): full-match dictionary
+expansion with literal-prefix / trigram-plane pruning + JVM-side rlike
+verify, scored by the shared WAND machinery. The pruning is a conservative
+literal analysis — these tests pin (a) the analysis' safety property
+(every extracted literal IS contained in every full match), (b) expansion
+parity with brute-force Python ``re.fullmatch`` over the vocabulary, and
+(c) pruned-path identity: the trigram-plane and prefix-pruned candidate
+frames return exactly the vocab-scan expansion."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.corpus import synthetic_corpus_pdf
+from information_retrieval_spark.operators.build import build_index
+from information_retrieval_spark.operators.query import (
+    expand_regexes,
+    regex_literal_prefix,
+    regex_required_literals,
+    regex_topk,
+    wildcard_topk,
+)
+
+CFG = EngineConfig(n_doc_buckets=8, block_size=16)
+
+PATTERNS = [
+    "ident_1.*",          # literal prefix prune
+    "ident_[0-3]",        # class: prefix "ident_" prune
+    ".*ent_2.*",          # no prefix; required literal "ent_2" (trigram)
+    "id(ent|ant)_3.*",    # alternation in a group: prefix "id" only
+    "zzz.*q",             # matches nothing
+]
+
+# patterns exercising the literal analyzer's corner cases, with strings
+# that DO fully match them — the safety property must hold on every one
+SAFETY = [
+    ("tab.e", ["table", "tabke"]),
+    ("ab?c", ["abc", "ac"]),
+    ("ab+c", ["abc", "abbbc"]),
+    ("(abc)?x", ["x", "abcx"]),
+    ("(?:abc)+x", ["abcx", "abcabcx"]),
+    ("so[rt]+ed", ["sorted", "sotted"]),
+    ("ab{0,2}c", ["ac", "abbc"]),
+    ("ab{2}c", ["abbc"]),
+    (r"a\.b", ["a.b"]),
+    (r"a\db", ["a7b"]),
+    ("^table$", ["table"]),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = synthetic_corpus_pdf(300, seed=21)[
+        ["repo", "path", "commit", "lang", "content"]
+    ]
+    return spark.createDataFrame(pdf).cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus):
+    idx = build_index(spark, corpus, CFG)
+    idx.postings = idx.postings.cache()
+    idx.dictionary = idx.dictionary.cache()
+    return idx
+
+
+def test_literal_analysis_safety():
+    for pat, matches in SAFETY:
+        req = regex_required_literals(pat)
+        pref = regex_literal_prefix(pat)
+        for s in matches:
+            assert re.fullmatch(pat, s), f"bad fixture: {pat!r} vs {s!r}"
+            for lit in req:
+                assert lit in s, f"{pat!r}: required {lit!r} not in {s!r}"
+            if pref:
+                assert s.startswith(pref), f"{pat!r}: prefix {pref!r} vs {s!r}"
+
+
+def test_literal_analysis_bails_safely():
+    # alternation at top level / lookaround: no required literals claimed
+    assert regex_required_literals("foo|bar") == []
+    assert regex_required_literals("x(?=y)z") == []
+
+
+def test_expansion_matches_python_re(spark, index):
+    vocab = sorted(r["term"] for r in index.dictionary.select("term").collect())
+    got = expand_regexes(index, PATTERNS, CFG, max_expansions=64)
+    for qid, pat in enumerate(PATTERNS):
+        want = [t for t in vocab if re.fullmatch(pat, t)][:64]
+        have = sorted(t for q, t in got if q == qid)
+        assert have == want, f"{pat!r}: {have} != {want}"
+    assert not [t for q, t in got if q == 4]  # the miss pattern
+
+
+def test_regex_topk_equals_wildcard_when_equivalent(spark, index):
+    # "ident_1.*" is exactly the wildcard "ident_1*": rank-identical output
+    a = regex_topk(spark, index, ["ident_1.*"], 10, CFG).collect()
+    b = wildcard_topk(spark, index, ["ident_1*"], 10, CFG).collect()
+    assert [(r["rank"], r["docid"], round(r["score"], 9)) for r in a] == [
+        (r["rank"], r["docid"], round(r["score"], 9)) for r in b
+    ]
+    assert len(a) == 10
+
+
+def test_regex_pruned_paths_identical_to_scan(spark, corpus, tmp_path):
+    # persisted index carries the trigram plane: the gram-IN-pruned
+    # candidate frame must reproduce the vocab-scan expansion exactly
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+        open_index,
+    )
+
+    root = str(tmp_path / "idx")
+    build_index_resumable(spark, corpus, root, CFG)
+    disk = open_index(spark, root)
+    assert disk.dictionary_trigram is not None
+    mem = build_index(spark, corpus, CFG)  # no planes: vocab-scan fallback
+    pats = [".*ent_2.*", "ident_1.*", "id(ent|ant)_30.*"]
+    assert sorted(expand_regexes(disk, pats, CFG)) == sorted(
+        expand_regexes(mem, pats, CFG)
+    )
+
+
+def test_boolean_regex_leaf_all_evaluators_agree(spark, corpus, tmp_path):
+    # /regex/ composed under the algebra: corpus-scan, indexed, and
+    # Spark-free local evaluators must return row-identical verdicts
+    from information_retrieval_spark.operators.boolquery import (
+        boolean_query,
+        boolean_query_indexed,
+    )
+    from information_retrieval_spark.operators.local_query import boolean_local
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+        open_index,
+    )
+
+    qs = [
+        "/ident_1./ AND NOT /ident_2[0-9]/",
+        "NOT /ident_.*/",
+        "/id(ent|ant)_33/ OR /zzz.*q/",
+    ]
+    root = str(tmp_path / "idx")
+    build_index_resumable(spark, corpus, root, CFG)
+    disk = open_index(spark, root)
+    scan = {(r["query_id"], r["docid"]) for r in boolean_query(corpus, qs, CFG).collect()}
+    idxed = {
+        (r["query_id"], r["docid"])
+        for r in boolean_query_indexed(spark, disk, qs, CFG).collect()
+    }
+    loc = {
+        (int(q), int(d))
+        for q, d in boolean_local(root, qs).itertuples(index=False)
+    }
+    assert scan == idxed == loc
+    assert any(q == 0 for q, _ in scan)  # non-degenerate
+
+
+def test_regex_local_twin_matches_spark(spark, corpus, tmp_path):
+    from information_retrieval_spark.operators.local_query import (
+        answer_queries,
+        regex_local,
+        route_query,
+    )
+    from information_retrieval_spark.operators.query import regex_topk
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+        open_index,
+    )
+
+    assert route_query("/id(ent|ant)_3.*/")[0] == "regex"
+    assert route_query("/a/ AND /b/")[0] == "boolean"
+    root = str(tmp_path / "idx")
+    build_index_resumable(spark, corpus, root, CFG)
+    disk = open_index(spark, root)
+    pats = ["ident_1[0-9]", "zzz.*q"]
+    a = regex_topk(spark, disk, pats, 10, CFG).collect()
+    b = regex_local(root, pats, k=10)
+    assert [(r["query_id"], r["rank"], r["docid"], round(r["score"], 6)) for r in a] == [
+        (int(q), int(rk), int(d), round(float(s), 6))
+        for q, rk, d, s in b.itertuples(index=False)
+    ]
+    hits = answer_queries(root, ["/ident_1[0-9]/"], k=5)
+    assert hits[0]["type"] == "regex" and len(hits[0]["hits"]) == 5
+
+
+def test_regex_uppercase_pattern_lowercased(spark, index):
+    # the analyzer lowercases terms; the pattern surface must follow (but
+    # never inside escapes — that would flip character classes)
+    up = expand_regexes(index, ["IDENT_1[0-9]"], CFG)
+    lo = expand_regexes(index, ["ident_1[0-9]"], CFG)
+    assert up == lo and len(lo) > 0
