@@ -515,6 +515,7 @@ def main() -> None:
     from information_retrieval_spark.operators.query import (
         fuzzy_topk,
         prefix_topk,
+        regex_topk,
         wildcard_topk,
     )
 
@@ -603,6 +604,11 @@ def main() -> None:
          lambda: wildcard_topk(spark, idx_disk, ["*abl*"], TOP_K, cfg)),
         ("fuzzy_d2_plane",
          lambda: fuzzy_topk(spark, idx_disk, ["hasj", "tabel"], TOP_K, cfg, max_edit=2)),
+        # regex over the persisted index: literal-prefix range prune
+        # ("ha.h", "tab(..)"), trigram-plane gram-IN prune (".*abl.*")
+        ("regex_plane",
+         lambda: regex_topk(
+             spark, idx_disk, ["ha.h", "tab(le|el)s?", ".*abl.*"], TOP_K, cfg)),
         # one expression exercising EVERY leaf kind (phrase + NEAR through
         # the positional plane, wildcard + fuzzy through the dictionary
         # twins, composed under AND/OR/NOT)
