@@ -46,10 +46,12 @@ def main(argv: list[str] | None = None) -> None:
                         "(requires the positional plane)")
     p.add_argument("--snippet-window", type=int, default=8)
     p.add_argument("--auto", action="store_true",
-                   help="route each query by syntax (local engine): "
+                   help="route each query by syntax (both engines, "
+                        "answer-identical): "
                         '\\"quoted\\" -> phrase, a NEAR/3 b -> proximity, '
                         "term* -> prefix, *term / *term* -> wildcard, "
-                        "term~ / term~2 -> fuzzy, uppercase AND/OR/NOT -> "
+                        "term~ / term~2 -> fuzzy, /pattern/ -> regex, "
+                        "uppercase AND/OR/NOT -> "
                         "boolean, else ranked BM25 "
                         "(with snippets if --snippets)")
     p.add_argument("--filter", default=None, metavar="SQL_PREDICATE",
@@ -72,6 +74,11 @@ def main(argv: list[str] | None = None) -> None:
     if args.bm25f and args.filter:
         raise SystemExit(
             "--bm25f and --filter cannot be combined yet; run them separately"
+        )
+    if args.auto and (args.bm25f or args.filter or args.did_you_mean or args.phrase):
+        raise SystemExit(
+            "--auto routes each query by its own syntax; it cannot be "
+            "combined with --phrase/--filter/--bm25f/--did-you-mean"
         )
     if args.engine == "local":
         if args.filter:
@@ -102,6 +109,10 @@ def main(argv: list[str] | None = None) -> None:
         idx = open_federated_index(spark, roots)
     else:
         idx = open_index(spark, args.index)
+    if args.auto:
+        _auto_spark(spark, idx, args)
+        spark.stop()
+        return
     if args.phrase:
         from information_retrieval_spark.operators.positional import phrase_match
 
@@ -197,6 +208,101 @@ def main(argv: list[str] | None = None) -> None:
     for i, q in enumerate(args.queries):
         print(json.dumps({"query": q, "hits": by_q.get(i, [])}))
     spark.stop()
+
+
+def _auto_spark(spark, idx, args) -> None:
+    """Per-query syntax routing on the SPARK engine (the local engine's
+    ``answer_queries`` twin, same routing table and output shape): each
+    query type is dispatched ONCE with its whole sub-batch so every
+    operator keeps its batch efficiency — one expansion job for all
+    wildcards, one positional-plane read for all phrases, etc."""
+    from information_retrieval_spark.operators.boolquery import (
+        boolean_query_indexed,
+    )
+    from information_retrieval_spark.operators.local_query import route_query
+    from information_retrieval_spark.operators.query import (
+        fuzzy_topk,
+        prefix_topk,
+        regex_topk,
+        wildcard_topk,
+    )
+    from information_retrieval_spark.operators.wand import wand_topk
+    from information_retrieval_spark.operators.query import parse_queries
+
+    routed = [route_query(q) for q in args.queries]
+    out: list[dict] = [
+        {"query": q, "type": t, "hits": []}
+        for q, (t, _) in zip(args.queries, routed)
+    ]
+    if any(t in ("phrase", "proximity") for t, _ in routed) and idx.positional is None:
+        raise SystemExit(
+            "phrase/NEAR queries need the positional/ plane; rebuild with "
+            "--positional"
+        )
+
+    def _ranked(sub: list[tuple[int, object]], df) -> None:
+        rows = df.orderBy("query_id", "rank").collect()
+        for qid, (i, _) in enumerate(sub):
+            out[i]["hits"] = [
+                {"rank": r["rank"], "docid": r["docid"],
+                 "score": round(r["score"], 4)}
+                for r in rows if r["query_id"] == qid
+            ]
+
+    ph = [(i, a) for i, (t, a) in enumerate(routed) if t == "phrase"]
+    if ph:
+        from information_retrieval_spark.operators.positional import phrase_match
+
+        rows = phrase_match(
+            idx.positional, [a for _, a in ph], idx.cfg
+        ).orderBy("query_id", "docid").collect()
+        for qid, (i, _) in enumerate(ph):
+            out[i]["hits"] = [
+                {"docid": r["docid"]} for r in rows if r["query_id"] == qid
+            ]
+    pr = [(i, a) for i, (t, a) in enumerate(routed) if t == "proximity"]
+    if pr:
+        from information_retrieval_spark.operators.positional import (
+            proximity_match,
+        )
+
+        rows = proximity_match(
+            idx.positional, [a for _, a in pr], idx.cfg
+        ).orderBy("query_id", "docid").collect()
+        for qid, (i, _) in enumerate(pr):
+            out[i]["hits"] = [
+                {"docid": r["docid"], "min_dist": int(r["min_dist"])}
+                for r in rows if r["query_id"] == qid
+            ]
+    px = [(i, a) for i, (t, a) in enumerate(routed) if t == "prefix"]
+    if px:
+        _ranked(px, prefix_topk(spark, idx, [a for _, a in px], args.k, idx.cfg))
+    wc = [(i, a) for i, (t, a) in enumerate(routed) if t == "wildcard"]
+    if wc:
+        _ranked(wc, wildcard_topk(spark, idx, [a for _, a in wc], args.k, idx.cfg))
+    rx = [(i, a) for i, (t, a) in enumerate(routed) if t == "regex"]
+    if rx:
+        _ranked(rx, regex_topk(spark, idx, [a for _, a in rx], args.k, idx.cfg))
+    fz = [(i, a) for i, (t, a) in enumerate(routed) if t == "fuzzy"]
+    for i, (core, d) in fz:  # per-query: max_edit varies per query
+        _ranked([(i, core)], fuzzy_topk(
+            spark, idx, [core], args.k, idx.cfg, max_edit=d
+        ))
+    bq = [(i, a) for i, (t, a) in enumerate(routed) if t == "boolean"]
+    if bq:
+        rows = boolean_query_indexed(
+            spark, idx, [a for _, a in bq], idx.cfg
+        ).orderBy("query_id", "docid").collect()
+        for qid, (i, _) in enumerate(bq):
+            out[i]["hits"] = [
+                {"docid": r["docid"]} for r in rows if r["query_id"] == qid
+            ]
+    bm = [(i, a) for i, (t, a) in enumerate(routed) if t == "bm25"]
+    if bm:
+        qterms = parse_queries(spark, [a for _, a in bm], idx.cfg)
+        _ranked(bm, wand_topk(spark, idx, qterms, args.k, idx.cfg))
+    for ans in out:
+        print(json.dumps(ans))
 
 
 def _main_local(args) -> None:
