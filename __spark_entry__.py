@@ -240,6 +240,41 @@ def _q_term_tf_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CFG_CODE = EngineConfig(code_splitting=True)
+# camelCase / snake_case / acronym / digit-boundary identifiers appended per
+# doc so the splitter has real work on the driver vocabulary — mirrored
+# EXACTLY in the oracle SQL
+_CODE_SUFFIXES = [
+    "parseHTTPResponse_v2 fooBar",
+    "snake_case x86_64",
+    "UTF8String __init__",
+    "ALLCAPS camelCase 8bit",
+]
+
+
+def _q_term_tf_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 code-aware mode (cfg.code_splitting): identifiers split at
+    underscore / camelCase / letter-digit boundaries and emit the whole
+    identifier plus its parts — the WordDelimiter analog for the
+    source-code corpus of BASELINE.json's input_hint. Same Arrow SPIMI
+    emitter, verified end-to-end against the DuckDB regex-chain twin."""
+    docs4 = _documents(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit(" "),
+            F.element_at(
+                F.array(*[F.lit(s) for s in _CODE_SUFFIXES]),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+        ),
+    )
+    docs = build_docs_table(corpus_from_documents(docs4), CFG_CODE)
+    return spimi_postings(docs, CFG_CODE).select(
+        "term", "docid", F.col("tf").cast("long").alias("tf")
+    )
+
+
 def _q_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 via the FULL encode pipeline: df/cf recomputed from encoded
     posting-block rows (C1-C4) — proves the codec preserved every posting."""
@@ -1024,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50), so entries NEW or previously-uncovered this round come
     # FIRST; the long-stable core follows.
     return {
+        "term_tf_code": _q_term_tf_code,
         "regex_topk": _q_regex_topk,
         "bm25f_bmw": _q_bm25f_bmw,
         "boolean_near": _q_boolean_near,
@@ -1225,6 +1261,22 @@ FROM d
 WITH ids AS ({duckdb_docid_sql(corpus, CFG)})
 SELECT term, docid, count(*) AS tf
 FROM (SELECT docid, unnest({tok}) AS term FROM ids)
+GROUP BY term, docid
+""",
+        "term_tf_code": f"""
+WITH corpus_code AS (
+  SELECT source AS repo,
+         'doc/' || CAST(doc_id AS VARCHAR) AS path,
+         md5('c' || CAST(doc_id AS VARCHAR)) AS "commit",
+         lang,
+         text || ' ' || (['parseHTTPResponse_v2 fooBar', 'snake_case x86_64',
+                          'UTF8String __init__', 'ALLCAPS camelCase 8bit'])
+                        [CAST(doc_id % 4 AS INT) + 1] AS content
+  FROM documents
+),
+ids AS ({duckdb_docid_sql("SELECT * FROM corpus_code", CFG)})
+SELECT term, docid, count(*) AS tf
+FROM (SELECT docid, unnest({duckdb_tok("content", CFG_CODE)}) AS term FROM ids)
 GROUP BY term, docid
 """,
         "term_tf_stemmed": f"""

@@ -193,6 +193,7 @@ _REFERENCE_KEYS = {
     "MAX_UPDATE_SPACE": ("spimi_budget_bytes", "int"),
     "STEMMING_LEVEL": ("stemming_level", "int"),
     "BIGRAM_INDEXING": ("bigram_indexing", "bool"),
+    "CODE_SPLITTING": ("code_splitting", "bool"),
     "ENABLE_XPATH": ("enable_xpath", "bool"),
     "BASE_DIRECTORY": ("index_root", "str"),
 }
@@ -223,6 +224,7 @@ _ENV_MAP = {
     "k1": ("IR_BM25_K1", float),
     "b": ("IR_BM25_B", float),
     "stemming_level": ("IR_STEMMING_LEVEL", int),
+    "code_splitting": ("IR_CODE_SPLITTING", lambda v: v not in ("0", "false", "")),
     "shuffle_partitions": ("IR_SHUFFLE_PARTITIONS", int),
     "positional": ("IR_POSITIONAL", lambda v: v not in ("0", "false", "")),
 }
@@ -238,6 +240,17 @@ class EngineConfig:
     token_pattern: str = "[a-z0-9_]+"
     stemming_level: int = 0
     bigram_indexing: bool = False
+    # Code-aware identifier splitting (the Lucene WordDelimiterGraphFilter
+    # pattern, essential for the source-code corpus of BASELINE.json's
+    # input_hint): raw tokens are extracted CASE-PRESERVING as [A-Za-z0-9_]+
+    # runs, and every identifier that splits at underscore / camelCase /
+    # letter<->digit boundaries emits the whole lowercased identifier PLUS
+    # its lowercased parts ("fooBar_v2" -> foobar_v2, foo, bar, v, 2), so
+    # queries match both the exact identifier and any fragment. Implemented
+    # identically in Catalyst / pandas / Arrow / DuckDB (functions/analyzer,
+    # pinned by tests/test_analyzer.py). Only defined for the default
+    # token_pattern (its case-aware closure is what the splitter extracts).
+    code_splitting: bool = False
     # DOCUMENT_LEVEL_INDEXING granularity (/root/reference/index/index.h:51-58):
     # mode 2 = document-level postings (always built); mode 1 additionally
     # persists word positions. positional=True maintains the mode-1 plane
@@ -293,6 +306,12 @@ class EngineConfig:
         if not (0 <= self.stemming_level <= 2):
             # validity check mirrors /root/reference/index/index.cc:210-215
             raise ValueError(f"stemming_level must be 0..2, got {self.stemming_level}")
+        if self.code_splitting and self.token_pattern != "[a-z0-9_]+":
+            raise ValueError(
+                "code_splitting is defined for the default token_pattern "
+                "[a-z0-9_]+ only (the splitter extracts its case-aware "
+                f"closure); got token_pattern={self.token_pattern!r}"
+            )
         if self.spimi_budget_bytes < 16 * 1024 * 1024:
             # floor mirrors /root/reference/index/index.cc:28-30
             object.__setattr__(self, "spimi_budget_bytes", 16 * 1024 * 1024)

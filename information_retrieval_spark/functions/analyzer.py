@@ -53,6 +53,36 @@ _STEM_RULES_L1: list[tuple[str, str, str]] = [
 ]
 _STEM_RULES_L2 = _STEM_RULES_L1 + [(r"(.{3,}?)(ing|ed|ly)$", "$1", r"\1")]
 
+# Code-aware identifier splitting (cfg.code_splitting — the Lucene
+# WordDelimiterGraphFilter pattern, for the source-code corpus of
+# BASELINE.json's input_hint; the reference never defines an analyzer, so
+# these are OUR documented semantics, identical in all four engines):
+#
+#   1. raw tokens = maximal case-PRESERVING ``[A-Za-z0-9_]+`` runs (the
+#      case-aware closure of the default token_pattern);
+#   2. boundary spaces inserted per raw token: ``_``+ runs, acronym->word
+#      (HTTPServer -> HTTP Server), lower->Upper (fooBar -> foo Bar) and
+#      letter<->digit (utf8 -> utf 8) transitions;
+#   3. if lowering the spaced form equals the lowered raw token, the token
+#      never split -> emit it once; otherwise emit the whole lowered
+#      identifier FIRST, then its non-empty lowered parts:
+#      ``parseHTTPResponse_v2`` -> parsehttpresponse_v2, parse, http,
+#      response, v, 2.
+#
+# Queries analyze through the same pipeline, so ``fooBar`` finds both the
+# exact identifier and any fragment. Stemming (T7) and bigram emission (T8)
+# apply AFTER splitting, over the emitted sequence.
+_CODE_RAW_PATTERN = "[A-Za-z0-9_]+"
+# (pattern, java_replacement, re2_replacement) — patterns are valid in both
+# Java regex (Catalyst) and RE2 (pandas/pyarrow/DuckDB)
+_CODE_BOUNDARY_RULES: list[tuple[str, str, str]] = [
+    (r"_+", " ", " "),
+    (r"([A-Z]+)([A-Z][a-z])", "$1 $2", r"\1 \2"),
+    (r"([a-z])([A-Z])", "$1 $2", r"\1 \2"),
+    (r"([A-Za-z])([0-9])", "$1 $2", r"\1 \2"),
+    (r"([0-9])([A-Za-z])", "$1 $2", r"\1 \2"),
+]
+
 
 def _stem_rules(cfg: EngineConfig) -> list[tuple[str, str, str]]:
     if cfg.stemming_level == 0:
@@ -74,7 +104,24 @@ def tokenize_expr(col: Column | str, cfg: EngineConfig = DEFAULT_CONFIG) -> Colu
     tests/test_analyzer.py), including T8 bigram emission."""
     _check_stemming(cfg)
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.regexp_extract_all(F.lower(c), F.lit(f"({cfg.token_pattern})"), 1)
+    if cfg.code_splitting:
+        raw = F.regexp_extract_all(c, F.lit(f"({_CODE_RAW_PATTERN})"), 1)
+
+        def _emit(t):
+            s = t
+            for pat, rep, _ in _CODE_BOUNDARY_RULES:
+                s = F.regexp_replace(s, pat, rep)
+            s_low, low = F.lower(s), F.lower(t)
+            parts = F.filter(F.split(s_low, " "), lambda x: x != F.lit(""))
+            # s_low == low  <=>  the token never split (spaces only appear
+            # when a boundary rule fired, and any firing changes the string)
+            return F.when(s_low == low, F.array(low)).otherwise(
+                F.concat(F.array(low), parts)
+            )
+
+        toks = F.flatten(F.transform(raw, _emit))
+    else:
+        toks = F.regexp_extract_all(F.lower(c), F.lit(f"({cfg.token_pattern})"), 1)
     rules = _stem_rules(cfg)
     if rules:
         def _stem_one(t):
@@ -113,7 +160,10 @@ def tokenize_series(content: pd.Series, cfg: EngineConfig = DEFAULT_CONFIG) -> p
     Arrow batch, no per-row Python loop.
     """
     _check_stemming(cfg)
-    toks = content.str.lower().str.findall(cfg.token_pattern)
+    if cfg.code_splitting:
+        toks = _code_tokens_series(content)
+    else:
+        toks = content.str.lower().str.findall(cfg.token_pattern)
     rules = _stem_rules(cfg)
     if rules:
         # vectorized: flatten → C-speed str.replace chain → regroup
@@ -136,10 +186,61 @@ def tokenize_series(content: pd.Series, cfg: EngineConfig = DEFAULT_CONFIG) -> p
     return toks
 
 
+def _code_tokens_series(content: pd.Series) -> pd.Series:
+    """Vectorized code-splitting tokenizer: Series[str] -> Series[list[str]].
+
+    Per raw token the emitted sequence is exactly
+    ``split(lower(t))`` when no boundary fired, else
+    ``split(lower(t) + " " + lower(spaced(t)))`` — so the whole batch
+    reduces to C-speed replace/lower/concat chains plus ONE str.split pass;
+    Python never loops over individual tokens.
+    """
+    import numpy as np
+
+    raw = content.str.findall(_CODE_RAW_PATTERN)
+    lens = raw.str.len().fillna(0).to_numpy("int64")
+    if lens.sum() == 0:
+        return pd.Series([[] for _ in range(len(content))], index=content.index)
+    flat = pd.Series(
+        np.concatenate([np.asarray(t, dtype=object) for t in raw]), dtype=object
+    )
+    low = flat.str.lower()
+    s = flat
+    for pat, _, rep in _CODE_BOUNDARY_RULES:
+        s = s.str.replace(pat, rep, regex=True)
+    s_low = s.str.lower()
+    emit = low.where(s_low.to_numpy() == low.to_numpy(), low + " " + s_low)
+    per_tok = emit.str.split()  # drops empty fragments, like the other engines
+    n_emitted = per_tok.str.len().to_numpy("int64")
+    flat_final = np.concatenate(
+        [np.asarray(t, dtype=object) for t in per_tok]
+    )
+    # regroup emitted tokens per document: per-doc total = segment sum of
+    # n_emitted over that doc's raw-token slice (zero-safe via cumsum diff)
+    csum = np.concatenate(([0], np.cumsum(n_emitted)))
+    ends = np.cumsum(lens)
+    per_doc = csum[ends] - csum[ends - lens]
+    cut = np.cumsum(per_doc)[:-1]
+    parts = np.split(flat_final, cut)
+    return pd.Series([list(p) for p in parts], index=content.index)
+
+
 # DuckDB-side equivalent of tokenize_expr, for oracle_sql() construction.
 # Keeping both in one module makes drift between engine and oracle visible.
 def duckdb_tokenize_sql(col_sql: str, cfg: EngineConfig = DEFAULT_CONFIG) -> str:
-    base = f"regexp_extract_all(lower({col_sql}), '{cfg.token_pattern}')"
+    if cfg.code_splitting:
+        s = "t"
+        for pat, _, rep in _CODE_BOUNDARY_RULES:
+            s = f"regexp_replace({s}, '{pat}', '{rep}', 'g')"
+        base = (
+            f"flatten(list_transform("
+            f"regexp_extract_all({col_sql}, '{_CODE_RAW_PATTERN}'), "
+            f"t -> CASE WHEN lower({s}) = lower(t) THEN [lower(t)] "
+            f"ELSE list_prepend(lower(t), "
+            f"list_filter(string_split(lower({s}), ' '), x -> x <> '')) END))"
+        )
+    else:
+        base = f"regexp_extract_all(lower({col_sql}), '{cfg.token_pattern}')"
     rules = _stem_rules(cfg)
     if not rules:
         return base

@@ -157,6 +157,8 @@ def spimi_emit(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame
     ~|vocab|·partitions compact binary rows instead of ~|postings| rows.
     """
     if cfg.token_pattern == "[a-z0-9_]+" and not cfg.bigram_indexing:
+        # code_splitting stays on the Arrow path: the boundary-split second
+        # pass is RE2 + split kernels, same zero-Python-strings discipline
         return _spimi_emit_arrow(docs, cfg)
     return _spimi_emit_pandas(docs, cfg)
 
@@ -298,6 +300,11 @@ def make_arrow_emitter(cfg: EngineConfig = DEFAULT_CONFIG):
     budget = cfg.spimi_budget_bytes
     shift = cfg.doc_bucket_bits
     split_pat = "[^a-z0-9_]+"
+    code_split = cfg.code_splitting
+    code_raw_split = "[^A-Za-z0-9_]+"
+    from ..functions.analyzer import _CODE_BOUNDARY_RULES
+
+    code_rules = [(pat, rep) for pat, _, rep in _CODE_BOUNDARY_RULES]
     stem_rules = _stem_rules(cfg)  # [(pattern, java_rep, re2_rep)]
     arrow_schema = pa.schema(
         [
@@ -389,19 +396,56 @@ def make_arrow_emitter(cfg: EngineConfig = DEFAULT_CONFIG):
             i_con = rb.schema.get_field_index("content")
             docid_arr = np.asarray(rb.column(i_doc))
             n = rb.num_rows
-            sp = pc.split_pattern_regex(pc.utf8_lower(rb.column(i_con)), split_pat)
-            lens_all = np.asarray(
-                pc.fill_null(pc.list_value_length(sp), 0)
-            ).astype(np.int64)
-            fl = pc.list_flatten(sp)
-            if len(fl) == 0:
-                continue
-            mask = np.asarray(pc.binary_length(fl)) > 0
+            if code_split:
+                # case-PRESERVING raw identifiers, then the boundary-split
+                # second pass — all RE2/split/join kernels, zero Python
+                # string objects (functions/analyzer._CODE_BOUNDARY_RULES
+                # semantics, parity-pinned by tests/test_analyzer.py)
+                sp = pc.split_pattern_regex(rb.column(i_con), code_raw_split)
+                lens_raw = np.asarray(
+                    pc.fill_null(pc.list_value_length(sp), 0)
+                ).astype(np.int64)
+                fl0 = pc.list_flatten(sp)
+                if len(fl0) == 0:
+                    continue
+                m0 = np.asarray(pc.binary_length(fl0)) > 0
+                doc_idx0 = np.repeat(np.arange(n, dtype=np.int64), lens_raw)
+                if not m0.all():
+                    fl0 = fl0.filter(pa.array(m0))
+                    doc_idx0 = doc_idx0[m0]
+                low = pc.utf8_lower(fl0)
+                s = fl0
+                for pat, rep in code_rules:
+                    s = pc.replace_substring_regex(s, pattern=pat, replacement=rep)
+                s_low = pc.utf8_lower(s)
+                emit_str = pc.if_else(
+                    pc.equal(s_low, low),
+                    low,
+                    pc.binary_join_element_wise(low, s_low, " "),
+                )
+                sp2 = pc.split_pattern(emit_str, " ")
+                lens2 = np.asarray(pc.list_value_length(sp2)).astype(np.int64)
+                fl = pc.list_flatten(sp2)
+                if len(fl) == 0:
+                    continue
+                mask = np.asarray(pc.binary_length(fl)) > 0
+                doc_idx = np.repeat(doc_idx0, lens2)
+            else:
+                sp = pc.split_pattern_regex(
+                    pc.utf8_lower(rb.column(i_con)), split_pat
+                )
+                lens_all = np.asarray(
+                    pc.fill_null(pc.list_value_length(sp), 0)
+                ).astype(np.int64)
+                fl = pc.list_flatten(sp)
+                if len(fl) == 0:
+                    continue
+                mask = np.asarray(pc.binary_length(fl)) > 0
+                doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens_all)
             for pat, _, rep in stem_rules:  # T7 — RE2 kernels, still C++
                 fl = pc.replace_substring_regex(fl, pattern=pat, replacement=rep)
             de = pc.dictionary_encode(fl)
             codes = np.asarray(de.indices).astype(np.int64)
-            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens_all)
             if not mask.all():
                 codes, doc_idx = codes[mask], doc_idx[mask]
             if codes.size == 0:

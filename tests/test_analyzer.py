@@ -124,3 +124,77 @@ def test_stemmed_spimi_arrow_matches_pandas(spark):
         return sorted((r["term"], r["bucket"], r["n"]) for r in df.collect())
 
     assert rows(_spimi_emit_arrow(docs, cfg)) == rows(_spimi_emit_pandas(docs, cfg))
+
+
+# --- code-aware identifier splitting (cfg.code_splitting) -------------------
+
+CODE_CASES = [
+    (
+        "def parseHTTPResponse_v2(self): return fooBar + BAZ_QUX",
+        ["def", "parsehttpresponse_v2", "parse", "http", "response", "v", "2",
+         "self", "return", "foobar", "foo", "bar", "baz_qux", "baz", "qux"],
+    ),
+    (
+        "x86_64 __init__ UTF8String camelCase ALLCAPS 123 _ a",
+        ["x86_64", "x", "86", "64", "__init__", "init",
+         "utf8string", "utf", "8", "string", "camelcase", "camel", "case",
+         "allcaps", "123", "_", "a"],
+    ),
+    ("", []),
+    ("no_split plain simple", ["no_split", "no", "split", "plain", "simple"]),
+    # non-ASCII stays a delimiter, exactly like the default analyzer
+    ("変数 fooBar;baz", ["foobar", "foo", "bar", "baz"]),
+]
+
+
+def _code_cfg(**kw):
+    from information_retrieval_spark.config import EngineConfig
+
+    return EngineConfig(code_splitting=True, **kw)
+
+
+def test_code_splitting_pandas_golden():
+    out = tokenize_series(pd.Series([c for c, _ in CODE_CASES]), _code_cfg())
+    for (text, expect), got in zip(CODE_CASES, out):
+        assert got == expect, text
+
+
+def test_code_splitting_catalyst_matches_pandas(spark):
+    cfg = _code_cfg()
+    df = spark.createDataFrame([(c,) for c, _ in CODE_CASES], "content string")
+    got = [r[0] for r in df.select(tokenize_expr("content", cfg)).collect()]
+    for (text, expect), g in zip(CODE_CASES, got):
+        assert g == expect, text
+
+
+def test_code_splitting_duckdb_matches():
+    sql = duckdb_tokenize_sql("t", _code_cfg())
+    for text, expect in CODE_CASES:
+        got = duckdb.sql(
+            f"SELECT {sql} FROM (SELECT ? AS t)", params=[text]
+        ).fetchone()[0]
+        assert got == expect, text
+
+
+def test_code_splitting_with_stemming_three_engines():
+    """Stemming applies AFTER splitting, over the emitted sequence — the
+    three scalar engines stay pinned (the Arrow emitter is pinned by
+    tests/test_build_and_query.py::test_code_splitting_emitter_parity)."""
+    cfg = _code_cfg(stemming_level=2)
+    texts = ["runningTasks matchesFound_v2 PoniesAndBoxes"]
+    got_pd = tokenize_series(pd.Series(texts), cfg).tolist()
+    sql = duckdb_tokenize_sql("t", cfg)
+    got_db = [
+        duckdb.sql(f"SELECT {sql} FROM (SELECT ? AS t)", params=[t]).fetchone()[0]
+        for t in texts
+    ]
+    assert got_pd == got_db
+
+
+def test_code_splitting_requires_default_pattern():
+    import pytest
+
+    from information_retrieval_spark.config import EngineConfig
+
+    with pytest.raises(ValueError):
+        EngineConfig(code_splitting=True, token_pattern="[a-z]+")

@@ -830,3 +830,72 @@ def test_expansion_job_count_independent_of_pattern_count(spark, index):
     jobs(expand_wildcards, w8)
     assert jobs(expand_prefixes, p8) <= jobs(expand_prefixes, p4)
     assert jobs(expand_wildcards, w8) <= jobs(expand_wildcards, w4)
+
+
+def test_code_splitting_emitter_parity(spark):
+    """cfg.code_splitting on the Arrow fast path (case-preserving extract +
+    RE2 boundary-split kernels) must emit the exact same posting multiset as
+    the pandas fallback, whose tokens come from functions/analyzer
+    tokenize_series (itself pinned to Catalyst/DuckDB by test_analyzer)."""
+    import pandas as pd
+    from information_retrieval_spark.functions import codec
+    from information_retrieval_spark.operators.build import (
+        _spimi_emit_arrow,
+        _spimi_emit_pandas,
+        build_docs_table,
+    )
+
+    cfg = EngineConfig(n_doc_buckets=8, block_size=16, code_splitting=True)
+    pdf = synthetic_corpus_pdf(150, seed=11)[
+        ["repo", "path", "commit", "lang", "content"]
+    ]
+    pdf.loc[0, "content"] = "parseHTTPResponse_v2 fooBar BAZ_QUX x86_64"
+    pdf.loc[1, "content"] = "__init__ UTF8String camelCase ALLCAPS 8bit _"
+    pdf.loc[2, "content"] = ":::::::::::"  # admitted, tokenizes to nothing
+    docs = build_docs_table(spark.createDataFrame(pdf), cfg)
+
+    def decoded(runs_df):
+        rows = []
+        for r in runs_df.collect():
+            d = codec.delta_decode(codec.vbyte_decode(bytes(r["docs_vb"])))
+            t = codec.vbyte_decode(bytes(r["tfs_vb"]))
+            l = codec.vbyte_decode(bytes(r["dls_vb"]))
+            rows += [(r["term"], int(x), int(y), int(z)) for x, y, z in zip(d, t, l)]
+        return sorted(rows)
+
+    a = decoded(_spimi_emit_arrow(docs, cfg))
+    p = decoded(_spimi_emit_pandas(docs, cfg))
+    assert a == p and len(a) > 100
+    # the split parts really are indexed: 'response' postings exist
+    assert any(r[0] == "response" for r in a)
+    # and the whole identifier too
+    assert any(r[0] == "parsehttpresponse_v2" for r in a)
+
+
+def test_code_splitting_end_to_end_wand_matches_naive(spark):
+    """Build + query under code_splitting: WAND over the encoded index is
+    rank-identical to exhaustive Catalyst BM25 for whole-identifier,
+    fragment, and no-split queries; the query analyzer splits identically
+    at query time (Q1)."""
+    cfg = EngineConfig(n_doc_buckets=4, block_size=16, code_splitting=True)
+    pdf = synthetic_corpus_pdf(200, seed=13)[
+        ["repo", "path", "commit", "lang", "content"]
+    ]
+    # deterministic camelCase payload on a subset so df(fragment) varies
+    mask = pdf.index % 3 == 0
+    pdf.loc[mask, "content"] = (
+        pdf.loc[mask, "content"] + " parseHTTPResponse_v2 fooBar"
+    )
+    corpus = spark.createDataFrame(pdf)
+    idx = build_index(spark, corpus, cfg)
+    queries = ["fooBar", "response", "parseHTTPResponse_v2 the"]
+    q = parse_queries(spark, queries, cfg)
+    w = (
+        wand_topk(spark, idx, q, k=10)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    nv = naive_bm25(corpus, q, cfg, k=10).orderBy("query_id", "rank").toPandas()
+    assert w["docid"].tolist() == nv["docid"].tolist()
+    assert (abs(w["score"] - nv["score"]) < 1e-9).all()
+    assert (w["query_id"] == 1).sum() > 0  # fragment query really matched

@@ -116,7 +116,10 @@ def test_from_sources_full_precedence(tmp_path):
     """kwargs > CLI > CONFIG file > IR_* env > home/etc > defaults, with
     reference key names (Index::getConfiguration, index.cc:21-47)."""
     conf = tmp_path / "conf"
-    conf.write_text("STEMMING_LEVEL = 1\nMAX_UPDATE_SPACE = 64m\nBIGRAM_INDEXING = true\n")
+    conf.write_text(
+        "STEMMING_LEVEL = 1\nMAX_UPDATE_SPACE = 64m\nBIGRAM_INDEXING = true\n"
+        "CODE_SPLITTING = true\n"
+    )
     home = tmp_path / ".retrievalconf"
     home.write_text("STEMMING_LEVEL = 2\nMIN_FILE_SIZE = 99\nENABLE_XPATH = true\n")
 
@@ -129,6 +132,7 @@ def test_from_sources_full_precedence(tmp_path):
     assert cfg.stemming_level == 0            # CLI beats file + home
     assert cfg.spimi_budget_bytes == 64 * 1024**2  # file (k/m/g suffix)
     assert cfg.bigram_indexing is True        # file bool
+    assert cfg.code_splitting is True         # file bool (code analyzer)
     assert cfg.min_file_size == 16            # IR_* env beats home's 99
     assert cfg.enable_xpath is True           # home fills the rest
     # explicit kwargs beat everything
