@@ -413,17 +413,27 @@ def make_arrow_emitter(cfg: EngineConfig = DEFAULT_CONFIG):
                 if not m0.all():
                     fl0 = fl0.filter(pa.array(m0))
                     doc_idx0 = doc_idx0[m0]
-                low = pc.utf8_lower(fl0)
-                s = fl0
+                # run the 5-rule boundary chain over UNIQUE raw identifiers
+                # only (dictionary_encode first), then expand per token with
+                # take — regex cost drops from O(token occurrences) to
+                # O(batch vocabulary), the same factorize-once discipline as
+                # the signature kernels (1.7x whole-emitter vs the naive
+                # per-occurrence chain; per-emitted-posting throughput lands
+                # within ~10% of the default path — BENCH.md round-5 micro)
+                de0 = pc.dictionary_encode(fl0)
+                vocab = de0.dictionary
+                low_v = pc.utf8_lower(vocab)
+                s = vocab
                 for pat, rep in code_rules:
                     s = pc.replace_substring_regex(s, pattern=pat, replacement=rep)
                 s_low = pc.utf8_lower(s)
-                emit_str = pc.if_else(
-                    pc.equal(s_low, low),
-                    low,
-                    pc.binary_join_element_wise(low, s_low, " "),
+                emit_v = pc.if_else(
+                    pc.equal(s_low, low_v),
+                    low_v,
+                    pc.binary_join_element_wise(low_v, s_low, " "),
                 )
-                sp2 = pc.split_pattern(emit_str, " ")
+                sp_v = pc.split_pattern(emit_v, " ")
+                sp2 = pc.take(sp_v, de0.indices)
                 lens2 = np.asarray(pc.list_value_length(sp2)).astype(np.int64)
                 fl = pc.list_flatten(sp2)
                 if len(fl) == 0:
