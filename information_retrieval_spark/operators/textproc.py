@@ -1280,10 +1280,16 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 50) -> DataFrame:
     edges = pairs.select(
         F.col("id_a").cast("long").alias("a"), F.col("id_b").cast("long").alias("b")
     ).distinct()
-    # label(v) = current component candidate, init = min(v, min neighbor)
+    # label(v) = current component candidate, init = min(v, min neighbor).
+    # localCheckpoint (not just persist): every iteration's plan re-embeds
+    # sym's lineage, and when sym sits at the end of a deep funnel
+    # (quality -> policy -> dedup -> LSH -> verify) the AQE plan-STRING
+    # rendering of iteration k grows with funnel-depth x k — measured
+    # OutOfMemory in explainString at 4 GB heap on a 150-doc corpus.
+    # Cutting lineage here makes each iteration's plan O(1) in funnel depth.
     sym = edges.unionAll(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     labels = sym.groupBy("a").agg(F.min("b").alias("mb")).select(
         F.col("a").alias("id"), F.least(F.col("a"), F.col("mb")).alias("lbl")
     )
@@ -1318,7 +1324,7 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 50) -> DataFrame:
     out = out.localCheckpoint(eager=True)  # cut the iterative lineage
     for df in cached:
         df.unpersist()
-    sym.unpersist()
+    sym.unpersist()  # checkpoint blocks; no-op if already released
     return out
 
 
@@ -1800,4 +1806,98 @@ SELECT id,
             THEN 'und' ELSE {best_l} END AS lang_pred,
        round({best_r}, 6) AS best_ratio
 FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# Policy scan: secret detection + license classification (code corpora)
+# --------------------------------------------------------------------------
+
+# Credential patterns from the public scanners' cores (gitleaks /
+# detect-secrets); restricted to the Java-regex ∩ RE2 common subset so the
+# IDENTICAL pattern runs in Catalyst and in the DuckDB oracle. Stripping
+# credential-bearing files is a standard curation stage for code training
+# data — at 100 TB this is a pure codegen projection, no shuffle.
+SECRET_PATTERNS: list[tuple[str, str]] = [
+    ("aws_key", r"AKIA[0-9A-Z]{16}"),
+    ("private_key", r"-----BEGIN [A-Z ]*PRIVATE KEY-----"),
+    ("github_token", r"ghp_[A-Za-z0-9]{36}"),
+    ("slack_token", r"xox[baprs]-[A-Za-z0-9-]{10,}"),
+    ("generic_secret",
+     r"(?i)(api[_-]?key|secret|token|passwd|password)\s*[:=]\s*[\x27\x22][^\x27\x22]{8,}[\x27\x22]"),
+]
+
+# License header phrases (SPDX-ish tags), priority order: first match wins.
+LICENSE_PATTERNS: list[tuple[str, str]] = [
+    ("apache-2.0", r"(?i)licensed under the apache license, version 2\.0"),
+    ("mit", r"(?i)permission is hereby granted, free of charge"),
+    ("gpl", r"(?i)gnu general public license"),
+    ("bsd", r"(?i)redistribution and use in source and binary forms"),
+    ("mpl-2.0", r"(?i)mozilla public license"),
+]
+
+
+def policy_scan(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc policy columns for code-corpus curation: credential hits and
+    license classification — one Catalyst projection (rlike per pattern, all
+    inside whole-stage codegen), no shuffle, no Python.
+
+    Returns (id, has_secret, secret_kinds, license_tag): ``secret_kinds`` is
+    the comma-joined pattern names in SECRET_PATTERNS order (deterministic,
+    oracle-hashable); ``license_tag`` is the first LICENSE_PATTERNS match or
+    'unknown'. Downstream filtering is a plain WHERE (drop has_secret,
+    keep permissive licenses, ...), so the scan composes with quality_filter
+    / dedup in the same curation pass.
+    """
+    t = F.col(text_col)
+    kinds = F.array_compact(
+        F.array(
+            *[
+                F.when(t.rlike(pat), F.lit(name))
+                for name, pat in SECRET_PATTERNS
+            ]
+        )
+    )
+    lic = F.lit("unknown")
+    for name, pat in reversed(LICENSE_PATTERNS):
+        lic = F.when(t.rlike(pat), F.lit(name)).otherwise(lic)
+    return docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        (F.size(kinds) > 0).alias("has_secret"),
+        F.array_join(kinds, ",").alias("secret_kinds"),
+        lic.alias("license_tag"),
+    )
+
+
+def duckdb_policy_scan_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    kind_cols = ", ".join(
+        f"CASE WHEN regexp_matches({text_col}, '{pat}') THEN '{name}' ELSE NULL END"
+        for name, pat in SECRET_PATTERNS
+    )
+    lic = "'unknown'"
+    for name, pat in reversed(LICENSE_PATTERNS):
+        lic = (
+            f"CASE WHEN regexp_matches({text_col}, '{pat}') "
+            f"THEN '{name}' ELSE {lic} END"
+        )
+    return f"""
+WITH k AS (
+  SELECT CAST({id_col} AS BIGINT) AS id,
+         list_filter([{kind_cols}], x -> x IS NOT NULL) AS kinds,
+         {lic} AS license_tag
+  FROM {table}
+)
+SELECT id,
+       len(kinds) > 0 AS has_secret,
+       coalesce(list_aggregate(kinds, 'string_agg', ','), '') AS secret_kinds,
+       license_tag
+FROM k
 """

@@ -39,6 +39,7 @@ def curate(
     n_bands: int = 32,
     probe_ids: list[int] | None = None,
     decon_n: int = 8,
+    strip_secrets: bool = False,
 ) -> dict:
     """Run the full curation funnel over a ``documents``-shaped DataFrame,
     write the packed survivors to ``<output>/curated``, and return the
@@ -74,6 +75,31 @@ def curate(
     ).persist()
     n_quality = docs_q.count()
     stage_secs["quality"] = time.time() - t0
+
+    # 1b. policy: drop credential-bearing docs (code-corpus hygiene); the
+    # license histogram is reported either way when the stage runs
+    n_policy = n_quality
+    license_hist: dict[str, int] = {}
+    if strip_secrets:
+        from .operators.textproc import policy_scan
+
+        t0 = time.time()
+        pol = policy_scan(docs_q, cfg).persist()
+        license_hist = {
+            r["license_tag"]: r["n"]
+            for r in pol.groupBy("license_tag")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        clean_ids = pol.filter(~F.col("has_secret")).select("id")
+        docs_pre = docs_q
+        docs_q = docs_q.join(
+            clean_ids, docs_q["doc_id"].cast("long") == clean_ids["id"], "left_semi"
+        ).persist()
+        n_policy = docs_q.count()
+        pol.unpersist()
+        docs_pre.unpersist()  # superseded cache — don't hold both
+        stage_secs["policy"] = time.time() - t0
 
     # 2. exact dedup: keep only each sha256 group's keeper
     t0 = time.time()
@@ -137,6 +163,8 @@ def curate(
         "quality_drop_reasons": {
             k: v for k, v in sorted(reasons.items()) if k != "ok"
         },
+        "after_policy": n_policy,
+        "license_histogram": {k: v for k, v in sorted(license_hist.items())},
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_near,
         "decontamination_dropped": n_decon_dropped,
