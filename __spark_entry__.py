@@ -300,6 +300,16 @@ def _q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
 
 
+def _q_bm25_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 second pruning strategy: MaxScore (Turtle-Flood essential-list
+    partitioning) over the same encoded index and cursors — rank-identical
+    to BMW and to the same SQL oracle (operators/wand._maxscore)."""
+    idx = _index(spark, sf_dir)
+    qterms = parse_queries(spark, QUERY_SET, CFG)
+    out = wand_topk(spark, idx, qterms, TOP_K, CFG, strategy="maxscore")
+    return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on sha2(text) (training-data op #1)."""
     return exact_dedup(_documents(spark, sf_dir))
@@ -1092,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_tf_code": _q_term_tf_code,
         "policy_scan": _q_policy_scan,
+        "bm25_topk_maxscore": _q_bm25_maxscore,
         "regex_topk": _q_regex_topk,
         "bm25f_bmw": _q_bm25f_bmw,
         "boolean_near": _q_boolean_near,
@@ -1351,6 +1362,8 @@ FROM tf GROUP BY term
 """,
         "bm25_topk_naive": bm25,
         "bm25_topk_wand": bm25,
+        # rank-identical by design: same cursors, different pruning strategy
+        "bm25_topk_maxscore": bm25,
         # federation must equal ONE combined index over the union corpus —
         # the oracle is deliberately the identical single-corpus BM25 SQL
         "federated_bm25": bm25,

@@ -196,6 +196,80 @@ def _bmw(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
     return [(-nd, s) for s, nd in heap]
 
 
+def _maxscore(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
+    """MaxScore top-k (Turtle & Flood 1995, "Query evaluation: strategies
+    and optimizations" — public literature) over the same block cursors →
+    [(docid, score)] unordered, ≤ k.
+
+    Lists sort by global upper bound ascending; the prefix whose UB sum
+    cannot reach the heap threshold is NON-ESSENTIAL and is never merged —
+    candidates come from the essential suffix only, and each candidate
+    probes the non-essential lists highest-UB-first with an early abandon
+    once score + remaining-prefix-UB < theta. Complements BMW: MaxScore's
+    partition is per-QUERY (cheap bookkeeping, strongest on many-term
+    queries with skewed idf); BMW's pivot walk is per-DOC (strongest on
+    short queries with tight block maxima). Rank-identical to BMW/naive:
+    same >=-evaluates-ties threshold semantics, same ascending-term
+    left-to-right score accumulation (bit-identical doubles)."""
+    heap: list[tuple[float, int]] = []
+    live = [c for c in cursors if not c.exhausted]
+    if not live:
+        return []
+    # fixed evaluation order: ascending global (bucket-local) upper bound,
+    # term as the deterministic tie-break
+    ranked = sorted(
+        ((c.idf * float(c.maxes.max()), c) for c in live),
+        key=lambda uc: (uc[0], uc[1].term),
+    )
+    order = [c for _, c in ranked]
+    prefix = np.cumsum([u for u, _ in ranked])  # prefix[i] = Σ ub[0..i]
+    n = len(order)
+    first_ess = 0  # lists [first_ess, n) are essential
+    while True:
+        theta = heap[0][0] if len(heap) >= k else float("-inf")
+        while first_ess < n and prefix[first_ess] < theta:
+            first_ess += 1
+        if first_ess >= n:
+            break  # no list combination can reach theta any more
+        ess = [c for c in order[first_ess:] if not c.exhausted]
+        if not ess:
+            break
+        doc = min(c.doc for c in ess)
+        contribs = [(c.term, c.score_current()) for c in ess if c.doc == doc]
+        partial = 0.0
+        for _, s in contribs:
+            partial += s
+        abandoned = False
+        for i in range(first_ess - 1, -1, -1):
+            if partial + float(prefix[i]) < theta:
+                abandoned = True  # strict <: exact ties still evaluate
+                break
+            c = order[i]
+            if c.exhausted:
+                continue
+            c.advance_to(doc)
+            if not c.exhausted and c.doc == doc:
+                s = c.score_current()
+                contribs.append((c.term, s))
+                partial += s
+        if not abandoned:
+            score = 0.0
+            for _, s in sorted(contribs):  # ascending term — BMW's order
+                score += s
+            item = (score, -doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+        for c in ess:
+            if not c.exhausted and c.doc == doc:
+                c.next()
+    return [(-nd, s) for s, nd in heap]
+
+
+_STRATEGIES = {"bmw": _bmw, "maxscore": _maxscore}
+
+
 _EMPTY_KEEP = np.empty(0, dtype=np.int64)
 
 
@@ -210,7 +284,7 @@ def _resolve_allowed(allowed, qid: int):
 
 def bmw_partial(
     pdf: pd.DataFrame, idf: dict[str, float], avgdl: float, k: int, k1: float, b: float,
-    deleted=None, allowed=None,
+    deleted=None, allowed=None, strategy: str = "bmw",
 ) -> pd.DataFrame:
     """One (query_id, bucket) group of joined posting-block rows → ≤k rows."""
     qid = int(pdf["query_id"].iloc[0])
@@ -224,7 +298,7 @@ def bmw_partial(
                         allowed=allowed)
             if not c.exhausted:
                 cursors.append(c)
-    top = _bmw(cursors, k)
+    top = _STRATEGIES[strategy](cursors, k)
     return pd.DataFrame(
         {"query_id": qid, "docid": [d for d, _ in top], "score": [s for _, s in top]}
     )
@@ -260,8 +334,13 @@ def wand_topk(
     mode: str = "auto",
     local_block_limit: int = 20_000,
     small_set_cap: int = 2_000_000,
+    strategy: str = "bmw",
 ) -> DataFrame:
     """(query_id, rank, docid, score) — full BMW path over the encoded index.
+
+    ``strategy``: 'bmw' (block-max WAND, the default) or 'maxscore'
+    (Turtle-Flood essential-list partitioning) — same cursors, same pruned
+    scan, rank-identical output; pick per workload (see ``_maxscore``).
 
     ``deleted``: optional (docid) DataFrame of tombstoned docs excluded on
     the fly (pre-compaction reads, SURVEY.md A4/U4); expected small — the
@@ -287,6 +366,8 @@ def wand_topk(
     corpus-sized) — the cap makes a contract violation fail loudly instead
     of silently OOMing the driver."""
     cfg = cfg or index.cfg
+    if strategy not in _STRATEGIES:
+        raise ValueError(f"strategy must be one of {sorted(_STRATEGIES)}")
     if allowed is not None and allowed_by_query is not None:
         raise ValueError("pass either allowed or allowed_by_query, not both")
     avgdl, k1, b = float(index.avgdl), float(cfg.k1), float(cfg.b)
@@ -353,7 +434,8 @@ def wand_topk(
                 for t, df_t in blocks.groupby("term")["n"].sum().items()
             }
             return _wand_topk_local(spark, blocks, q_pairs, k, idf, avgdl,
-                                    k1, b, del_arr, allowed_arr)
+                                    k1, b, del_arr, allowed_arr,
+                                    strategy=strategy)
 
     # distributed path: per-term idf from the dictionary (one bounded
     # collect over |query terms| rows)
@@ -376,7 +458,7 @@ def wand_topk(
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return bmw_partial(pdf, idf, avgdl, k, k1, b, deleted=del_arr,
-                           allowed=allowed_arr)
+                           allowed=allowed_arr, strategy=strategy)
 
     partials = joined.groupBy("query_id", "bucket").applyInPandas(run, TOPK_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
@@ -473,7 +555,7 @@ def _semi_join_topk(
 def bmw_over_blocks(
     blocks: pd.DataFrame, q_pairs: list[tuple[int, str]], k: int,
     idf: dict[str, float], avgdl: float, k1: float, b: float,
-    del_arr=None, allowed_arr=None,
+    del_arr=None, allowed_arr=None, strategy: str = "bmw",
 ) -> list[tuple[int, int, int, float]]:
     """In-process BMW over pre-fetched block rows → [(query_id, rank, docid,
     score)]. Pure pandas/NumPy — shared by the Spark driver-local path and
@@ -502,7 +584,7 @@ def bmw_over_blocks(
                             allowed=q_allowed)
                 if not c.exhausted:
                     cursors.append(c)
-            collected.extend(_bmw(cursors, k))
+            collected.extend(_STRATEGIES[strategy](cursors, k))
         collected.sort(key=lambda ds: (-ds[1], ds[0]))
         for rank, (docid, score) in enumerate(collected[:k], start=1):
             rows.append((int(qid), rank, int(docid), float(score)))
@@ -511,10 +593,11 @@ def bmw_over_blocks(
 
 def _wand_topk_local(
     spark, blocks: pd.DataFrame, q_pairs: list[tuple[int, str]], k, idf,
-    avgdl, k1, b, del_arr, allowed_arr=None
+    avgdl, k1, b, del_arr, allowed_arr=None, strategy: str = "bmw"
 ):
     """Driver-local BMW (SURVEY.md §3.3) over pre-fetched block rows: the
     WAND loop runs in-process, zero further Spark jobs."""
-    rows = bmw_over_blocks(blocks, q_pairs, k, idf, avgdl, k1, b, del_arr, allowed_arr)
+    rows = bmw_over_blocks(blocks, q_pairs, k, idf, avgdl, k1, b, del_arr,
+                           allowed_arr, strategy=strategy)
     schema = "query_id int, rank int, docid long, score double"
     return spark.createDataFrame(rows, schema=schema)

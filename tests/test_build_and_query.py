@@ -899,3 +899,50 @@ def test_code_splitting_end_to_end_wand_matches_naive(spark):
     assert w["docid"].tolist() == nv["docid"].tolist()
     assert (abs(w["score"] - nv["score"]) < 1e-9).all()
     assert (w["query_id"] == 1).sum() > 0  # fragment query really matched
+
+
+def test_maxscore_rank_and_bits_identical_to_bmw(spark, corpus, index):
+    """strategy='maxscore' (Turtle-Flood essential lists) over the same
+    cursors: bit-identical scores and identical ranking to BMW on every
+    fixture query (single/multi-term, stopword skew, df=0, pure-tie), in
+    both the driver-local and distributed modes."""
+    qterms = parse_queries(spark, QUERIES, CFG).cache()
+    for mode in ("local", "distributed"):
+        w = (
+            wand_topk(spark, index, qterms, K, CFG, mode=mode)
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+        m = (
+            wand_topk(spark, index, qterms, K, CFG, mode=mode,
+                      strategy="maxscore")
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+        assert [(r["query_id"], r["docid"]) for r in w] == [
+            (r["query_id"], r["docid"]) for r in m
+        ]
+        assert [r["score"] for r in w] == [r["score"] for r in m]  # bitwise
+
+
+def test_maxscore_with_deletions_and_keep_list(spark, corpus, index):
+    """MaxScore honors the same decode-time masking contracts as BMW:
+    tombstoned docs vanish, a keep-list restricts candidates."""
+    qterms = parse_queries(spark, ["ident_1 ident_2 ident_7"], CFG)
+    base = wand_topk(spark, index, qterms, K, CFG, strategy="maxscore").collect()
+    assert base
+    top_doc = base[0]["docid"]
+    deleted = spark.createDataFrame([(top_doc,)], "docid long")
+    got = wand_topk(
+        spark, index, qterms, K, CFG, deleted=deleted, strategy="maxscore"
+    ).collect()
+    assert top_doc not in {r["docid"] for r in got}
+    want = wand_topk(spark, index, qterms, K, CFG, deleted=deleted).collect()
+    assert [(r["docid"], r["score"]) for r in got] == [
+        (r["docid"], r["score"]) for r in want
+    ]
+    keep = spark.createDataFrame([(top_doc,)], "docid long")
+    only = wand_topk(
+        spark, index, qterms, K, CFG, allowed=keep, strategy="maxscore"
+    ).collect()
+    assert {r["docid"] for r in only} == {top_doc}
