@@ -562,6 +562,20 @@ def main() -> None:
             idx, ["hash joim tabl", "spark srot mrege"], cfg, max_edit=2)),
         ("bm25f", lambda: bm25f_topk(
             spark, idx, [path_plane], [QUERY_SET[0], "doc 42"], TOP_K, cfg)),
+        # round 5: MaxScore vs BMW over the same cursors — the second
+        # pruning strategy, timed on a many-term skewed-idf query (its
+        # strong case) plus the headline query for a like-for-like pair
+        ("bmw_manyterm", lambda: wand_topk(
+            spark, idx,
+            parse_query_terms([QUERY_SET[0] + " " + QUERY_SET[1] + " the a"], cfg),
+            TOP_K, cfg)),
+        ("maxscore_manyterm", lambda: wand_topk(
+            spark, idx,
+            parse_query_terms([QUERY_SET[0] + " " + QUERY_SET[1] + " the a"], cfg),
+            TOP_K, cfg, strategy="maxscore")),
+        ("maxscore_headline", lambda: wand_topk(
+            spark, idx, parse_query_terms([QUERY_SET[0]], cfg), TOP_K, cfg,
+            strategy="maxscore")),
     ):
         fn().count()  # warm (plan compile + worker spin-up)
         t0 = time.time()
@@ -672,7 +686,7 @@ def main() -> None:
         curate_report = run_curate(
             spark, docs_tbl, cfg,
             output=f"/tmp/ir_bench_curated_{os.path.basename(SF_DIR.rstrip('/'))}",
-            oph=True, probe_ids=[7, 23, 101],
+            oph=True, probe_ids=[7, 23, 101], strip_secrets=True,
         )
 
     out = {

@@ -356,12 +356,14 @@ def query_index_local(
     index: "LocalIndex | str",
     queries: list[str],
     k: int = 10,
+    strategy: str = "bmw",
 ) -> pd.DataFrame:
-    """(query_id, rank, docid, score) pandas DataFrame — block-max WAND over
-    the persisted index, entirely in-process."""
+    """(query_id, rank, docid, score) pandas DataFrame — block-max WAND
+    (or MaxScore, ``strategy="maxscore"``) over the persisted index,
+    entirely in-process."""
     idx = LocalIndex(index) if isinstance(index, str) else index
     q_pairs = parse_query_terms(queries, idx.cfg)
-    return _rank_pairs(idx, q_pairs, k)
+    return _rank_pairs(idx, q_pairs, k, strategy=strategy)
 
 
 def _rank_pairs(
@@ -369,8 +371,9 @@ def _rank_pairs(
     q_pairs: list[tuple[int, str]],
     k: int,
     allowed_arr=None,
+    strategy: str = "bmw",
 ) -> pd.DataFrame:
-    """Shared BMW ranking over explicit (query_id, term) pairs."""
+    """Shared BMW/MaxScore ranking over explicit (query_id, term) pairs."""
     terms = sorted({t for _, t in q_pairs})
     blocks = idx.fetch_blocks(terms)
     idf = {
@@ -379,7 +382,7 @@ def _rank_pairs(
     }
     rows = bmw_over_blocks(
         blocks, q_pairs, k, idf, idx.avgdl, float(idx.cfg.k1), float(idx.cfg.b),
-        del_arr=idx.deleted, allowed_arr=allowed_arr,
+        del_arr=idx.deleted, allowed_arr=allowed_arr, strategy=strategy,
     )
     return pd.DataFrame(rows, columns=["query_id", "rank", "docid", "score"])
 

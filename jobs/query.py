@@ -62,6 +62,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="print per-token spelling suggestions instead of "
                         "hits (cf-argmax of the Levenshtein<=2 neighborhood; "
                         "works with both engines)")
+    p.add_argument("--strategy", choices=["bmw", "maxscore"], default="bmw",
+                   help="dynamic-pruning strategy for ranked retrieval "
+                        "(rank-identical; maxscore favors many-term queries)")
     p.add_argument("--bm25f", default=None, metavar="FIELD[:WEIGHT[:B]]",
                    help="BM25F multi-field ranking over a persisted field "
                         "plane, e.g. 'path:3.0:0.5' (requires "
@@ -173,7 +176,8 @@ def main(argv: list[str] | None = None) -> None:
         )
     else:
         qterms = parse_queries(spark, args.queries, idx.cfg)
-        topk = wand_topk(spark, idx, qterms, args.k, idx.cfg)
+        topk = wand_topk(spark, idx, qterms, args.k, idx.cfg,
+                         strategy=args.strategy)
     resolved = (
         topk.join(F.broadcast(idx.docs.select("docid", "repo", "path")), "docid")
         .select("query_id", "rank", "docid", "score", "repo", "path")
@@ -364,7 +368,7 @@ def _main_local(args) -> None:
             (int(q), int(d)): s
             for q, d, _, _, s in sdf.itertuples(index=False)
         }
-    out = query_index_local(li, args.queries, k=args.k)
+    out = query_index_local(li, args.queries, k=args.k, strategy=args.strategy)
     docs = ds.dataset(
         [
             ds.dataset(os.path.join(r, "docs"), partitioning="hive",

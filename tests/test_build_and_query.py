@@ -946,3 +946,22 @@ def test_maxscore_with_deletions_and_keep_list(spark, corpus, index):
         spark, index, qterms, K, CFG, allowed=keep, strategy="maxscore"
     ).collect()
     assert {r["docid"] for r in only} == {top_doc}
+
+
+def test_maxscore_local_pyarrow_path_identical(spark, corpus, index, tmp_path_factory):
+    """The Spark-free interactive path accepts strategy='maxscore' and
+    returns exactly the BMW answer (shared bmw_over_blocks plumbing)."""
+    from information_retrieval_spark.operators.local_query import (
+        query_index_local,
+    )
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+    )
+
+    root = str(tmp_path_factory.mktemp("msloc") / "idx")
+    build_index_resumable(spark, corpus, root, CFG)
+    queries = ["ident_1 ident_2 ident_7", QUERIES[5]]
+    bmw = query_index_local(root, queries, k=K)
+    ms = query_index_local(root, queries, k=K, strategy="maxscore")
+    assert bmw["docid"].tolist() == ms["docid"].tolist()
+    assert bmw["score"].tolist() == ms["score"].tolist()
