@@ -310,6 +310,24 @@ def _q_bm25_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "docid", F.round("score", 4).alias("score"))
 
 
+# the driver corpus is single-line; break it into lines deterministically
+# (plain non-regex replace — identical left-to-right non-overlap semantics
+# in Catalyst and DuckDB) so the line renderer has real work
+LINE_QUERIES = ["customer vector", "window big", "zzz_not_in_corpus"]
+
+
+def _q_line_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grep-style per-line hit rendering (code-search result shape):
+    (query_id, doc, line_no, line) for every line whose analyzed tokens
+    intersect the query's."""
+    from information_retrieval_spark.operators.query import line_matches
+
+    docs_ml = _documents(spark, sf_dir).withColumn(
+        "text", F.replace(F.col("text"), F.lit(" value "), F.lit("\n"))
+    )
+    return line_matches(docs_ml, LINE_QUERIES, CFG)
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on sha2(text) (training-data op #1)."""
     return exact_dedup(_documents(spark, sf_dir))
@@ -1103,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_tf_code": _q_term_tf_code,
         "policy_scan": _q_policy_scan,
         "bm25_topk_maxscore": _q_bm25_maxscore,
+        "line_matches": _q_line_matches,
         "regex_topk": _q_regex_topk,
         "bm25f_bmw": _q_bm25f_bmw,
         "boolean_near": _q_boolean_near,
@@ -1180,6 +1199,18 @@ def _policy_scan_sql() -> str:
         f"([{suffixes}])[CAST(doc_id % 5 AS INT) + 1] AS text FROM documents)"
     )
     return duckdb_policy_scan_sql(amended)
+
+
+def _line_matches_sql() -> str:
+    from information_retrieval_spark.operators.query import (
+        duckdb_line_matches_sql,
+    )
+
+    amended = (
+        "(SELECT doc_id, replace(text, ' value ', chr(10)) AS text "
+        "FROM documents)"
+    )
+    return duckdb_line_matches_sql(LINE_QUERIES, CFG, table=amended)
 
 
 def _hybrid_sql() -> str:
@@ -1375,6 +1406,7 @@ FROM tf GROUP BY term
         "ngram_jaccard": ngram_sql,
         "dedup_clusters": dedup_clusters_sql,
         "policy_scan": _policy_scan_sql(),
+        "line_matches": _line_matches_sql(),
         "text_stats": duckdb_text_stats_sql(CFG),
         "token_counts": duckdb_token_counts_sql(CFG),
         "lang_id_ngram": duckdb_lang_id_sql(),

@@ -1630,3 +1630,81 @@ def duckdb_synonym_bm25_sql(
   SELECT query_id, term FROM (VALUES {qvalues}) AS q(query_id, term)
   WHERE term IS NOT NULL"""
     return _duckdb_bm25_body(corpus_sql, qterms_sql, cfg, k, round_to)
+
+
+# --------------------------------------------------------------------------
+# Line-level hit rendering (code-search UX)
+# --------------------------------------------------------------------------
+
+def line_matches(
+    docs: DataFrame,
+    queries: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, id, line_no, line) — grep-style per-LINE hit rendering,
+    the result shape a code-search front-end shows (public pattern: Zoekt /
+    ripgrep line output; the reference returns nothing finer than a doc).
+
+    A line (1-indexed ``\\n`` split of the document) matches a query when
+    its analyzed tokens intersect the query's analyzed tokens — the same
+    analyzer as indexing, so code_splitting/stemming apply symmetrically.
+    Pure Catalyst: posexplode + arrays_overlap against the broadcast query
+    table; the per-line tokenize stays in codegen. Scale shape: output is
+    |matching lines|, never |docs| x |queries| — the nested-loop join is
+    against a handful of broadcast query rows.
+    """
+    import pandas as pd
+
+    from ..functions.analyzer import tokenize_series
+
+    qtoks = tokenize_series(pd.Series(queries, dtype=object), cfg)
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(i, sorted(set(t))) for i, t in enumerate(qtoks)],
+        "query_id int, qterms array<string>",
+    )
+    lines = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).select("id", (F.col("pos") + 1).cast("int").alias("line_no"), "line")
+    return (
+        lines.join(
+            F.broadcast(qdf),
+            F.arrays_overlap(tokenize_expr(F.col("line"), cfg), F.col("qterms")),
+        )
+        .select("query_id", "id", "line_no", "line")
+    )
+
+
+def duckdb_line_matches_sql(
+    queries: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    import pandas as pd
+
+    from ..functions.analyzer import duckdb_tokenize_sql, tokenize_series
+
+    qtoks = tokenize_series(pd.Series(queries, dtype=object), cfg)
+    qvalues = ", ".join(
+        "({}, [{}])".format(i, ", ".join(f"'{t}'" for t in sorted(set(toks))))
+        for i, toks in enumerate(qtoks)
+    )
+    tok = duckdb_tokenize_sql("line", cfg)
+    return f"""
+WITH q AS (SELECT * FROM (VALUES {qvalues}) AS t(query_id, qterms)),
+l AS (
+  SELECT CAST({id_col} AS BIGINT) AS id,
+         unnest(string_split({text_col}, chr(10))) AS line,
+         CAST(unnest(range(1, len(string_split({text_col}, chr(10))) + 1)) AS INT)
+           AS line_no
+  FROM {table}
+)
+SELECT query_id, id, line_no, line
+FROM l JOIN q ON list_has_any({tok}, qterms)
+"""

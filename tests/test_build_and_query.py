@@ -965,3 +965,44 @@ def test_maxscore_local_pyarrow_path_identical(spark, corpus, index, tmp_path_fa
     ms = query_index_local(root, queries, k=K, strategy="maxscore")
     assert bmw["docid"].tolist() == ms["docid"].tolist()
     assert bmw["score"].tolist() == ms["score"].tolist()
+
+
+def test_line_matches_golden_and_duckdb_parity(spark):
+    """grep-style line rendering: 1-indexed lines, analyzer-token overlap
+    semantics (empty lines and non-matching queries yield nothing), pinned
+    to the DuckDB twin."""
+    import duckdb
+    import pandas as pd
+    from information_retrieval_spark.operators.query import (
+        duckdb_line_matches_sql,
+        line_matches,
+    )
+
+    texts = [
+        "alpha beta\ngamma delta\nbeta zeta",
+        "nothing here\n",
+        "",
+        "beta\n\nalpha gamma",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(4), "text": texts})
+    queries = ["beta", "gamma alpha", "zzz"]
+    got = (
+        line_matches(spark.createDataFrame(pdf), queries)
+        .toPandas()
+        .sort_values(["query_id", "id", "line_no"])
+        .reset_index(drop=True)
+    )
+    # q0 "beta": doc0 lines 1,3; doc3 line 1. q1 "gamma alpha": doc0 lines
+    # 1,2 (alpha / gamma); doc3 line 3. q2: nothing.
+    assert list(zip(got["query_id"], got["id"], got["line_no"])) == [
+        (0, 0, 1), (0, 0, 3), (0, 3, 1),
+        (1, 0, 1), (1, 0, 2), (1, 3, 3),
+    ]
+    ora = (
+        duckdb.sql(duckdb_line_matches_sql(queries, table="pdf"))
+        .df()
+        .sort_values(["query_id", "id", "line_no"])
+        .reset_index(drop=True)
+    )
+    assert got["line"].tolist() == ora["line"].tolist()
+    assert got["line_no"].tolist() == [int(x) for x in ora["line_no"]]
