@@ -985,6 +985,7 @@ def answer_queries(
     queries: list[str],
     k: int = 10,
     snippet_window: int | None = None,
+    strategy: str = "bmw",
 ) -> list[dict]:
     """One answer per query with per-query routing (phrase / proximity /
     ranked BM25, optionally with snippets) — the full interactive surface
@@ -1060,7 +1061,7 @@ def answer_queries(
     bm = [(i, arg) for i, (t, arg) in enumerate(routed) if t == "bm25"]
     if bm:
         qs = [a for _, a in bm]
-        res = query_index_local(idx, qs, k=k)
+        res = query_index_local(idx, qs, k=k, strategy=strategy)
         snips: dict[tuple[int, int], str] = {}
         if snippet_window:
             sdf = snippet_local(idx, qs, k=k, window=snippet_window)

@@ -205,10 +205,13 @@ class QueryDaemon:
                 self._invalidate()
                 time.sleep(INDEX_WAIT_INTERVAL_MS / 1000.0)
 
-    def _answer(self, queries: list[str], k: int, snippet_window) -> list[dict]:
+    def _answer(
+        self, queries: list[str], k: int, snippet_window, strategy: str = "bmw"
+    ) -> list[dict]:
         return self._with_snapshot(
             lambda idx: answer_queries(
-                idx, queries, k=k, snippet_window=snippet_window
+                idx, queries, k=k, snippet_window=snippet_window,
+                strategy=strategy,
             )
         )
 
@@ -274,11 +277,15 @@ class QueryDaemon:
                 isinstance(q, str) for q in queries
             ):
                 return {"ok": False, "error": "queries must be a list of strings"}
+            strategy = req.get("strategy", "bmw")
+            if strategy not in ("bmw", "maxscore"):
+                return {"ok": False, "error": f"unknown strategy: {strategy!r}"}
             try:
                 results = self._answer(
                     queries,
                     int(req.get("k", 10)),
                     req.get("snippet_window"),
+                    strategy=strategy,
                 )
             except Exception as e:
                 return {"ok": False, "error": str(e)}

@@ -304,3 +304,17 @@ def test_federated_local_index_rejects_overlapping_roots(root, fed_roots):
     ra, _ = fed_roots
     with pytest.raises(ValueError, match="disjoint bucket ranges"):
         FederatedLocalIndex([root, ra])
+
+
+def test_daemon_strategy_maxscore_identical(root):
+    """op=query accepts strategy='maxscore' and returns exactly the BMW
+    answer (rank-identical by construction); unknown strategies error."""
+    with QueryDaemon(root) as d:
+        bmw = request("127.0.0.1", d.port, {"queries": QUERIES, "k": 5})
+        ms = request(
+            "127.0.0.1", d.port,
+            {"queries": QUERIES, "k": 5, "strategy": "maxscore"},
+        )
+        assert ms["ok"] and ms["results"] == bmw["results"]
+        bad = request("127.0.0.1", d.port, {"queries": QUERIES, "strategy": "wat"})
+        assert not bad["ok"] and "strategy" in bad["error"]
