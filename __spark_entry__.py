@@ -328,6 +328,26 @@ def _q_line_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_matches(docs_ml, LINE_QUERIES, CFG)
 
 
+def _q_symbol_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ctags-lite symbol table: definition sites (function/class kinds)
+    with line numbers — deterministic def/class lines appended per doc
+    (the driver corpus has none), mirrored exactly in the oracle SQL."""
+    from information_retrieval_spark.operators.textproc import extract_symbols
+
+    docs_sym = _documents(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit("\ndef handler_"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("(x):\nclass Widget"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(" {"),
+        ),
+    )
+    return extract_symbols(docs_sym, CFG)
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on sha2(text) (training-data op #1)."""
     return exact_dedup(_documents(spark, sf_dir))
@@ -1122,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "policy_scan": _q_policy_scan,
         "bm25_topk_maxscore": _q_bm25_maxscore,
         "line_matches": _q_line_matches,
+        "symbol_extract": _q_symbol_extract,
         "regex_topk": _q_regex_topk,
         "bm25f_bmw": _q_bm25f_bmw,
         "boolean_near": _q_boolean_near,
@@ -1211,6 +1232,20 @@ def _line_matches_sql() -> str:
         "FROM documents)"
     )
     return duckdb_line_matches_sql(LINE_QUERIES, CFG, table=amended)
+
+
+def _symbol_extract_sql() -> str:
+    from information_retrieval_spark.operators.textproc import (
+        duckdb_extract_symbols_sql,
+    )
+
+    amended = (
+        "(SELECT doc_id, text || chr(10) || 'def handler_' || "
+        "CAST(doc_id % 7 AS VARCHAR) || '(x):' || chr(10) || "
+        "'class Widget' || CAST(doc_id % 3 AS VARCHAR) || ' {' AS text "
+        "FROM documents)"
+    )
+    return duckdb_extract_symbols_sql(table=amended)
 
 
 def _hybrid_sql() -> str:
@@ -1407,6 +1442,7 @@ FROM tf GROUP BY term
         "dedup_clusters": dedup_clusters_sql,
         "policy_scan": _policy_scan_sql(),
         "line_matches": _line_matches_sql(),
+        "symbol_extract": _symbol_extract_sql(),
         "text_stats": duckdb_text_stats_sql(CFG),
         "token_counts": duckdb_token_counts_sql(CFG),
         "lang_id_ngram": duckdb_lang_id_sql(),

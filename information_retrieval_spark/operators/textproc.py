@@ -1901,3 +1901,72 @@ SELECT id,
        license_tag
 FROM k
 """
+
+
+# --------------------------------------------------------------------------
+# Symbol extraction (ctags-lite for the source-code corpus)
+# --------------------------------------------------------------------------
+
+# Definition-site patterns per symbol kind — the Java-regex ∩ RE2 common
+# subset, language-family keywords folded per kind (the ctags/GitHub
+# symbol-search pattern; the reference indexes nothing finer than a doc).
+SYMBOL_PATTERNS: list[tuple[str, str]] = [
+    ("function", r"\b(?:def|func|fn|function)\s+([A-Za-z_][A-Za-z0-9_]*)"),
+    ("class", r"\b(?:class|struct|interface|trait|enum)\s+([A-Za-z_][A-Za-z0-9_]*)"),
+]
+
+
+def extract_symbols(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, line_no, kind, symbol) — definition sites per document, the
+    ctags-lite symbol table a code-search front-end needs for "go to
+    definition" / symbol-ranked search. One codegen pipeline: posexplode
+    lines -> per-kind regexp_extract_all -> kind-tagged struct arrays ->
+    one explode. No shuffle, no Python; output is |definition sites|.
+    """
+    lines = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).select("id", (F.col("pos") + 1).cast("int").alias("line_no"), "line")
+    def _tagger(kind: str):
+        # a 1-arg lambda: F.transform treats 2-arg lambdas as (elem, index)
+        return lambda s: F.struct(F.lit(kind).alias("kind"), s.alias("symbol"))
+
+    tagged = F.concat(
+        *[
+            F.transform(
+                F.regexp_extract_all(F.col("line"), F.lit(pat), 1), _tagger(kind)
+            )
+            for kind, pat in SYMBOL_PATTERNS
+        ]
+    )
+    return (
+        lines.select("id", "line_no", F.explode(tagged).alias("hit"))
+        .select("id", "line_no", F.col("hit.kind").alias("kind"),
+                F.col("hit.symbol").alias("symbol"))
+    )
+
+
+def duckdb_extract_symbols_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    kind_selects = " UNION ALL ".join(
+        f"SELECT id, line_no, '{kind}' AS kind, "
+        f"unnest(regexp_extract_all(line, '{pat}', 1)) AS symbol FROM l"
+        for kind, pat in SYMBOL_PATTERNS
+    )
+    return f"""
+WITH l AS (
+  SELECT CAST({id_col} AS BIGINT) AS id,
+         unnest(string_split({text_col}, chr(10))) AS line,
+         CAST(unnest(range(1, len(string_split({text_col}, chr(10))) + 1)) AS INT)
+           AS line_no
+  FROM {table}
+)
+{kind_selects}
+"""

@@ -654,3 +654,48 @@ def test_policy_scan_multiple_kinds_joined_in_order(spark):
     got = policy_scan(spark.createDataFrame(pdf)).collect()[0]
     assert got["secret_kinds"] == "aws_key,private_key,generic_secret"
     assert got["has_secret"] is True
+
+
+def test_extract_symbols_golden_and_duckdb_parity(spark):
+    """ctags-lite definition sites: per-kind regex cores classify the
+    canonical payloads (def/func/fn/function; class/struct/trait/enum)
+    with 1-indexed line numbers, pinned to the DuckDB twin."""
+    import duckdb
+    import pandas as pd
+    from information_retrieval_spark.operators.textproc import (
+        duckdb_extract_symbols_sql,
+        extract_symbols,
+    )
+
+    texts = [
+        "def parse_http(x):\nclass Foo:\n  def bar(self): pass",
+        "func Baz(a int) {}\nstruct Vec3 { }\ntrait Show {}",
+        "no definitions here",
+        "function camelCase() {}\nenum Color { RED }\nfn main() {}",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(4), "text": texts})
+    got = (
+        extract_symbols(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values(["id", "line_no", "kind", "symbol"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(got["id"], got["line_no"], got["kind"], got["symbol"])) == [
+        (0, 1, "function", "parse_http"),
+        (0, 2, "class", "Foo"),
+        (0, 3, "function", "bar"),
+        (1, 1, "function", "Baz"),
+        (1, 2, "class", "Vec3"),
+        (1, 3, "class", "Show"),
+        (3, 1, "function", "camelCase"),
+        (3, 2, "class", "Color"),
+        (3, 3, "function", "main"),
+    ]
+    ora = (
+        duckdb.sql(duckdb_extract_symbols_sql("pdf"))
+        .df()
+        .sort_values(["id", "line_no", "kind", "symbol"])
+        .reset_index(drop=True)
+    )
+    assert got["symbol"].tolist() == ora["symbol"].tolist()
+    assert got["kind"].tolist() == ora["kind"].tolist()
