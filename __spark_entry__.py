@@ -348,6 +348,29 @@ def _q_symbol_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_symbols(docs_sym, CFG)
 
 
+def _q_import_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """file->module dependency edges aggregated to the import graph's
+    module fan-in (most-imported modules) — deterministic import/include
+    lines appended per doc, mirrored exactly in the oracle SQL."""
+    from information_retrieval_spark.operators.textproc import extract_imports
+
+    docs_imp = _documents(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit("\nimport mod_"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("\n#include <lib"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".h>"),
+        ),
+    )
+    return extract_imports(docs_imp, CFG).groupBy("kind", "module").agg(
+        F.count_distinct("id").alias("n_files"),
+        F.count(F.lit(1)).alias("n_sites"),
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on sha2(text) (training-data op #1)."""
     return exact_dedup(_documents(spark, sf_dir))
@@ -1143,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_maxscore": _q_bm25_maxscore,
         "line_matches": _q_line_matches,
         "symbol_extract": _q_symbol_extract,
+        "import_graph": _q_import_graph,
         "regex_topk": _q_regex_topk,
         "bm25f_bmw": _q_bm25f_bmw,
         "boolean_near": _q_boolean_near,
@@ -1246,6 +1270,25 @@ def _symbol_extract_sql() -> str:
         "FROM documents)"
     )
     return duckdb_extract_symbols_sql(table=amended)
+
+
+def _import_graph_sql() -> str:
+    from information_retrieval_spark.operators.textproc import (
+        duckdb_extract_imports_sql,
+    )
+
+    amended = (
+        "(SELECT doc_id, text || chr(10) || 'import mod_' || "
+        "CAST(doc_id % 5 AS VARCHAR) || chr(10) || '#include <lib' || "
+        "CAST(doc_id % 3 AS VARCHAR) || '.h>' AS text FROM documents)"
+    )
+    return f"""
+SELECT kind, module,
+       CAST(count(DISTINCT id) AS BIGINT) AS n_files,
+       CAST(count(*) AS BIGINT) AS n_sites
+FROM ({duckdb_extract_imports_sql(table=amended)})
+GROUP BY kind, module
+"""
 
 
 def _hybrid_sql() -> str:
@@ -1443,6 +1486,7 @@ FROM tf GROUP BY term
         "policy_scan": _policy_scan_sql(),
         "line_matches": _line_matches_sql(),
         "symbol_extract": _symbol_extract_sql(),
+        "import_graph": _import_graph_sql(),
         "text_stats": duckdb_text_stats_sql(CFG),
         "token_counts": duckdb_token_counts_sql(CFG),
         "lang_id_ngram": duckdb_lang_id_sql(),

@@ -1916,6 +1916,40 @@ SYMBOL_PATTERNS: list[tuple[str, str]] = [
 ]
 
 
+def _extract_line_hits(
+    docs: DataFrame,
+    patterns: list[tuple[str, str]],
+    value_col: str,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared line-anchored tagged-extraction pipeline: posexplode lines ->
+    per-kind regexp_extract_all(group 1) -> kind-tagged struct arrays ->
+    one explode. All codegen, no shuffle; output is |hits|."""
+    lines = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).select("id", (F.col("pos") + 1).cast("int").alias("line_no"), "line")
+
+    def _tagger(kind: str):
+        # a 1-arg lambda: F.transform treats 2-arg lambdas as (elem, index)
+        return lambda s: F.struct(F.lit(kind).alias("kind"), s.alias(value_col))
+
+    tagged = F.concat(
+        *[
+            F.transform(
+                F.regexp_extract_all(F.col("line"), F.lit(pat), 1), _tagger(kind)
+            )
+            for kind, pat in patterns
+        ]
+    )
+    return (
+        lines.select("id", "line_no", F.explode(tagged).alias("hit"))
+        .select("id", "line_no", F.col("hit.kind").alias("kind"),
+                F.col(f"hit.{value_col}").alias(value_col))
+    )
+
+
 def extract_symbols(
     docs: DataFrame,
     cfg: EngineConfig = DEFAULT_CONFIG,
@@ -1925,31 +1959,37 @@ def extract_symbols(
 ) -> DataFrame:
     """(id, line_no, kind, symbol) — definition sites per document, the
     ctags-lite symbol table a code-search front-end needs for "go to
-    definition" / symbol-ranked search. One codegen pipeline: posexplode
-    lines -> per-kind regexp_extract_all -> kind-tagged struct arrays ->
-    one explode. No shuffle, no Python; output is |definition sites|.
+    definition" / symbol-ranked search. See ``_extract_line_hits`` for the
+    codegen pipeline shape.
     """
-    lines = docs.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).select("id", (F.col("pos") + 1).cast("int").alias("line_no"), "line")
-    def _tagger(kind: str):
-        # a 1-arg lambda: F.transform treats 2-arg lambdas as (elem, index)
-        return lambda s: F.struct(F.lit(kind).alias("kind"), s.alias("symbol"))
+    return _extract_line_hits(docs, SYMBOL_PATTERNS, "symbol", id_col, text_col)
 
-    tagged = F.concat(
-        *[
-            F.transform(
-                F.regexp_extract_all(F.col("line"), F.lit(pat), 1), _tagger(kind)
-            )
-            for kind, pat in SYMBOL_PATTERNS
-        ]
-    )
-    return (
-        lines.select("id", "line_no", F.explode(tagged).alias("hit"))
-        .select("id", "line_no", F.col("hit.kind").alias("kind"),
-                F.col("hit.symbol").alias("symbol"))
-    )
+
+# Import/dependency patterns per syntax family (group 1 = module). 'use'
+# is also an English word — acceptable: the extractor is deterministic and
+# the oracle applies the identical pattern.
+IMPORT_PATTERNS: list[tuple[str, str]] = [
+    ("import", r"\bimport\s+([A-Za-z_][A-Za-z0-9_.]*)"),
+    ("from_import", r"\bfrom\s+([A-Za-z_][A-Za-z0-9_.]*)\s+import\b"),
+    ("include", r"#include\s*[<\x22]([A-Za-z0-9_./]+)[>\x22]"),
+    ("require", r"require\(\s*[\x27\x22]([^\x27\x22]+)[\x27\x22]\s*\)"),
+    ("use", r"\buse\s+([A-Za-z_][A-Za-z0-9_:]*)"),
+]
+
+
+def extract_imports(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, line_no, kind, module) — import/include/require/use sites per
+    document: the file->module dependency edge list behind import-graph
+    analytics (most-imported modules, reverse dependencies). Same codegen
+    pipeline as ``extract_symbols``.
+    """
+    return _extract_line_hits(docs, IMPORT_PATTERNS, "module", id_col, text_col)
 
 
 def duckdb_extract_symbols_sql(
@@ -1959,6 +1999,26 @@ def duckdb_extract_symbols_sql(
         f"SELECT id, line_no, '{kind}' AS kind, "
         f"unnest(regexp_extract_all(line, '{pat}', 1)) AS symbol FROM l"
         for kind, pat in SYMBOL_PATTERNS
+    )
+    return f"""
+WITH l AS (
+  SELECT CAST({id_col} AS BIGINT) AS id,
+         unnest(string_split({text_col}, chr(10))) AS line,
+         CAST(unnest(range(1, len(string_split({text_col}, chr(10))) + 1)) AS INT)
+           AS line_no
+  FROM {table}
+)
+{kind_selects}
+"""
+
+
+def duckdb_extract_imports_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    kind_selects = " UNION ALL ".join(
+        f"SELECT id, line_no, '{kind}' AS kind, "
+        f"unnest(regexp_extract_all(line, '{pat}', 1)) AS module FROM l"
+        for kind, pat in IMPORT_PATTERNS
     )
     return f"""
 WITH l AS (

@@ -699,3 +699,42 @@ def test_extract_symbols_golden_and_duckdb_parity(spark):
     )
     assert got["symbol"].tolist() == ora["symbol"].tolist()
     assert got["kind"].tolist() == ora["kind"].tolist()
+
+
+def test_extract_imports_golden_and_duckdb_parity(spark):
+    """import/include/require/use sites with modules + line numbers,
+    pinned to the DuckDB twin."""
+    import duckdb
+    import pandas as pd
+    from information_retrieval_spark.operators.textproc import (
+        duckdb_extract_imports_sql,
+        extract_imports,
+    )
+
+    texts = [
+        'import os.path\nfrom collections import deque\n'
+        '#include <vector>\n#include "util.h"',
+        "const x = require('lodash/fp');\nuse std::collections::HashMap",
+        "nothing to see",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(3), "text": texts})
+    got = (
+        extract_imports(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values(["id", "line_no", "kind", "module"])
+        .reset_index(drop=True)
+    )
+    assert ("include", "vector") in set(zip(got["kind"], got["module"]))
+    assert ("require", "lodash/fp") in set(zip(got["kind"], got["module"]))
+    assert ("use", "std::collections::HashMap") in set(
+        zip(got["kind"], got["module"])
+    )
+    assert 2 not in set(got["id"])  # no-imports doc yields nothing
+    ora = (
+        duckdb.sql(duckdb_extract_imports_sql("pdf"))
+        .df()
+        .sort_values(["id", "line_no", "kind", "module"])
+        .reset_index(drop=True)
+    )
+    assert got["module"].tolist() == ora["module"].tolist()
+    assert got["kind"].tolist() == ora["kind"].tolist()
