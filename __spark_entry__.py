@@ -371,6 +371,36 @@ def _q_import_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CODEQ_SUFFIXES = [
+    "\n" + "word " * 250,            # >1000-char line -> max_line_len
+    "\n// auto-generated by foo",    # autogenerated marker
+    "\nhash = " + "ab" * 40,         # 80-char hex run -> data_blob
+    "",                              # clean
+]
+
+
+def _q_code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StarCoder-style code-quality verdict (line lengths, alnum fraction,
+    autogenerated/data-blob detection): base docs line-broken, then one
+    deterministic junk class appended per doc_id % 4 — mirrored exactly in
+    the oracle SQL."""
+    from information_retrieval_spark.operators.textproc import (
+        code_quality_filter,
+    )
+
+    docs_cq = _documents(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.replace(F.col("text"), F.lit(" value "), F.lit("\n")),
+            F.element_at(
+                F.array(*[F.lit(s) for s in _CODEQ_SUFFIXES]),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+        ),
+    )
+    return code_quality_filter(docs_cq, CFG)
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on sha2(text) (training-data op #1)."""
     return exact_dedup(_documents(spark, sf_dir))
@@ -1167,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_matches": _q_line_matches,
         "symbol_extract": _q_symbol_extract,
         "import_graph": _q_import_graph,
+        "code_quality": _q_code_quality,
         "regex_topk": _q_regex_topk,
         "bm25f_bmw": _q_bm25f_bmw,
         "boolean_near": _q_boolean_near,
@@ -1289,6 +1320,21 @@ SELECT kind, module,
 FROM ({duckdb_extract_imports_sql(table=amended)})
 GROUP BY kind, module
 """
+
+
+def _code_quality_sql() -> str:
+    from information_retrieval_spark.operators.textproc import (
+        duckdb_code_quality_sql,
+    )
+
+    sfx = ", ".join(
+        "'" + s.replace("\n", "' || chr(10) || '") + "'" for s in _CODEQ_SUFFIXES
+    )
+    amended = (
+        f"(SELECT doc_id, replace(text, ' value ', chr(10)) || "
+        f"([{sfx}])[CAST(doc_id % 4 AS INT) + 1] AS text FROM documents)"
+    )
+    return duckdb_code_quality_sql(table=amended, verdict=True)
 
 
 def _hybrid_sql() -> str:
@@ -1487,6 +1533,7 @@ FROM tf GROUP BY term
         "line_matches": _line_matches_sql(),
         "symbol_extract": _symbol_extract_sql(),
         "import_graph": _import_graph_sql(),
+        "code_quality": _code_quality_sql(),
         "text_stats": duckdb_text_stats_sql(CFG),
         "token_counts": duckdb_token_counts_sql(CFG),
         "lang_id_ngram": duckdb_lang_id_sql(),

@@ -2030,3 +2030,126 @@ WITH l AS (
 )
 {kind_selects}
 """
+
+
+# --------------------------------------------------------------------------
+# Code-quality signals (StarCoder/CodeParrot-style filters for code corpora)
+# --------------------------------------------------------------------------
+
+# OUR documented defaults, after the published code-training-data recipes
+# (StarCoder "The Stack" filtering, Codex appendix): autogenerated files,
+# minified/one-line blobs, embedded binary/encoded payloads and
+# low-alphanumeric noise are the dominant junk classes in a crawled code
+# corpus.
+CODE_QUALITY_THRESHOLDS: dict[str, float] = {
+    "max_line_len": 1000.0,   # any single line longer -> minified/packed
+    "avg_line_len": 200.0,    # mean line length cap
+    "min_alnum_frac": 0.25,   # < 25% alphanumeric chars -> binary-ish noise
+}
+_AUTOGEN_RE = r"(?i)auto-generated|do not edit|generated by"
+_HEX_BLOB_RE = r"[0-9a-fA-F]{64,}"
+_B64_BLOB_RE = r"[A-Za-z0-9+/=]{256,}"
+
+
+def code_quality_stats(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_lines, max_line_len, avg_line_len, alnum_frac, has_autogen,
+    has_data_blob) — the per-file code-quality signals behind the published
+    code-corpus filters. One shuffle-free codegen projection."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    line_lens = F.transform(lines, lambda l: F.length(l))
+    n_lines = F.size(lines)
+    total = F.aggregate(line_lens, F.lit(0).cast("long"), lambda a, x: a + x)
+    alnum = F.length(F.regexp_replace(t, "[^A-Za-z0-9]", ""))
+    return docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        n_lines.cast("int").alias("n_lines"),
+        F.array_max(line_lens).cast("int").alias("max_line_len"),
+        F.round(total.cast("double") / F.greatest(n_lines, F.lit(1)), 6).alias(
+            "avg_line_len"
+        ),
+        F.round(
+            alnum.cast("double") / F.greatest(F.length(t), F.lit(1)), 6
+        ).alias("alnum_frac"),
+        t.rlike(_AUTOGEN_RE).alias("has_autogen"),
+        (t.rlike(_HEX_BLOB_RE) | t.rlike(_B64_BLOB_RE)).alias("has_data_blob"),
+    )
+
+
+def code_quality_filter(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """(id, keep, fail_reason) — first-failing-rule verdict over the
+    ``code_quality_stats`` signals (rule order: autogenerated, data blob,
+    max line length, avg line length, alnum fraction). The code-corpus
+    sibling of ``quality_filter``; same 6-dp-rounded signal contract so the
+    oracle reuses the stats SQL verbatim."""
+    th = {**CODE_QUALITY_THRESHOLDS, **(thresholds or {})}
+    s = code_quality_stats(docs, cfg, id_col=id_col, text_col=text_col)
+    reason = (
+        F.when(F.col("has_autogen"), F.lit("autogenerated"))
+        .when(F.col("has_data_blob"), F.lit("data_blob"))
+        .when(F.col("max_line_len") > th["max_line_len"], F.lit("max_line_len"))
+        .when(F.col("avg_line_len") > th["avg_line_len"], F.lit("avg_line_len"))
+        .when(F.col("alnum_frac") < th["min_alnum_frac"], F.lit("low_alnum"))
+        .otherwise(F.lit("ok"))
+    )
+    return s.select(
+        "id", (reason == "ok").alias("keep"), reason.alias("fail_reason")
+    )
+
+
+def duckdb_code_quality_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+    verdict: bool = False,
+) -> str:
+    th = {**CODE_QUALITY_THRESHOLDS, **(thresholds or {})}
+    stats = f"""
+SELECT CAST({id_col} AS BIGINT) AS id,
+       CAST(len(string_split({text_col}, chr(10))) AS INT) AS n_lines,
+       CAST(list_max(list_transform(string_split({text_col}, chr(10)),
+                                    l -> strlen(l))) AS INT) AS max_line_len,
+       round(list_sum(list_transform(string_split({text_col}, chr(10)),
+                                     l -> strlen(l))) * 1.0
+             / greatest(len(string_split({text_col}, chr(10))), 1), 6)
+         AS avg_line_len,
+       round(strlen(regexp_replace({text_col}, '[^A-Za-z0-9]', '', 'g')) * 1.0
+             / greatest(strlen({text_col}), 1), 6) AS alnum_frac,
+       regexp_matches({text_col}, '{_AUTOGEN_RE}') AS has_autogen,
+       (regexp_matches({text_col}, '{_HEX_BLOB_RE}')
+        OR regexp_matches({text_col}, '{_B64_BLOB_RE}')) AS has_data_blob
+FROM {table}
+"""
+    if not verdict:
+        return stats
+    return f"""
+WITH s AS ({stats})
+SELECT id,
+       CASE WHEN has_autogen THEN 'autogenerated'
+            WHEN has_data_blob THEN 'data_blob'
+            WHEN max_line_len > {th['max_line_len']} THEN 'max_line_len'
+            WHEN avg_line_len > {th['avg_line_len']} THEN 'avg_line_len'
+            WHEN alnum_frac < {th['min_alnum_frac']} THEN 'low_alnum'
+            ELSE 'ok' END = 'ok' AS keep,
+       CASE WHEN has_autogen THEN 'autogenerated'
+            WHEN has_data_blob THEN 'data_blob'
+            WHEN max_line_len > {th['max_line_len']} THEN 'max_line_len'
+            WHEN avg_line_len > {th['avg_line_len']} THEN 'avg_line_len'
+            WHEN alnum_frac < {th['min_alnum_frac']} THEN 'low_alnum'
+            ELSE 'ok' END AS fail_reason
+FROM s
+"""

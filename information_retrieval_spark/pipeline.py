@@ -40,6 +40,7 @@ def curate(
     probe_ids: list[int] | None = None,
     decon_n: int = 8,
     strip_secrets: bool = False,
+    quality: str = "text",
 ) -> dict:
     """Run the full curation funnel over a ``documents``-shaped DataFrame,
     write the packed survivors to ``<output>/curated``, and return the
@@ -60,9 +61,17 @@ def curate(
     stage_secs: dict[str, float] = {}
     n_input = docs.count()
 
-    # 1. quality admission
+    # 1. quality admission: prose rules (Gopher-style) or code rules
+    # (StarCoder-style line-length / alnum / autogen / data-blob filters)
+    if quality not in ("text", "code"):
+        raise ValueError(f"quality must be 'text' or 'code', got {quality!r}")
     t0 = time.time()
-    verdicts = quality_filter(docs, cfg).persist()
+    if quality == "code":
+        from .operators.textproc import code_quality_filter
+
+        verdicts = code_quality_filter(docs, cfg).persist()
+    else:
+        verdicts = quality_filter(docs, cfg).persist()
     reasons = {
         r["fail_reason"]: r["n"]
         for r in verdicts.groupBy("fail_reason")

@@ -56,6 +56,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="doc_ids treated as the held-out eval set; docs "
                         "sharing a --decon-n gram with them are dropped")
     p.add_argument("--decon-n", type=int, default=8)
+    p.add_argument("--quality", choices=["text", "code"], default="text",
+                   help="admission rules: Gopher-style prose filters or "
+                        "StarCoder-style code filters")
     p.add_argument("--strip-secrets", action="store_true",
                    help="drop credential-bearing docs (policy_scan) and "
                         "report the license histogram")
@@ -85,6 +88,7 @@ def main(argv: list[str] | None = None) -> None:
         probe_ids=args.probe_ids,
         decon_n=args.decon_n,
         strip_secrets=args.strip_secrets,
+        quality=args.quality,
     )
     print(json.dumps(report))
 

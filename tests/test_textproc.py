@@ -738,3 +738,50 @@ def test_extract_imports_golden_and_duckdb_parity(spark):
     )
     assert got["module"].tolist() == ora["module"].tolist()
     assert got["kind"].tolist() == ora["kind"].tolist()
+
+
+def test_code_quality_filter_rules_and_duckdb_parity(spark):
+    """StarCoder-style code-quality verdicts: each junk class trips its
+    rule (first-fail order: autogen, data blob, max/avg line len, alnum),
+    clean code passes, empty files drop; stats + verdict pinned to the
+    DuckDB twins."""
+    import duckdb
+    import pandas as pd
+    from information_retrieval_spark.operators.textproc import (
+        code_quality_filter,
+        code_quality_stats,
+        duckdb_code_quality_sql,
+    )
+
+    texts = [
+        "short\n" + "word " * 250,               # 1250-char line
+        "// Auto-Generated, DO NOT EDIT\ncode",  # autogen marker
+        "key = " + "ab" * 40,                    # 80-char hex run
+        "def ok(x):\n  return x + 1\n",          # clean
+        ";;;;;;;; !!!! ???? ----",               # low alnum fraction
+        "",                                      # empty -> low_alnum
+    ]
+    pdf = pd.DataFrame({"doc_id": range(6), "text": texts})
+    got = (
+        code_quality_filter(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert got["fail_reason"].tolist() == [
+        "max_line_len", "autogenerated", "data_blob", "ok",
+        "low_alnum", "low_alnum",
+    ]
+    assert got["keep"].tolist() == [False, False, False, True, False, False]
+    ov = duckdb.sql(duckdb_code_quality_sql("pdf", verdict=True)).df()
+    ov = ov.sort_values("id").reset_index(drop=True)
+    ov["id"] = ov["id"].astype("int64")
+    assert got.equals(ov[got.columns])
+    gs = (
+        code_quality_stats(spark.createDataFrame(pdf))
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    os_ = duckdb.sql(duckdb_code_quality_sql("pdf")).df()
+    os_ = os_.sort_values("id").reset_index(drop=True)
+    os_["id"] = os_["id"].astype("int64")
+    assert gs.equals(os_[gs.columns])
