@@ -73,6 +73,7 @@ from .operators.regions import (
 )
 from .operators.query import (
     conjunctive_match,
+    line_matches,
     expand_fuzzy,
     facet_counts,
     expand_prefixes,
@@ -97,7 +98,12 @@ from .operators.similarity import (
     lsh_topk,
 )
 from .operators.textproc import (
+    code_quality_filter,
+    code_quality_stats,
     decontaminate,
+    extract_imports,
+    extract_symbols,
+    policy_scan,
     dedup_clusters,
     dedup_select,
     repetition_stats,
@@ -154,6 +160,8 @@ __all__ = [
     "decontaminate", "related_terms",
     "simhash", "simhash_near_dup_pairs", "winnow_fingerprints", "text_stats",
     "token_counts", "lang_id_ngram",
+    "policy_scan", "code_quality_stats", "code_quality_filter",
+    "extract_symbols", "extract_imports", "line_matches",
     "cosine_topk", "lsh_bucketize", "lsh_topk", "embedding_near_dup_pairs",
     "ivf_train_centroids", "ivf_assign", "ivf_topk", "knn_join",
 ]
