@@ -1006,3 +1006,35 @@ def test_line_matches_golden_and_duckdb_parity(spark):
     )
     assert got["line"].tolist() == ora["line"].tolist()
     assert got["line_no"].tolist() == [int(x) for x in ora["line_no"]]
+
+
+def test_maxscore_randomized_query_sweep_matches_bmw(spark, corpus, index):
+    """30 seeded random queries (1-8 terms sampled from the corpus
+    vocabulary, absent terms mixed in): MaxScore stays bitwise-identical
+    to BMW across shapes the fixed fixture doesn't cover."""
+    import random
+
+    rng = random.Random(20260819)
+    vocab = [r["term"] for r in index.dictionary.select("term").collect()]
+    queries = []
+    for _ in range(30):
+        n = rng.randint(1, 8)
+        terms = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.3:
+            terms.append(f"zz_absent_{rng.randint(0, 9)}")
+        queries.append(" ".join(terms))
+    qterms = parse_queries(spark, queries, CFG)
+    w = (
+        wand_topk(spark, index, qterms, K, CFG, mode="local")
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    m = (
+        wand_topk(spark, index, qterms, K, CFG, mode="local",
+                  strategy="maxscore")
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [(r["query_id"], r["docid"], r["score"]) for r in w] == [
+        (r["query_id"], r["docid"], r["score"]) for r in m
+    ]
