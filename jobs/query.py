@@ -62,6 +62,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="print per-token spelling suggestions instead of "
                         "hits (cf-argmax of the Levenshtein<=2 neighborhood; "
                         "works with both engines)")
+    p.add_argument("--lines", type=int, default=0, metavar="N",
+                   help="attach up to N grep-style matching lines "
+                        "(line_no + line) per hit (spark engine)")
     p.add_argument("--strategy", choices=["bmw", "maxscore"], default="bmw",
                    help="dynamic-pruning strategy for ranked retrieval "
                         "(rank-identical; maxscore favors many-term queries)")
@@ -93,6 +96,11 @@ def main(argv: list[str] | None = None) -> None:
             raise SystemExit(
                 "--bm25f requires --engine spark (the local pyarrow path "
                 "has no field-plane ranking)"
+            )
+        if args.lines:
+            raise SystemExit(
+                "--lines requires --engine spark (the local pyarrow path "
+                "does not read document content)"
             )
         _main_local(args)
         return
@@ -202,12 +210,38 @@ def main(argv: list[str] | None = None) -> None:
                 idx.cfg, window=args.snippet_window,
             ).collect()
         }
+    line_hits: dict[tuple[int, int], list] = {}
+    if args.lines and resolved:
+        # grep-style rendering scoped to the hit docs: semi-join the docs
+        # catalog to the <=|queries|*k hit docids, run line_matches on that
+        # tiny frame, keep each query's lines only within ITS OWN hits
+        from information_retrieval_spark.operators.query import line_matches
+
+        hits_df = spark.createDataFrame(
+            sorted({(r["query_id"], r["docid"]) for r in resolved}),
+            "query_id int, docid long",
+        )
+        hit_docs = idx.docs.join(
+            F.broadcast(hits_df.select("docid").distinct()), "docid"
+        )
+        lm = line_matches(
+            hit_docs, args.queries, idx.cfg, id_col="docid", text_col="content"
+        ).withColumnRenamed("id", "docid").join(F.broadcast(hits_df),
+                                                ["query_id", "docid"])
+        for r in lm.orderBy("query_id", "docid", "line_no").collect():
+            key = (r["query_id"], r["docid"])
+            if len(line_hits.setdefault(key, [])) < args.lines:
+                line_hits[key].append(
+                    {"line_no": r["line_no"], "line": r["line"]}
+                )
     by_q: dict[int, list] = {}
     for r in resolved:
         hit = {"rank": r["rank"], "docid": r["docid"], "score": round(r["score"], 4),
                "repo": r["repo"], "path": r["path"]}
         if args.snippets:
             hit["snippet"] = snips.get((r["query_id"], r["docid"]), "")
+        if args.lines:
+            hit["lines"] = line_hits.get((r["query_id"], r["docid"]), [])
         by_q.setdefault(r["query_id"], []).append(hit)
     for i, q in enumerate(args.queries):
         print(json.dumps({"query": q, "hits": by_q.get(i, [])}))
