@@ -328,6 +328,37 @@ def _q_line_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_matches(docs_ml, LINE_QUERIES, CFG)
 
 
+# regex grep over the multi-line amendment: one exact-anchor pattern
+# (postings intersection), one prefix edge (dictionary-plane expansion),
+# one infix edge (trigram path), one anchorless alternation (full-scan
+# fallback) and one no-hit — every pruning path under the same oracle
+GREP_PATTERNS = [
+    r" big window ",
+    r" merge\w+",
+    r"win.*ow",
+    r"(scan|batch) slow",
+    r"zzz_not_in_corpus",
+]
+_GREP_INDEX_CACHE: dict = {}
+
+
+def _q_grep_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """index-accelerated content grep: (query_id, docid, line_no, line)
+    for every line matching the lowered pattern, candidates pruned via
+    anchor tokens derived from the pattern's required literals."""
+    from information_retrieval_spark.operators.grep import grep_regex
+
+    if sf_dir not in _GREP_INDEX_CACHE:
+        docs_ml = _documents(spark, sf_dir).withColumn(
+            "text", F.replace(F.col("text"), F.lit(" value "), F.lit("\n"))
+        )
+        idx = build_index(spark, corpus_from_documents(docs_ml), CFG)
+        idx.postings = idx.postings.persist()
+        idx.dictionary = idx.dictionary.persist()
+        _GREP_INDEX_CACHE[sf_dir] = idx
+    return grep_regex(spark, _GREP_INDEX_CACHE[sf_dir], GREP_PATTERNS, CFG)
+
+
 def _q_symbol_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ctags-lite symbol table: definition sites (function/class kinds)
     with line numbers — deterministic def/class lines appended per doc
@@ -1191,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50), so entries NEW or previously-uncovered this round come
     # FIRST; the long-stable core follows.
     return {
+        "grep_regex": _q_grep_regex,
         "term_tf_code": _q_term_tf_code,
         "policy_scan": _q_policy_scan,
         "bm25_topk_maxscore": _q_bm25_maxscore,
@@ -1287,6 +1319,20 @@ def _line_matches_sql() -> str:
         "FROM documents)"
     )
     return duckdb_line_matches_sql(LINE_QUERIES, CFG, table=amended)
+
+
+def _grep_sql() -> str:
+    from information_retrieval_spark.operators.grep import duckdb_grep_sql
+
+    amended_corpus = """
+SELECT source AS repo,
+       'doc/' || CAST(doc_id AS VARCHAR) AS path,
+       md5('c' || CAST(doc_id AS VARCHAR)) AS "commit",
+       lang,
+       replace(text, ' value ', chr(10)) AS content
+FROM documents
+"""
+    return duckdb_grep_sql(amended_corpus, GREP_PATTERNS, CFG)
 
 
 def _symbol_extract_sql() -> str:
@@ -1450,6 +1496,7 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         f"SELECT id_a, id_b FROM ({ngram_sql}) WHERE jaccard >= 0.08"
     )
     return {
+        "grep_regex": _grep_sql(),
         "docids": f"""
 SELECT docid, bucket, repo, path, "commit", lang
 FROM ({duckdb_docid_sql(corpus, CFG)})

@@ -34,6 +34,7 @@ from .config import Configurator, EngineConfig, DEFAULT_CONFIG
 from .corpus import capture_snapshot_id, corpus_from_documents, load_corpus
 from .operators.build import build_index, spimi_postings
 from .operators.compaction import compact_index, gc_stats, record_deletions
+from .operators.grep import grep_regex
 from .operators.federation import (
     federated_topk_local,
     federated_wand_topk,
@@ -161,7 +162,7 @@ __all__ = [
     "simhash", "simhash_near_dup_pairs", "winnow_fingerprints", "text_stats",
     "token_counts", "lang_id_ngram",
     "policy_scan", "code_quality_stats", "code_quality_filter",
-    "extract_symbols", "extract_imports", "line_matches",
+    "extract_symbols", "extract_imports", "line_matches", "grep_regex",
     "cosine_topk", "lsh_bucketize", "lsh_topk", "embedding_near_dup_pairs",
     "ivf_train_centroids", "ivf_assign", "ivf_topk", "knn_join",
 ]

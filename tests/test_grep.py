@@ -1,0 +1,151 @@
+"""Index-accelerated content grep (operators/grep.py): line-granularity
+regex search pruned by anchor tokens derived from the pattern's required
+literals. These tests pin (a) the anchor classifier's kinds and floors,
+(b) soundness — for every pattern shape (exact anchors, each edge kind,
+no-anchor fallback) the pruned result equals a brute-force Python ``re``
+scan over every line of every doc, (c) that pruning actually prunes (the
+candidate frame is smaller than the corpus for a selective anchor),
+(d) the stemming gate on edge anchors, and (e) DuckDB oracle parity of
+``duckdb_grep_sql``."""
+
+import re
+
+import duckdb
+import pytest
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.operators.build import build_index
+from information_retrieval_spark.operators.grep import (
+    duckdb_grep_sql,
+    grep_candidate_docids,
+    grep_regex,
+    literal_anchor_pieces,
+    pattern_anchors,
+)
+from information_retrieval_spark.operators.query import _regex_lower
+
+CFG = EngineConfig(n_doc_buckets=4, block_size=16)
+
+# code-like multi-line docs: dots/parens/equals close token runs so every
+# anchor kind has material; doc 3 is the only one containing "qzx"
+_DOCS = [
+    ("r0", "a.py", "c0", "py", "def parse_http(x):\n    return http.get(x)\nvalue = parse_http(url)"),
+    ("r0", "b.py", "c1", "py", "class Parser:\n    def run(self):\n        self.table = merge(self.table)"),
+    ("r1", "c.py", "c2", "py", "table = hash_join(left, right)\nwindow = big_window(table)\nprint(table)"),
+    ("r1", "d.py", "c3", "py", "qzxlong_identifier = 1\n# merge batch spark\nresult = window.close()"),
+    ("r1", "e.md", "c4", "md", "hash join table\nbig window value\nplain prose line"),
+]
+
+PATTERNS = [
+    r" hash join ",           # exact anchors: hash, join (spaces close runs)
+    r"\.get\(",               # literal ".get" (escaped dot) -> prefix edge 'get'
+    r" merge\w+",             # prefix edge: merge
+    r"qzx",                   # infix edge, selective
+    r"(value|window) =",      # alternation -> no anchor, full-scan fallback
+    r"zzz_never_matches",     # infix edge matching nothing
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        _DOCS, "repo string, path string, commit string, lang string, content string"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus):
+    idx = build_index(spark, corpus, CFG)
+    idx.postings = idx.postings.cache()
+    idx.dictionary = idx.dictionary.cache()
+    return idx
+
+
+def _brute(patterns, docs):
+    """ground truth: Python re.search over the lowered line, per doc line."""
+    rows = []
+    for qid, p in enumerate(patterns):
+        rx = re.compile(_regex_lower(p))
+        for docid, content in docs:
+            for i, line in enumerate(content.split("\n"), 1):
+                if rx.search(line.lower()):
+                    rows.append((qid, docid, i, line))
+    return sorted(rows)
+
+
+def test_anchor_pieces_kinds():
+    # literal "a.get(b" -> 'a' suffix (open left at literal edge), 'get'
+    # exact (dot/paren close both sides), 'b' prefix (open right)
+    assert literal_anchor_pieces("a.get(b", CFG) == [
+        ("suffix", "a"),
+        ("exact", "get"),
+        ("prefix", "b"),
+    ]
+    # single token-run literal: open both sides -> infix
+    assert literal_anchor_pieces("merge", CFG) == [("infix", "merge")]
+
+
+def test_pattern_anchors_floors_and_preference():
+    # exact anchors collected across literals; analyzer terms
+    exact, edge = pattern_anchors(r" hash join ", CFG)
+    assert exact == ["hash", "join"] and edge is None
+    # 1-char prefix is below the usefulness floor; 2-char infix below 3
+    assert pattern_anchors(r" m\w+", CFG) == ([], None)
+    assert pattern_anchors(r"qz", CFG) == ([], None)
+    # longest edge wins; prefix preferred over infix on ties
+    _, edge = pattern_anchors(r" merge\w+ .*table.*", CFG)
+    assert edge == ("prefix", "merge")
+
+
+def test_edge_anchor_disabled_under_stemming():
+    stem = EngineConfig(stemming_level=1)
+    exact, edge = pattern_anchors(r" merge\w+", stem)
+    assert exact == [] and edge is None
+    # exact anchors stay sound under stemming (analyzer applied to piece)
+    exact, edge = pattern_anchors(r" hash join ", stem)
+    assert exact and edge is None
+
+
+def test_grep_matches_bruteforce_all_paths(spark, index):
+    docs = [(r.docid, r.content) for r in index.docs.select("docid", "content").collect()]
+    got = sorted(
+        tuple(r)
+        for r in grep_regex(spark, index, PATTERNS, CFG).collect()
+    )
+    assert got == _brute(PATTERNS, docs)
+    # the path split is as designed: exact / edge / fallback all exercised
+    assert pattern_anchors(_regex_lower(PATTERNS[0]), CFG)[0] == ["hash", "join"]
+    assert pattern_anchors(_regex_lower(PATTERNS[1]), CFG)[1] == ("prefix", "get")
+    assert pattern_anchors(_regex_lower(PATTERNS[2]), CFG)[1] == ("prefix", "merge")
+    assert pattern_anchors(_regex_lower(PATTERNS[4]), CFG) == ([], None)
+
+
+def test_candidates_actually_prune(spark, index):
+    n_docs = index.docs.count()
+    cand = grep_candidate_docids(index, "qzx", CFG)
+    assert cand is not None and cand.count() < n_docs
+    # exact-anchor intersection: docs containing BOTH hash and join tokens
+    # (only e.md — default cfg has code_splitting off, so c.py's hash_join
+    # stays one token and soundly drops out of the candidate set)
+    cand = grep_candidate_docids(index, r" hash join ", CFG)
+    assert cand is not None and cand.count() == 1
+    # fallback admits no pruning
+    assert grep_candidate_docids(index, r"(value|window) =", CFG) is None
+
+
+def test_grep_deleted_anti_join(spark, index):
+    all_rows = grep_regex(spark, index, [r"table"], CFG).collect()
+    victim = all_rows[0].docid
+    deleted = spark.createDataFrame([(victim,)], "docid long")
+    kept = grep_regex(spark, index, [r"table"], CFG, deleted=deleted).collect()
+    assert {r.docid for r in kept} == {r.docid for r in all_rows} - {victim}
+
+
+def test_duckdb_oracle_parity(spark, index):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE raw_docs(repo VARCHAR, path VARCHAR, \"commit\" VARCHAR, lang VARCHAR, content VARCHAR)")
+    con.executemany("INSERT INTO raw_docs VALUES (?,?,?,?,?)", _DOCS)
+    sql = duckdb_grep_sql("SELECT * FROM raw_docs", PATTERNS, CFG)
+    oracle = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    got = sorted(tuple(r) for r in grep_regex(spark, index, PATTERNS, CFG).collect())
+    assert got == oracle
