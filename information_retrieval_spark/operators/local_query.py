@@ -1155,3 +1155,84 @@ def did_you_mean_local(
     # keep cf int-or-None (a mixed column would coerce to float NaN)
     df["cf"] = pd.Series([r[4] for r in rows], dtype=object)
     return df
+
+
+def grep_local(
+    index: "LocalIndex | str",
+    patterns: list[str],
+) -> pd.DataFrame:
+    """(query_id, docid, line_no, line) — Spark-free twin of
+    ``grep.grep_regex``, pinned to the same semantics: every 1-indexed
+    line of every indexed document whose lowered text search-matches the
+    lowered pattern (patterns in the Java-regex ∩ Python-re ∩ RE2 common
+    subset, the same contract as the policy scan).
+
+    Same anchor pruning as the distributed path: exact anchors become a
+    pushdown-pruned posting fetch + all-terms docid intersection; an edge
+    anchor goes through the plane-pruned dictionary expansion (UNCAPPED —
+    dropping a matched term would silently drop its docs); no anchor →
+    one column-pruned scan of the docs catalog. The verify read fetches
+    (docid, content) for candidate docs only, bucket + docid pushdown-
+    pruned exactly like ``snippet_local``'s render fetch. Multi-root
+    (federated) indexes grep every mounted root — docids are disjoint by
+    the bucket-offset construction."""
+    import re as _re
+    from functools import reduce
+
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    from .grep import pattern_anchors
+    from .query import _regex_lower
+
+    idx = LocalIndex(index) if isinstance(index, str) else index
+    cfg = idx.cfg
+    rows: list[tuple[int, int, int, str]] = []
+    for qid, pattern in enumerate(patterns):
+        low = _regex_lower(pattern)
+        exact, edge = pattern_anchors(low, cfg)
+        cand: "np.ndarray | None" = None
+        if exact:
+            by_term = _term_docids_local(idx, exact)
+            cand = reduce(np.intersect1d, (by_term[t] for t in exact))
+        elif edge is not None:
+            mode, core = edge
+            matched = [
+                t
+                for _, t in idx.expand_wildcard_terms(
+                    [], max_expansions=1 << 62, norm=[(0, mode, core)]
+                )
+            ]
+            if matched:
+                by_term = _term_docids_local(idx, matched)
+                cand = np.unique(np.concatenate(list(by_term.values())))
+            else:
+                cand = np.empty(0, dtype=np.int64)
+        if cand is not None and cand.size == 0:
+            continue
+        flt = None
+        if cand is not None:
+            buckets = sorted({int(d) >> cfg.doc_bucket_bits for d in cand})
+            flt = ds.field("bucket").isin(buckets) & ds.field("docid").isin(
+                cand.tolist()
+            )
+        rx = _re.compile(low)
+        for root in _index_roots(idx):
+            tab = ds.dataset(
+                os.path.join(root, "docs"), partitioning="hive", format="parquet"
+            ).to_table(filter=flt, columns=["docid", "content"])
+            for docid, content in zip(
+                tab.column("docid").to_pylist(), tab.column("content").to_pylist()
+            ):
+                if (
+                    cand is None
+                    and idx.deleted is not None
+                    and docid in idx.deleted
+                ):
+                    continue
+                for i, line in enumerate(content.split("\n"), 1):
+                    if rx.search(line.lower()):
+                        rows.append((qid, int(docid), i, line))
+    return pd.DataFrame(
+        rows, columns=["query_id", "docid", "line_no", "line"]
+    ).astype({"query_id": "int32", "docid": "int64", "line_no": "int32"})

@@ -26,6 +26,7 @@ This module re-creates those semantics over :class:`LocalIndex`
 Protocol: newline-delimited JSON, one object per line.
 
     {"op": "query", "queries": ["hash join", "tab*"], "k": 10}
+    {"op": "grep", "patterns": ["parse_http\\\\(", "win.*ow"]}
     {"op": "did_you_mean", "queries": ["hash joim tabl"], "max_edit": 2}
     {"op": "stats"}
     {"op": "shutdown"}
@@ -268,6 +269,32 @@ class QueryDaemon:
                 return {"ok": False, "error": str(e)}
             with self._reg_lock:
                 self._queries_served += len(queries)
+            return {"ok": True, "registration_id": reg_id, "results": results}
+        if op == "grep":
+            patterns = req.get("patterns")
+            if patterns is None:
+                patterns = [req["pattern"]] if "pattern" in req else []
+            if not isinstance(patterns, list) or not all(
+                isinstance(p, str) for p in patterns
+            ):
+                return {"ok": False, "error": "patterns must be a list of strings"}
+            try:
+                from .operators.local_query import grep_local
+
+                df = self._with_snapshot(lambda idx: grep_local(idx, patterns))
+                results = [
+                    {
+                        "query_id": int(q),
+                        "docid": int(d),
+                        "line_no": int(n),
+                        "line": line,
+                    }
+                    for q, d, n, line in df.itertuples(index=False)
+                ]
+            except Exception as e:
+                return {"ok": False, "error": str(e)}
+            with self._reg_lock:
+                self._queries_served += len(patterns)
             return {"ok": True, "registration_id": reg_id, "results": results}
         if op == "query":
             queries = req.get("queries")

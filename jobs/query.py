@@ -65,6 +65,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--lines", type=int, default=0, metavar="N",
                    help="attach up to N grep-style matching lines "
                         "(line_no + line) per hit (spark engine)")
+    p.add_argument("--grep", action="store_true",
+                   help="treat each positional arg as a regex and print "
+                        "grep-style (path, line_no, line) hits for every "
+                        "matching line — index-accelerated via anchor-token "
+                        "pruning (both engines)")
     p.add_argument("--strategy", choices=["bmw", "maxscore"], default="bmw",
                    help="dynamic-pruning strategy for ranked retrieval "
                         "(rank-identical; maxscore favors many-term queries)")
@@ -85,6 +90,13 @@ def main(argv: list[str] | None = None) -> None:
         raise SystemExit(
             "--auto routes each query by its own syntax; it cannot be "
             "combined with --phrase/--filter/--bm25f/--did-you-mean"
+        )
+    if args.grep and (args.auto or args.bm25f or args.filter
+                      or args.did_you_mean or args.phrase or args.snippets
+                      or args.lines):
+        raise SystemExit(
+            "--grep takes plain regex patterns; it cannot be combined with "
+            "--auto/--phrase/--filter/--bm25f/--did-you-mean/--snippets/--lines"
         )
     if args.engine == "local":
         if args.filter:
@@ -122,6 +134,25 @@ def main(argv: list[str] | None = None) -> None:
         idx = open_index(spark, args.index)
     if args.auto:
         _auto_spark(spark, idx, args)
+        spark.stop()
+        return
+    if args.grep:
+        from information_retrieval_spark.operators.grep import grep_regex
+
+        rows = (
+            grep_regex(spark, idx, args.queries, idx.cfg)
+            .join(F.broadcast(idx.docs.select("docid", "repo", "path")), "docid")
+            .orderBy("query_id", "docid", "line_no")
+            .collect()
+        )
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(
+                {"docid": r["docid"], "repo": r["repo"], "path": r["path"],
+                 "line_no": r["line_no"], "line": r["line"]}
+            )
+        for i, q in enumerate(args.queries):
+            print(json.dumps({"pattern": q, "hits": by_q.get(i, [])}))
         spark.stop()
         return
     if args.phrase:
@@ -388,6 +419,36 @@ def _main_local(args) -> None:
             snippet_window=args.snippet_window if args.snippets else None,
         ):
             print(json.dumps(ans))
+        return
+    if args.grep:
+        from information_retrieval_spark.operators.local_query import grep_local
+
+        df = grep_local(li, args.queries)
+        ids = sorted({int(d) for d in df["docid"].unique()}) if len(df) else []
+        resolve: dict[int, tuple] = {}
+        if ids:
+            tab = ds.dataset(
+                [
+                    ds.dataset(os.path.join(r, "docs"), partitioning="hive",
+                               format="parquet")
+                    for r in roots
+                ]
+            ).to_table(filter=ds.field("docid").isin(ids),
+                       columns=["docid", "repo", "path"])
+            resolve = {
+                int(d): (r, p)
+                for d, r, p in zip(*[tab.column(c).to_pylist()
+                                     for c in ("docid", "repo", "path")])
+            }
+        by_q: dict[int, list] = {}
+        for q, d, n, line in df.itertuples(index=False):
+            repo, path = resolve.get(int(d), (None, None))
+            by_q.setdefault(int(q), []).append(
+                {"docid": int(d), "repo": repo, "path": path,
+                 "line_no": int(n), "line": line}
+            )
+        for i, q in enumerate(args.queries):
+            print(json.dumps({"pattern": q, "hits": by_q.get(i, [])}))
         return
     if args.phrase:
         out = phrase_match_local(li, args.queries)

@@ -318,3 +318,21 @@ def test_daemon_strategy_maxscore_identical(root):
         assert ms["ok"] and ms["results"] == bmw["results"]
         bad = request("127.0.0.1", d.port, {"queries": QUERIES, "strategy": "wat"})
         assert not bad["ok"] and "strategy" in bad["error"]
+
+
+def test_daemon_grep_op(root):
+    """op=grep returns the local grep twin's line hits over the wire —
+    an anchored pattern and an anchorless fallback."""
+    from information_retrieval_spark.operators.local_query import grep_local
+
+    pats = ["ident_1 ident_2", "(ident_3|zzz_nope)"]
+    want = [
+        {"query_id": int(q), "docid": int(d), "line_no": int(n), "line": line}
+        for q, d, n, line in grep_local(root, pats).itertuples(index=False)
+    ]
+    with QueryDaemon(root, max_registered_users=4) as d:
+        got = request("127.0.0.1", d.port, {"op": "grep", "patterns": pats})
+        bad = request("127.0.0.1", d.port, {"op": "grep", "patterns": "x"})
+    assert got["ok"] and got["results"] == want
+    assert len(got["results"]) > 0
+    assert not bad["ok"]

@@ -149,3 +149,18 @@ def test_duckdb_oracle_parity(spark, index):
     oracle = sorted(tuple(r) for r in con.execute(sql).fetchall())
     got = sorted(tuple(r) for r in grep_regex(spark, index, PATTERNS, CFG).collect())
     assert got == oracle
+
+
+def test_grep_local_twin_matches_spark(spark, corpus, index, tmp_path):
+    # the Spark-free pyarrow twin over a persisted root returns exactly
+    # the distributed result, across all anchor paths incl. fallback
+    from information_retrieval_spark.operators.local_query import grep_local
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+    )
+
+    root = str(tmp_path / "idx")
+    build_index_resumable(spark, corpus, root, CFG)
+    got = sorted(tuple(r) for r in grep_local(root, PATTERNS).itertuples(index=False))
+    want = sorted(tuple(r) for r in grep_regex(spark, index, PATTERNS, CFG).collect())
+    assert got == want
