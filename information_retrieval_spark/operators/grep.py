@@ -179,6 +179,7 @@ def grep_regex(
     patterns: list[str],
     cfg: EngineConfig | None = None,
     deleted: DataFrame | None = None,
+    use_anchors: bool = True,
 ) -> DataFrame:
     """(query_id, docid, line_no, line) — every 1-indexed line of every
     indexed document whose lowered text matches the lowered pattern
@@ -193,7 +194,9 @@ def grep_regex(
         docs = docs.join(deleted, "docid", "left_anti")
     for qid, pattern in enumerate(patterns):
         low = _regex_lower(pattern)
-        cand = grep_candidate_docids(index, low, cfg)
+        # use_anchors=False forces the full-scan fallback for every pattern
+        # (the bench counterfactual; results are identical by construction)
+        cand = grep_candidate_docids(index, low, cfg) if use_anchors else None
         base = docs if cand is None else docs.join(cand, "docid")
         hits = (
             base.select(
