@@ -192,14 +192,18 @@ def grep_regex(
     docs = index.docs.select("docid", "content")
     if deleted is not None:
         docs = docs.join(deleted, "docid", "left_anti")
+    # use_anchors=False forces the full-scan fallback for every pattern
+    # (the bench counterfactual; results are identical by construction)
+    fallback: list[tuple[int, str]] = []
     for qid, pattern in enumerate(patterns):
         low = _regex_lower(pattern)
-        # use_anchors=False forces the full-scan fallback for every pattern
-        # (the bench counterfactual; results are identical by construction)
         cand = grep_candidate_docids(index, low, cfg) if use_anchors else None
-        base = docs if cand is None else docs.join(cand, "docid")
+        if cand is None:
+            fallback.append((qid, low))
+            continue
         hits = (
-            base.select(
+            docs.join(cand, "docid")
+            .select(
                 "docid",
                 F.posexplode(F.split(F.col("content"), "\n")).alias(
                     "pos", "line"
@@ -208,6 +212,38 @@ def grep_regex(
             .filter(F.lower(F.col("line")).rlike(low))
             .select(
                 F.lit(qid).alias("query_id"),
+                "docid",
+                (F.col("pos") + 1).cast("int").alias("line_no"),
+                "line",
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    if fallback:
+        # every anchorless pattern shares ONE corpus line scan: the per-
+        # pattern verdicts are an exploded array of (query_id, matched)
+        # structs over the same line — B patterns cost one pass over the
+        # catalog, not B (each rlike literal stays a constant-folded
+        # codegen regex)
+        verdicts = F.array(
+            *[
+                F.struct(
+                    F.lit(qid).alias("query_id"),
+                    F.lower(F.col("line")).rlike(low).alias("m"),
+                )
+                for qid, low in fallback
+            ]
+        )
+        hits = (
+            docs.select(
+                "docid",
+                F.posexplode(F.split(F.col("content"), "\n")).alias(
+                    "pos", "line"
+                ),
+            )
+            .select("docid", "pos", "line", F.explode(verdicts).alias("v"))
+            .filter(F.col("v.m"))
+            .select(
+                F.col("v.query_id").alias("query_id"),
                 "docid",
                 (F.col("pos") + 1).cast("int").alias("line_no"),
                 "line",

@@ -164,3 +164,18 @@ def test_grep_local_twin_matches_spark(spark, corpus, index, tmp_path):
     got = sorted(tuple(r) for r in grep_local(root, PATTERNS).itertuples(index=False))
     want = sorted(tuple(r) for r in grep_regex(spark, index, PATTERNS, CFG).collect())
     assert got == want
+
+
+def test_fallback_patterns_share_one_scan(spark, index):
+    # B anchorless patterns must cost ONE corpus line scan (verdict-array
+    # explode), not B: the plan has exactly 2 Generate nodes (posexplode
+    # of lines + explode of per-pattern verdicts) regardless of B
+    fallbacks = [r"(value|window) =", r"(def|class) ", r"(self|this)\."]
+    df = grep_regex(spark, index, fallbacks, CFG)
+    explained = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert explained.count("Generate") == 2, explained
+    # and the shared scan returns exactly the brute-force rows
+    docs = [(r.docid, r.content) for r in index.docs.select("docid", "content").collect()]
+    assert sorted(tuple(r) for r in df.collect()) == _brute(fallbacks, docs)
