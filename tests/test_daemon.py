@@ -336,3 +336,34 @@ def test_daemon_grep_op(root):
     assert got["ok"] and got["results"] == want
     assert len(got["results"]) > 0
     assert not bad["ok"]
+
+
+def test_federated_grep_identical_to_combined(spark, root, fed_roots):
+    """Content grep over the federated mount (both the Spark path via
+    open_federated_index and the Spark-free FederatedLocalIndex) returns
+    exactly the combined-root result — exact-anchor, edge and fallback
+    patterns."""
+    from information_retrieval_spark.operators.federation import (
+        FederatedLocalIndex,
+        open_federated_index,
+    )
+    from information_retrieval_spark.operators.grep import grep_regex
+    from information_retrieval_spark.operators.local_query import grep_local
+    from information_retrieval_spark.sources.manifest import open_index
+
+    pats = [" ident_1 ident_2 ", r" ident_3\w+", "(ident_40|zzz_nope)"]
+    want = sorted(
+        tuple(r) for r in grep_local(root, pats).itertuples(index=False)
+    )
+    assert want, "fixture must produce hits"
+    got_local = sorted(
+        tuple(r)
+        for r in grep_local(FederatedLocalIndex(list(fed_roots)), pats)
+        .itertuples(index=False)
+    )
+    assert got_local == want
+    fed = open_federated_index(spark, list(fed_roots))
+    got_spark = sorted(
+        tuple(r) for r in grep_regex(spark, fed, pats, fed.cfg).collect()
+    )
+    assert got_spark == want
