@@ -179,3 +179,41 @@ def test_fallback_patterns_share_one_scan(spark, index):
     # and the shared scan returns exactly the brute-force rows
     docs = [(r.docid, r.content) for r in index.docs.select("docid", "content").collect()]
     assert sorted(tuple(r) for r in df.collect()) == _brute(fallbacks, docs)
+
+
+def test_grep_under_stemming_config(spark, corpus):
+    # stemming rewrites stored terms: edge anchors are disabled (gated in
+    # pattern_anchors) but exact anchors stay sound — the analyzer applied
+    # to the piece yields the same stemmed terms a matching doc emitted.
+    # End-to-end: every pattern shape still equals brute force.
+    stem = EngineConfig(n_doc_buckets=4, block_size=16, stemming_level=1)
+    idx = build_index(spark, corpus, stem)
+    docs = [(r.docid, r.content) for r in idx.docs.select("docid", "content").collect()]
+    got = sorted(tuple(r) for r in grep_regex(spark, idx, PATTERNS, stem).collect())
+    assert got == _brute(PATTERNS, docs)
+
+
+def test_grep_randomized_sweep_matches_bruteforce(spark, index):
+    # 24 patterns drawn deterministically from a template family covering
+    # every anchor shape x corpus token: any unsound pruning shows up as a
+    # missing brute-force row
+    import random
+
+    rng = random.Random(4242)
+    words = ["hash", "join", "table", "merge", "window", "parse", "http",
+             "value", "qzxlong", "run", "self", "print", "zzz"]
+    templates = [
+        lambda w, v: f" {w} {v} ",        # exact anchors (both)
+        lambda w, v: f" {w}\\w*",           # prefix edge
+        lambda w, v: f"{w}.*{v}",           # infix edges (longest wins)
+        lambda w, v: f"({w}|{v}) ",        # alternation -> fallback
+        lambda w, v: f"\\({w}\\)",           # escaped parens close the run
+        lambda w, v: f"{w}s?\\b",           # optional suffix char
+    ]
+    pats = [
+        rng.choice(templates)(rng.choice(words), rng.choice(words))
+        for _ in range(24)
+    ]
+    docs = [(r.docid, r.content) for r in index.docs.select("docid", "content").collect()]
+    got = sorted(tuple(r) for r in grep_regex(spark, index, pats, CFG).collect())
+    assert got == _brute(pats, docs)
