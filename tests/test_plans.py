@@ -324,3 +324,21 @@ def test_line_matches_is_broadcast_nested_loop(spark):
     plan = _plan(line_matches(docs, ["alpha", "delta gamma"], CFG))
     assert "BroadcastNestedLoopJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_grep_exact_anchor_term_filter_pushed(spark, root):
+    """An exact-anchored grep's candidate derivation reaches the postings
+    Parquet scan as a static term-IN PushedFilter (row-group skipping),
+    and the verify read of the docs catalog is column-pruned to
+    docid+content."""
+    from information_retrieval_spark.operators.grep import grep_regex
+
+    idx = open_index(spark, root)
+    plan = _plan(grep_regex(spark, idx, [" ident_1 ident_2 "], CFG))
+    scans = [s for s in plan.split("Scan parquet") if "PushedFilters" in s]
+    post = [s for s in scans if "docs_vb" in s[: s.index("ReadSchema") + 500]]
+    assert post and re.search(r"PushedFilters: \[.*In\(term", post[0]), plan[:800]
+    docs_scans = [s for s in scans if "content" in s]
+    assert docs_scans
+    rs = docs_scans[0][docs_scans[0].index("ReadSchema"):].split("\n")[0]
+    assert "content" in rs and "repo" not in rs and "path" not in rs, rs
