@@ -180,13 +180,22 @@ def grep_regex(
     cfg: EngineConfig | None = None,
     deleted: DataFrame | None = None,
     use_anchors: bool = True,
+    context: int = 0,
 ) -> DataFrame:
     """(query_id, docid, line_no, line) — every 1-indexed line of every
     indexed document whose lowered text matches the lowered pattern
     (``rlike`` search semantics, i.e. grep). One lazy union across the
     batch: each pattern contributes a candidate-pruned branch with its
     regex as a CODEGEN LITERAL (constant-folded by the JVM regex cache),
-    so materializing the result is one job regardless of batch size."""
+    so materializing the result is one job regardless of batch size.
+
+    ``context=N`` (ripgrep ``-C N``) adds a ``kind`` column and the ≤N
+    surrounding lines of every match as ``kind='context'`` rows
+    (match-overlapping lines stay ``'match'``; context rows are distinct
+    per (query, doc, line)). Scale shape: each match expands to its 2N+1
+    window line numbers (``F.sequence`` — bounded, no per-row Python) and
+    the window joins the candidate docs' lines re-exploded from the docs
+    catalog — content is touched only for docs that actually matched."""
     cfg = cfg or index.cfg
     out: DataFrame | None = None
     docs = index.docs.select("docid", "content")
@@ -251,8 +260,49 @@ def grep_regex(
         )
         out = hits if out is None else out.unionByName(hits)
     if out is None:
-        return spark.createDataFrame(
-            [], "query_id int, docid long, line_no int, line string"
+        schema = "query_id int, docid long, line_no int, line string"
+        if context > 0:
+            schema += ", kind string"
+        return spark.createDataFrame([], schema)
+    if context > 0:
+        windows = (
+            out.select(
+                "query_id",
+                "docid",
+                F.explode(
+                    F.sequence(
+                        F.greatest(F.col("line_no") - context, F.lit(1)),
+                        F.col("line_no") + context,
+                    )
+                ).alias("line_no"),
+            )
+            .distinct()
+        )
+        doc_lines = (
+            docs.join(out.select("docid").distinct(), "docid")
+            .select(
+                "docid",
+                F.posexplode(F.split(F.col("content"), "\n")).alias(
+                    "pos", "line"
+                ),
+            )
+            .select(
+                "docid", (F.col("pos") + 1).cast("int").alias("line_no"), "line"
+            )
+        )
+        marks = out.select(
+            "query_id", "docid", "line_no", F.lit("match").alias("kind")
+        )
+        return (
+            windows.join(doc_lines, ["docid", "line_no"])
+            .join(marks, ["query_id", "docid", "line_no"], "left")
+            .select(
+                "query_id",
+                "docid",
+                "line_no",
+                "line",
+                F.coalesce("kind", F.lit("context")).alias("kind"),
+            )
         )
     return out
 

@@ -1160,12 +1160,15 @@ def did_you_mean_local(
 def grep_local(
     index: "LocalIndex | str",
     patterns: list[str],
+    context: int = 0,
 ) -> pd.DataFrame:
     """(query_id, docid, line_no, line) — Spark-free twin of
     ``grep.grep_regex``, pinned to the same semantics: every 1-indexed
     line of every indexed document whose lowered text search-matches the
     lowered pattern (patterns in the Java-regex ∩ Python-re ∩ RE2 common
-    subset, the same contract as the policy scan).
+    subset, the same contract as the policy scan). ``context=N`` adds a
+    ``kind`` column and the ≤N surrounding lines as ``'context'`` rows,
+    exactly like the distributed operator.
 
     Same anchor pruning as the distributed path: exact anchors become a
     pushdown-pruned posting fetch + all-terms docid intersection; an edge
@@ -1230,9 +1233,29 @@ def grep_local(
                     and docid in idx.deleted
                 ):
                     continue
-                for i, line in enumerate(content.split("\n"), 1):
-                    if rx.search(line.lower()):
-                        rows.append((qid, int(docid), i, line))
-    return pd.DataFrame(
-        rows, columns=["query_id", "docid", "line_no", "line"]
-    ).astype({"query_id": "int32", "docid": "int64", "line_no": "int32"})
+                lines = content.split("\n")
+                hit = [i for i, line in enumerate(lines, 1)
+                       if rx.search(line.lower())]
+                if context <= 0:
+                    rows.extend((qid, int(docid), i, lines[i - 1]) for i in hit)
+                    continue
+                window = sorted(
+                    {
+                        j
+                        for i in hit
+                        for j in range(max(1, i - context),
+                                       min(len(lines), i + context) + 1)
+                    }
+                )
+                hitset = set(hit)
+                rows.extend(
+                    (qid, int(docid), j, lines[j - 1],
+                     "match" if j in hitset else "context")
+                    for j in window
+                )
+    cols = ["query_id", "docid", "line_no", "line"]
+    if context > 0:
+        cols.append("kind")
+    return pd.DataFrame(rows, columns=cols).astype(
+        {"query_id": "int32", "docid": "int64", "line_no": "int32"}
+    )

@@ -281,15 +281,16 @@ class QueryDaemon:
             try:
                 from .operators.local_query import grep_local
 
-                df = self._with_snapshot(lambda idx: grep_local(idx, patterns))
+                ctx = int(req.get("context", 0))
+                df = self._with_snapshot(
+                    lambda idx: grep_local(idx, patterns, context=ctx)
+                )
                 results = [
-                    {
-                        "query_id": int(q),
-                        "docid": int(d),
-                        "line_no": int(n),
-                        "line": line,
-                    }
-                    for q, d, n, line in df.itertuples(index=False)
+                    dict(
+                        zip(("query_id", "docid", "line_no", "line", "kind"),
+                            (int(r[0]), int(r[1]), int(r[2])) + tuple(r[3:]))
+                    )
+                    for r in df.itertuples(index=False)
                 ]
             except Exception as e:
                 return {"ok": False, "error": str(e)}

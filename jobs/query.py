@@ -70,6 +70,10 @@ def main(argv: list[str] | None = None) -> None:
                         "grep-style (path, line_no, line) hits for every "
                         "matching line — index-accelerated via anchor-token "
                         "pruning (both engines)")
+    p.add_argument("--context", type=int, default=0, metavar="N",
+                   help="with --grep: also print the N lines around each "
+                        "match (ripgrep -C N; rows carry kind="
+                        "match|context)")
     p.add_argument("--strategy", choices=["bmw", "maxscore"], default="bmw",
                    help="dynamic-pruning strategy for ranked retrieval "
                         "(rank-identical; maxscore favors many-term queries)")
@@ -140,17 +144,18 @@ def main(argv: list[str] | None = None) -> None:
         from information_retrieval_spark.operators.grep import grep_regex
 
         rows = (
-            grep_regex(spark, idx, args.queries, idx.cfg)
+            grep_regex(spark, idx, args.queries, idx.cfg, context=args.context)
             .join(F.broadcast(idx.docs.select("docid", "repo", "path")), "docid")
             .orderBy("query_id", "docid", "line_no")
             .collect()
         )
         by_q: dict[int, list] = {}
         for r in rows:
-            by_q.setdefault(r["query_id"], []).append(
-                {"docid": r["docid"], "repo": r["repo"], "path": r["path"],
-                 "line_no": r["line_no"], "line": r["line"]}
-            )
+            hit = {"docid": r["docid"], "repo": r["repo"], "path": r["path"],
+                   "line_no": r["line_no"], "line": r["line"]}
+            if args.context:
+                hit["kind"] = r["kind"]
+            by_q.setdefault(r["query_id"], []).append(hit)
         for i, q in enumerate(args.queries):
             print(json.dumps({"pattern": q, "hits": by_q.get(i, [])}))
         spark.stop()
@@ -423,7 +428,7 @@ def _main_local(args) -> None:
     if args.grep:
         from information_retrieval_spark.operators.local_query import grep_local
 
-        df = grep_local(li, args.queries)
+        df = grep_local(li, args.queries, context=args.context)
         ids = sorted({int(d) for d in df["docid"].unique()}) if len(df) else []
         resolve: dict[int, tuple] = {}
         if ids:
@@ -441,12 +446,14 @@ def _main_local(args) -> None:
                                      for c in ("docid", "repo", "path")])
             }
         by_q: dict[int, list] = {}
-        for q, d, n, line in df.itertuples(index=False):
+        for row in df.itertuples(index=False):
+            q, d, n, line = row[0], row[1], row[2], row[3]
             repo, path = resolve.get(int(d), (None, None))
-            by_q.setdefault(int(q), []).append(
-                {"docid": int(d), "repo": repo, "path": path,
-                 "line_no": int(n), "line": line}
-            )
+            hit = {"docid": int(d), "repo": repo, "path": path,
+                   "line_no": int(n), "line": line}
+            if args.context:
+                hit["kind"] = row[4]
+            by_q.setdefault(int(q), []).append(hit)
         for i, q in enumerate(args.queries):
             print(json.dumps({"pattern": q, "hits": by_q.get(i, [])}))
         return

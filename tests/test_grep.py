@@ -217,3 +217,44 @@ def test_grep_randomized_sweep_matches_bruteforce(spark, index):
     docs = [(r.docid, r.content) for r in index.docs.select("docid", "content").collect()]
     got = sorted(tuple(r) for r in grep_regex(spark, index, pats, CFG).collect())
     assert got == _brute(pats, docs)
+
+
+def test_grep_context_lines(spark, corpus, index, tmp_path):
+    # context=N adds 'kind' rows exactly like ripgrep -C: brute-force the
+    # expected window per (query, doc) and pin spark + local twin to it
+    from information_retrieval_spark.operators.local_query import grep_local
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+    )
+
+    pats = [r" merge\w+", r"(value|window) ="]
+    docs = [(r.docid, r.content) for r in index.docs.select("docid", "content").collect()]
+    want = []
+    for qid, p in enumerate(pats):
+        rx = re.compile(_regex_lower(p))
+        for docid, content in docs:
+            lines = content.split("\n")
+            hit = {i for i, line in enumerate(lines, 1) if rx.search(line.lower())}
+            window = sorted({
+                j for i in hit
+                for j in range(max(1, i - 1), min(len(lines), i + 1) + 1)
+            })
+            want.extend(
+                (qid, docid, j, lines[j - 1], "match" if j in hit else "context")
+                for j in window
+            )
+    want = sorted(want)
+    got = sorted(
+        tuple(r)
+        for r in grep_regex(spark, index, pats, CFG, context=1).collect()
+    )
+    assert got == want
+    root = str(tmp_path / "idx")
+    build_index_resumable(spark, corpus, root, CFG)
+    got_local = sorted(
+        tuple(r) for r in grep_local(root, pats, context=1).itertuples(index=False)
+    )
+    assert got_local == want
+    # a line that is both context and match for the same query stays 'match'
+    assert all(k == "match" for (q, d, n, line, k) in got if (q, d, n) in
+               {(q2, d2, n2) for (q2, d2, n2, _, k2) in want if k2 == "match"})
