@@ -113,11 +113,6 @@ def main(argv: list[str] | None = None) -> None:
                 "--bm25f requires --engine spark (the local pyarrow path "
                 "has no field-plane ranking)"
             )
-        if args.lines:
-            raise SystemExit(
-                "--lines requires --engine spark (the local pyarrow path "
-                "does not read document content)"
-            )
         _main_local(args)
         return
 
@@ -480,13 +475,49 @@ def _main_local(args) -> None:
     )
     ids = [int(d) for d in out["docid"].unique()] if len(out) else []
     resolve = {}
+    contents: dict[int, str] = {}
     if ids:
-        tab = docs.to_table(filter=ds.field("docid").isin(ids),
-                            columns=["docid", "repo", "path"])
+        cols = ["docid", "repo", "path"] + (["content"] if args.lines else [])
+        tab = docs.to_table(filter=ds.field("docid").isin(ids), columns=cols)
         resolve = {
             int(d): (r, p)
             for d, r, p in zip(*[tab.column(c).to_pylist() for c in ("docid", "repo", "path")])
         }
+        if args.lines:
+            contents = dict(
+                zip((int(d) for d in tab.column("docid").to_pylist()),
+                    tab.column("content").to_pylist())
+            )
+    line_hits: dict[tuple[int, int], list] = {}
+    if args.lines and ids:
+        # local twin of the spark path's line_matches rendering: analyzed
+        # tokens of each HIT doc's lines intersected with its query's —
+        # bounded by |hits| x lines/doc, pyarrow + the shared analyzer only
+        import pandas as pd
+
+        from information_retrieval_spark.functions.analyzer import (
+            tokenize_series,
+        )
+
+        qtoks = [
+            set(t)
+            for t in tokenize_series(
+                pd.Series(args.queries, dtype=object), li.cfg
+            )
+        ]
+        for qid, _rk, d, _s in out.itertuples(index=False):
+            qt = qtoks[int(qid)]
+            if not qt:
+                continue
+            lines = contents.get(int(d), "").split("\n")
+            ltoks = tokenize_series(pd.Series(lines, dtype=object), li.cfg)
+            rendered = []
+            for n, (line, toks) in enumerate(zip(lines, ltoks), 1):
+                if qt & set(toks):
+                    rendered.append({"line_no": n, "line": line})
+                    if len(rendered) >= args.lines:
+                        break
+            line_hits[(int(qid), int(d))] = rendered
     for i, q in enumerate(args.queries):
         hits = []
         for qid, rk, d, s in out.itertuples(index=False):
@@ -497,6 +528,8 @@ def _main_local(args) -> None:
                    "path": resolve.get(int(d), ("?", "?"))[1]}
             if args.snippets:
                 hit["snippet"] = snips.get((int(qid), int(d)), "")
+            if args.lines:
+                hit["lines"] = line_hits.get((int(qid), int(d)), [])
             hits.append(hit)
         print(json.dumps({"query": q, "hits": hits}))
 

@@ -69,3 +69,33 @@ def test_auto_rejects_conflicting_flags(idx_root):
         ["--index", idx_root, "--auto", "--filter", "lang = 'en'", "hash"]
     )
     assert r.returncode != 0 and "--auto" in (r.stderr + r.stdout)
+
+
+def test_lines_local_engine_matches_spark(idx_root):
+    """--lines on the local pyarrow engine renders the same per-hit lines
+    as the spark path (round 5: the local path reads content now)."""
+    com = ["--index", idx_root, "--k", "3", "--lines", "2", "hash join"]
+    r_spark = _run_query(com + ["--master", "local[4]"])
+    assert r_spark.returncode == 0, r_spark.stderr[-3000:]
+    r_local = _run_query(com + ["--engine", "local"])
+    assert r_local.returncode == 0, r_local.stderr[-3000:]
+    a = json.loads(r_spark.stdout.strip().splitlines()[-1])
+    b = json.loads(r_local.stdout.strip().splitlines()[-1])
+    assert a == b
+    assert a["hits"] and all(h["lines"] for h in a["hits"])
+
+
+def test_grep_cli_local_engine_matches_spark(idx_root):
+    """--grep --context on both engines returns identical JSON."""
+    com = ["--index", idx_root, "--grep", "--context", "1",
+           "hash join", "zzz(a|b)"]
+    r_spark = _run_query(com + ["--master", "local[4]"])
+    assert r_spark.returncode == 0, r_spark.stderr[-3000:]
+    r_local = _run_query(com + ["--engine", "local"])
+    assert r_local.returncode == 0, r_local.stderr[-3000:]
+    a = [json.loads(l) for l in r_spark.stdout.strip().splitlines()[-2:]]
+    b = [json.loads(l) for l in r_local.stdout.strip().splitlines()[-2:]]
+    for x in a + b:
+        x["hits"] = sorted(x["hits"], key=lambda h: (h["docid"], h["line_no"]))
+    assert a == b
+    assert a[0]["hits"] and not a[1]["hits"]

@@ -368,3 +368,34 @@ def test_live_monitor_picks_up_files_dropped_after_start(spark, tmp_path_factory
         assert len(hits) == 1
     finally:
         q.stop()
+
+
+def test_grep_sees_appended_docs(spark, tmp_path_factory):
+    """Content grep over a persisted root after an incremental append: an
+    edge anchor whose only hits live in the APPENDED batch must find them —
+    i.e. grep's dictionary/postings pruning composes with the delta
+    segments and incrementally-extended planes, and the full-scan fallback
+    sees the appended docs catalog too."""
+    import pandas as pd
+
+    from information_retrieval_spark.operators.local_query import grep_local
+    from information_retrieval_spark.streaming.incremental import append_batch
+
+    base_dir = tmp_path_factory.mktemp("grepappend")
+    root = str(base_dir / "idx")
+    full = synthetic_corpus_pdf(100, seed=33)[COLS]
+    build_index_resumable(spark, spark.createDataFrame(full.iloc[:80]), root, CFG)
+    delta = full.iloc[80:].copy()
+    delta["content"] = delta["content"] + " qqappendtoken_7 marker"
+    append_batch(spark, spark.createDataFrame(delta), root, CFG, batch_id=5)
+
+    # edge anchor (prefix 'qqappendtoken') -> only appended docs
+    out = grep_local(root, [r" qqappendtoken\w+ "])
+    assert len(out) == 20
+    assert set(out["line"].str.contains("qqappendtoken_7").tolist()) == {True}
+    # exact anchor + fallback agree with each other on the appended docs
+    exact = grep_local(root, [" qqappendtoken_7 marker"])
+    fallback = grep_local(root, ["(qqappendtoken_7|zzz_nope) marker"])
+    assert sorted(map(tuple, exact.itertuples(index=False))) == sorted(
+        map(tuple, fallback.itertuples(index=False))
+    )
