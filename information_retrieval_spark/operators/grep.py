@@ -181,10 +181,14 @@ def grep_regex(
     deleted: DataFrame | None = None,
     use_anchors: bool = True,
     context: int = 0,
+    case_sensitive: bool = False,
 ) -> DataFrame:
     """(query_id, docid, line_no, line) — every 1-indexed line of every
     indexed document whose lowered text matches the lowered pattern
-    (``rlike`` search semantics, i.e. grep). One lazy union across the
+    (``rlike`` search semantics, i.e. grep). ``case_sensitive=True``
+    verifies the ORIGINAL pattern against the raw line (ripgrep ``-s``);
+    anchors stay sound because a case-sensitive match's literals lower to
+    exactly the lowered literals the (lowercased) index stores. One lazy union across the
     batch: each pattern contributes a candidate-pruned branch with its
     regex as a CODEGEN LITERAL (constant-folded by the JVM regex cache),
     so materializing the result is one job regardless of batch size.
@@ -203,12 +207,17 @@ def grep_regex(
         docs = docs.join(deleted, "docid", "left_anti")
     # use_anchors=False forces the full-scan fallback for every pattern
     # (the bench counterfactual; results are identical by construction)
-    fallback: list[tuple[int, str]] = []
+    def _verify_col(low: str, orig: str):
+        if case_sensitive:
+            return F.col("line").rlike(orig)
+        return F.lower(F.col("line")).rlike(low)
+
+    fallback: list[tuple[int, str, str]] = []
     for qid, pattern in enumerate(patterns):
         low = _regex_lower(pattern)
         cand = grep_candidate_docids(index, low, cfg) if use_anchors else None
         if cand is None:
-            fallback.append((qid, low))
+            fallback.append((qid, low, pattern))
             continue
         hits = (
             docs.join(cand, "docid")
@@ -218,7 +227,7 @@ def grep_regex(
                     "pos", "line"
                 ),
             )
-            .filter(F.lower(F.col("line")).rlike(low))
+            .filter(_verify_col(low, pattern))
             .select(
                 F.lit(qid).alias("query_id"),
                 "docid",
@@ -237,9 +246,9 @@ def grep_regex(
             *[
                 F.struct(
                     F.lit(qid).alias("query_id"),
-                    F.lower(F.col("line")).rlike(low).alias("m"),
+                    _verify_col(low, orig).alias("m"),
                 )
-                for qid, low in fallback
+                for qid, low, orig in fallback
             ]
         )
         hits = (

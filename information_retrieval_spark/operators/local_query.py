@@ -1161,6 +1161,7 @@ def grep_local(
     index: "LocalIndex | str",
     patterns: list[str],
     context: int = 0,
+    case_sensitive: bool = False,
 ) -> pd.DataFrame:
     """(query_id, docid, line_no, line) — Spark-free twin of
     ``grep.grep_regex``, pinned to the same semantics: every 1-indexed
@@ -1219,7 +1220,7 @@ def grep_local(
             flt = ds.field("bucket").isin(buckets) & ds.field("docid").isin(
                 cand.tolist()
             )
-        rx = _re.compile(low)
+        rx = _re.compile(pattern if case_sensitive else low)
         for root in _index_roots(idx):
             tab = ds.dataset(
                 os.path.join(root, "docs"), partitioning="hive", format="parquet"
@@ -1234,8 +1235,11 @@ def grep_local(
                 ):
                     continue
                 lines = content.split("\n")
-                hit = [i for i, line in enumerate(lines, 1)
-                       if rx.search(line.lower())]
+                hit = [
+                    i
+                    for i, line in enumerate(lines, 1)
+                    if rx.search(line if case_sensitive else line.lower())
+                ]
                 if context <= 0:
                     rows.extend((qid, int(docid), i, lines[i - 1]) for i in hit)
                     continue

@@ -282,8 +282,11 @@ class QueryDaemon:
                 from .operators.local_query import grep_local
 
                 ctx = int(req.get("context", 0))
+                cs = bool(req.get("case_sensitive", False))
                 df = self._with_snapshot(
-                    lambda idx: grep_local(idx, patterns, context=ctx)
+                    lambda idx: grep_local(
+                        idx, patterns, context=ctx, case_sensitive=cs
+                    )
                 )
                 results = [
                     dict(

@@ -74,6 +74,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="with --grep: also print the N lines around each "
                         "match (ripgrep -C N; rows carry kind="
                         "match|context)")
+    p.add_argument("--case-sensitive", action="store_true",
+                   help="with --grep: verify the pattern case-sensitively "
+                        "(ripgrep -s; default matches the index's "
+                        "case-insensitive analyzer contract)")
     p.add_argument("--strategy", choices=["bmw", "maxscore"], default="bmw",
                    help="dynamic-pruning strategy for ranked retrieval "
                         "(rank-identical; maxscore favors many-term queries)")
@@ -139,7 +143,8 @@ def main(argv: list[str] | None = None) -> None:
         from information_retrieval_spark.operators.grep import grep_regex
 
         rows = (
-            grep_regex(spark, idx, args.queries, idx.cfg, context=args.context)
+            grep_regex(spark, idx, args.queries, idx.cfg, context=args.context,
+                       case_sensitive=args.case_sensitive)
             .join(F.broadcast(idx.docs.select("docid", "repo", "path")), "docid")
             .orderBy("query_id", "docid", "line_no")
             .collect()
@@ -423,7 +428,8 @@ def _main_local(args) -> None:
     if args.grep:
         from information_retrieval_spark.operators.local_query import grep_local
 
-        df = grep_local(li, args.queries, context=args.context)
+        df = grep_local(li, args.queries, context=args.context,
+                        case_sensitive=args.case_sensitive)
         ids = sorted({int(d) for d in df["docid"].unique()}) if len(df) else []
         resolve: dict[int, tuple] = {}
         if ids:

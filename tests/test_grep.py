@@ -258,3 +258,28 @@ def test_grep_context_lines(spark, corpus, index, tmp_path):
     # a line that is both context and match for the same query stays 'match'
     assert all(k == "match" for (q, d, n, line, k) in got if (q, d, n) in
                {(q2, d2, n2) for (q2, d2, n2, _, k2) in want if k2 == "match"})
+
+
+def test_grep_case_sensitive(spark, corpus, index, tmp_path):
+    # ripgrep -s: anchors derive from the LOWERED literals (sound — a
+    # case-sensitive match lowers to contain them) but the verify runs the
+    # original pattern on the raw line
+    from information_retrieval_spark.operators.local_query import grep_local
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+    )
+
+    ci = grep_regex(spark, index, ["PARSER", "Parser"], CFG).collect()
+    cs = grep_regex(
+        spark, index, ["PARSER", "Parser"], CFG, case_sensitive=True
+    ).collect()
+    # case-insensitive: both patterns match the 'class Parser:' line
+    assert sorted(r.query_id for r in ci) == [0, 1]
+    # case-sensitive: only the exact-case pattern survives the verify
+    assert [(r.query_id, r.line) for r in cs] == [(1, "class Parser:")]
+    root = str(tmp_path / "idx")
+    build_index_resumable(spark, corpus, root, CFG)
+    lo = grep_local(root, ["PARSER", "Parser"], case_sensitive=True)
+    assert sorted(map(tuple, lo.itertuples(index=False))) == sorted(
+        tuple(r) for r in cs
+    )
