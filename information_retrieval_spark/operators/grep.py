@@ -120,16 +120,17 @@ _EDGE_PREFERENCE = {"prefix": 0, "suffix": 1, "infix": 2}
 
 def pattern_anchors(
     pattern_low: str, cfg: EngineConfig = DEFAULT_CONFIG
-) -> tuple[list[str], tuple[str, str] | None]:
-    """(exact_terms, best_edge) for one lowercased pattern.
+) -> tuple[list[str], list[tuple[str, str]]]:
+    """(exact_terms, edges) for one lowercased pattern.
 
     ``exact_terms`` — analyzer output of every both-sides-closed piece
     across all required literals; a matching doc contains ALL of them (the
     analyzer emits exactly these terms for the piece's token, including
-    the code-splitting whole+parts and any stemmed form). ``best_edge`` —
-    the single most selective open piece ``(mode, core)`` for the
-    dictionary-plane path, longest first (prefix > suffix > infix on
-    ties); None when stemming is on (suffix-rewriting stem rules break
+    the code-splitting whole+parts and any stemmed form). ``edges`` — the
+    open pieces ``(mode, core)`` for the dictionary-plane path, most
+    selective first (longest, then prefix > suffix > infix); every edge is
+    independently sound, so candidates may INTERSECT any subset of them.
+    Empty when stemming is on (suffix-rewriting stem rules break
     prefix/suffix containment against the stored vocabulary) or nothing
     clears the usefulness floor."""
     exact: set[str] = set()
@@ -140,10 +141,16 @@ def pattern_anchors(
                 exact.update(tokenize_series(pd.Series([piece]), cfg).iloc[0])
             elif len(piece) >= _MIN_EDGE[kind]:
                 edges.append((kind, piece))
-    best = None
-    if edges and not _stem_rules(cfg):
-        best = max(edges, key=lambda e: (len(e[1]), -_EDGE_PREFERENCE[e[0]]))
-    return sorted(exact), best
+    if not edges or _stem_rules(cfg):
+        return sorted(exact), []
+    edges.sort(key=lambda e: (-len(e[1]), _EDGE_PREFERENCE[e[0]]))
+    return sorted(exact), edges
+
+
+# candidate derivation intersects at most this many edge anchors: each one
+# costs a plane expansion + postings decode, and past two the marginal
+# selectivity rarely pays for the extra reads
+_MAX_EDGES = 2
 
 
 def grep_candidate_docids(
@@ -152,10 +159,11 @@ def grep_candidate_docids(
     """Single-column (docid) candidate frame for one lowercased pattern, or
     None when the pattern admits no sound anchor (full-scan fallback).
     Exact anchors: pruned ``term IN`` postings read + decode + all-terms
-    intersection. Edge anchor: plane-pruned dictionary expansion joined
-    against the postings — stays a DataFrame end-to-end (never collected,
-    any size)."""
-    exact, edge = pattern_anchors(pattern_low, cfg)
+    intersection. Edge anchors (no exact): up to ``_MAX_EDGES`` plane-
+    pruned dictionary expansions joined against the postings, their docid
+    sets INTERSECTED (every edge is independently required) — stays a
+    DataFrame end-to-end (never collected, any size)."""
+    exact, edges = pattern_anchors(pattern_low, cfg)
     if exact:
         pairs = decoded_term_docids(index, exact)
         return (
@@ -164,13 +172,14 @@ def grep_candidate_docids(
             .filter(F.col("_nt") == len(exact))
             .select("docid")
         )
-    if edge is not None:
-        mode, core = edge
+    cand: DataFrame | None = None
+    for mode, core in edges[:_MAX_EDGES]:
         mapping = wildcard_candidate_terms(index, mode, core).select(
             "term", F.lit("g").alias("sent")
         )
-        return decoded_sentinel_docids(index, mapping).select("docid").distinct()
-    return None
+        ids = decoded_sentinel_docids(index, mapping).select("docid").distinct()
+        cand = ids if cand is None else cand.join(ids, "docid")
+    return cand
 
 
 def grep_regex(

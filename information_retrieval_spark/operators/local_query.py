@@ -1194,24 +1194,29 @@ def grep_local(
     rows: list[tuple[int, int, int, str]] = []
     for qid, pattern in enumerate(patterns):
         low = _regex_lower(pattern)
-        exact, edge = pattern_anchors(low, cfg)
+        exact, edges = pattern_anchors(low, cfg)
         cand: "np.ndarray | None" = None
         if exact:
             by_term = _term_docids_local(idx, exact)
             cand = reduce(np.intersect1d, (by_term[t] for t in exact))
-        elif edge is not None:
-            mode, core = edge
-            matched = [
-                t
-                for _, t in idx.expand_wildcard_terms(
-                    [], max_expansions=1 << 62, norm=[(0, mode, core)]
-                )
-            ]
-            if matched:
-                by_term = _term_docids_local(idx, matched)
-                cand = np.unique(np.concatenate(list(by_term.values())))
-            else:
-                cand = np.empty(0, dtype=np.int64)
+        else:
+            # up to the same edge budget as the distributed path, each
+            # edge's docid union intersected (independently sound)
+            from .grep import _MAX_EDGES
+
+            for mode, core in edges[:_MAX_EDGES]:
+                matched = [
+                    t
+                    for _, t in idx.expand_wildcard_terms(
+                        [], max_expansions=1 << 62, norm=[(0, mode, core)]
+                    )
+                ]
+                if matched:
+                    by_term = _term_docids_local(idx, matched)
+                    ids = np.unique(np.concatenate(list(by_term.values())))
+                else:
+                    ids = np.empty(0, dtype=np.int64)
+                cand = ids if cand is None else np.intersect1d(cand, ids)
         if cand is not None and cand.size == 0:
             continue
         flt = None

@@ -87,23 +87,23 @@ def test_anchor_pieces_kinds():
 
 def test_pattern_anchors_floors_and_preference():
     # exact anchors collected across literals; analyzer terms
-    exact, edge = pattern_anchors(r" hash join ", CFG)
-    assert exact == ["hash", "join"] and edge is None
+    exact, edges = pattern_anchors(r" hash join ", CFG)
+    assert exact == ["hash", "join"] and edges == []
     # 1-char prefix is below the usefulness floor; 2-char infix below 3
-    assert pattern_anchors(r" m\w+", CFG) == ([], None)
-    assert pattern_anchors(r"qz", CFG) == ([], None)
-    # longest edge wins; prefix preferred over infix on ties
-    _, edge = pattern_anchors(r" merge\w+ .*table.*", CFG)
-    assert edge == ("prefix", "merge")
+    assert pattern_anchors(r" m\w+", CFG) == ([], [])
+    assert pattern_anchors(r"qz", CFG) == ([], [])
+    # longest edge first; prefix preferred over infix on ties
+    _, edges = pattern_anchors(r" merge\w+ .*table.*", CFG)
+    assert edges == [("prefix", "merge"), ("infix", "table")]
 
 
 def test_edge_anchor_disabled_under_stemming():
     stem = EngineConfig(stemming_level=1)
-    exact, edge = pattern_anchors(r" merge\w+", stem)
-    assert exact == [] and edge is None
+    exact, edges = pattern_anchors(r" merge\w+", stem)
+    assert exact == [] and edges == []
     # exact anchors stay sound under stemming (analyzer applied to piece)
-    exact, edge = pattern_anchors(r" hash join ", stem)
-    assert exact and edge is None
+    exact, edges = pattern_anchors(r" hash join ", stem)
+    assert exact and edges == []
 
 
 def test_grep_matches_bruteforce_all_paths(spark, index):
@@ -115,9 +115,9 @@ def test_grep_matches_bruteforce_all_paths(spark, index):
     assert got == _brute(PATTERNS, docs)
     # the path split is as designed: exact / edge / fallback all exercised
     assert pattern_anchors(_regex_lower(PATTERNS[0]), CFG)[0] == ["hash", "join"]
-    assert pattern_anchors(_regex_lower(PATTERNS[1]), CFG)[1] == ("prefix", "get")
-    assert pattern_anchors(_regex_lower(PATTERNS[2]), CFG)[1] == ("prefix", "merge")
-    assert pattern_anchors(_regex_lower(PATTERNS[4]), CFG) == ([], None)
+    assert pattern_anchors(_regex_lower(PATTERNS[1]), CFG)[1] == [("prefix", "get")]
+    assert pattern_anchors(_regex_lower(PATTERNS[2]), CFG)[1] == [("prefix", "merge")]
+    assert pattern_anchors(_regex_lower(PATTERNS[4]), CFG) == ([], [])
 
 
 def test_candidates_actually_prune(spark, index):
@@ -283,3 +283,17 @@ def test_grep_case_sensitive(spark, corpus, index, tmp_path):
     assert sorted(map(tuple, lo.itertuples(index=False))) == sorted(
         tuple(r) for r in cs
     )
+
+
+def test_two_edge_intersection_tightens_candidates(spark, index):
+    # "parse.*http" has two infix edges; intersecting both must keep docs
+    # containing BOTH (a.py only) while either alone matches more
+    exact, edges = pattern_anchors("qzxlong.*identifier", CFG)
+    assert exact == [] and len(edges) >= 2
+    cand = grep_candidate_docids(index, "qzxlong.*identifier", CFG)
+    assert cand is not None and cand.count() == 1
+    # still brute-force correct end to end
+    docs = [(r.docid, r.content) for r in index.docs.select("docid", "content").collect()]
+    pats = ["qzxlong.*identifier", "parse.*http", "win.*table"]
+    got = sorted(tuple(r) for r in grep_regex(spark, index, pats, CFG).collect())
+    assert got == _brute(pats, docs)
