@@ -359,6 +359,18 @@ def _q_grep_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grep_regex(spark, _GREP_INDEX_CACHE[sf_dir], GREP_PATTERNS, CFG)
 
 
+def _q_grep_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grep with context=1 (ripgrep -C 1): kind-tagged window rows, the
+    same anchor pruning — the oracle re-derives the windows with a range
+    join over its brute-force match set."""
+    from information_retrieval_spark.operators.grep import grep_regex
+
+    _q_grep_regex(spark, sf_dir)  # populate the shared amended-index cache
+    return grep_regex(
+        spark, _GREP_INDEX_CACHE[sf_dir], GREP_PATTERNS, CFG, context=1
+    )
+
+
 def _q_symbol_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ctags-lite symbol table: definition sites (function/class kinds)
     with line numbers — deterministic def/class lines appended per doc
@@ -1223,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST; the long-stable core follows.
     return {
         "grep_regex": _q_grep_regex,
+        "grep_context": _q_grep_context,
         "term_tf_code": _q_term_tf_code,
         "policy_scan": _q_policy_scan,
         "bm25_topk_maxscore": _q_bm25_maxscore,
@@ -1333,6 +1346,20 @@ SELECT source AS repo,
 FROM documents
 """
     return duckdb_grep_sql(amended_corpus, GREP_PATTERNS, CFG)
+
+
+def _grep_context_sql() -> str:
+    from information_retrieval_spark.operators.grep import duckdb_grep_sql
+
+    amended_corpus = """
+SELECT source AS repo,
+       'doc/' || CAST(doc_id AS VARCHAR) AS path,
+       md5('c' || CAST(doc_id AS VARCHAR)) AS "commit",
+       lang,
+       replace(text, ' value ', chr(10)) AS content
+FROM documents
+"""
+    return duckdb_grep_sql(amended_corpus, GREP_PATTERNS, CFG, context=1)
 
 
 def _symbol_extract_sql() -> str:
@@ -1497,6 +1524,7 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     )
     return {
         "grep_regex": _grep_sql(),
+        "grep_context": _grep_context_sql(),
         "docids": f"""
 SELECT docid, bucket, repo, path, "commit", lang
 FROM ({duckdb_docid_sql(corpus, CFG)})

@@ -329,12 +329,14 @@ def duckdb_grep_sql(
     corpus_sql: str,
     patterns: list[str],
     cfg: EngineConfig = DEFAULT_CONFIG,
+    context: int = 0,
 ) -> str:
     """Oracle twin: docid derivation shared with every indexed oracle
     (``duckdb_docid_sql``), lines via string_split, the same lowered
     pattern under RE2 search semantics (``regexp_matches``) — brute force
     over ALL docs, so any unsound pruning in the Spark path shows up as a
-    row-count mismatch."""
+    row-count mismatch. ``context=N`` re-derives the window rows + kind
+    column with a range join over the match set."""
     from .docids import duckdb_docid_sql
 
     arms = "\nUNION ALL\n".join(
@@ -344,7 +346,7 @@ def duckdb_grep_sql(
         )
         for qid, p in enumerate(patterns)
     )
-    return f"""
+    base = f"""
 WITH ids AS ({duckdb_docid_sql(corpus_sql, cfg)}),
 l AS (
   SELECT docid,
@@ -353,5 +355,23 @@ l AS (
            AS line_no
   FROM ids
 )
-{arms}
 """
+    if context <= 0:
+        return base + arms
+    return (
+        base
+        + f""", m AS (
+{arms}
+)
+SELECT DISTINCT m.query_id, l2.docid, l2.line_no, l2.line,
+       CASE WHEN EXISTS (
+         SELECT 1 FROM m m2
+         WHERE m2.query_id = m.query_id AND m2.docid = l2.docid
+           AND m2.line_no = l2.line_no
+       ) THEN 'match' ELSE 'context' END AS kind
+FROM m
+JOIN l l2
+  ON l2.docid = m.docid
+ AND l2.line_no BETWEEN m.line_no - {int(context)} AND m.line_no + {int(context)}
+"""
+    )
