@@ -4,9 +4,12 @@ The operation every code-search front-end ultimately serves (public
 pattern: Zoekt's trigram-pruned regex search, ripgrep's line output;
 the reference returns nothing finer than a doc and has no regex surface)
 — given regex patterns, return every (query_id, docid, line_no, line)
-whose LINE matches, case-insensitively (the same analyzer contract as the
-ranked surface: the index lowercases every term, so grep lowercases both
-the pattern's literals and the verified line).
+whose LINE matches — case-insensitively by default (the same analyzer
+contract as the ranked surface: the index lowercases every term, so grep
+lowercases both the pattern's literals and the verified line), or
+case-sensitively on request (the verify regex runs unlowered; anchors keep
+deriving from the lowered literals, which any case-sensitive match's text
+lowers to contain).
 
 **Index acceleration.** A naive grep is one full corpus scan per batch —
 the 100 TB floor. This module prunes it with the SAME machinery the ranked
