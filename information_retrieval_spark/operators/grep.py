@@ -194,6 +194,7 @@ def grep_regex(
     use_anchors: bool = True,
     context: int = 0,
     case_sensitive: bool = False,
+    doc_filter: str | None = None,
 ) -> DataFrame:
     """(query_id, docid, line_no, line) — every 1-indexed line of every
     indexed document whose lowered text matches the lowered pattern
@@ -205,6 +206,13 @@ def grep_regex(
     regex as a CODEGEN LITERAL (constant-folded by the JVM regex cache),
     so materializing the result is one job regardless of batch size.
 
+    ``doc_filter`` is a SQL predicate over the docs catalog (repo/path/
+    lang/…— the ripgrep path-scoping analog, e.g. ``"lang = 'py'"``):
+    it composes with anchor pruning — candidates join the FILTERED
+    catalog, so the verify reads only candidate docs that also satisfy
+    the predicate (and Catalyst pushes catalog-column predicates into the
+    docs Parquet scan).
+
     ``context=N`` (ripgrep ``-C N``) adds a ``kind`` column and the ≤N
     surrounding lines of every match as ``kind='context'`` rows
     (match-overlapping lines stay ``'match'``; context rows are distinct
@@ -214,7 +222,10 @@ def grep_regex(
     catalog — content is touched only for docs that actually matched."""
     cfg = cfg or index.cfg
     out: DataFrame | None = None
-    docs = index.docs.select("docid", "content")
+    base = index.docs
+    if doc_filter:
+        base = base.filter(F.expr(doc_filter))
+    docs = base.select("docid", "content")
     if deleted is not None:
         docs = docs.join(deleted, "docid", "left_anti")
     # use_anchors=False forces the full-scan fallback for every pattern

@@ -1162,6 +1162,7 @@ def grep_local(
     patterns: list[str],
     context: int = 0,
     case_sensitive: bool = False,
+    doc_filter: str | None = None,
 ) -> pd.DataFrame:
     """(query_id, docid, line_no, line) — Spark-free twin of
     ``grep.grep_regex``, pinned to the same semantics: every 1-indexed
@@ -1191,6 +1192,27 @@ def grep_local(
 
     idx = LocalIndex(index) if isinstance(index, str) else index
     cfg = idx.cfg
+    allowed: "np.ndarray | None" = None
+    if doc_filter:
+        import duckdb
+        import numpy as np
+
+        ids: list[int] = []
+        for root in _index_roots(idx):
+            glob = os.path.join(root, "docs", "*", "*.parquet")
+            ids.extend(
+                r[0]
+                for r in duckdb.sql(
+                    "SELECT docid FROM read_parquet('" + glob.replace("'", "''")
+                    + "', hive_partitioning=true) WHERE " + doc_filter
+                ).fetchall()
+            )
+        allowed = np.asarray(sorted(ids), dtype=np.int64)
+        # the fallback arm trusts `cand` to be deletion-masked (the anchor
+        # paths mask via _term_docids_local) — keep that invariant when
+        # `allowed` becomes the candidate set on its own
+        if idx.deleted is not None and allowed.size:
+            allowed = allowed[~np.isin(allowed, idx.deleted)]
     rows: list[tuple[int, int, int, str]] = []
     for qid, pattern in enumerate(patterns):
         low = _regex_lower(pattern)
@@ -1217,6 +1239,12 @@ def grep_local(
                 else:
                     ids = np.empty(0, dtype=np.int64)
                 cand = ids if cand is None else np.intersect1d(cand, ids)
+        if allowed is not None:
+            cand = (
+                allowed
+                if cand is None
+                else np.intersect1d(cand, allowed)
+            )
         if cand is not None and cand.size == 0:
             continue
         flt = None

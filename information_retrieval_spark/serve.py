@@ -283,9 +283,11 @@ class QueryDaemon:
 
                 ctx = int(req.get("context", 0))
                 cs = bool(req.get("case_sensitive", False))
+                flt = req.get("filter")
                 df = self._with_snapshot(
                     lambda idx: grep_local(
-                        idx, patterns, context=ctx, case_sensitive=cs
+                        idx, patterns, context=ctx, case_sensitive=cs,
+                        doc_filter=flt,
                     )
                 )
                 results = [

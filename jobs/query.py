@@ -99,18 +99,20 @@ def main(argv: list[str] | None = None) -> None:
             "--auto routes each query by its own syntax; it cannot be "
             "combined with --phrase/--filter/--bm25f/--did-you-mean"
         )
-    if args.grep and (args.auto or args.bm25f or args.filter
+    if args.grep and (args.auto or args.bm25f
                       or args.did_you_mean or args.phrase or args.snippets
                       or args.lines):
         raise SystemExit(
             "--grep takes plain regex patterns; it cannot be combined with "
-            "--auto/--phrase/--filter/--bm25f/--did-you-mean/--snippets/--lines"
+            "--auto/--phrase/--bm25f/--did-you-mean/--snippets/--lines "
+            "(--filter composes: it scopes grep to matching catalog rows)"
         )
     if args.engine == "local":
-        if args.filter:
+        if args.filter and not args.grep:
             raise SystemExit(
                 "--filter requires --engine spark (the local pyarrow path "
-                "has no metadata-filtered ranking)"
+                "has no metadata-filtered ranking; --filter with --grep "
+                "works on both engines)"
             )
         if args.bm25f:
             raise SystemExit(
@@ -144,7 +146,8 @@ def main(argv: list[str] | None = None) -> None:
 
         rows = (
             grep_regex(spark, idx, args.queries, idx.cfg, context=args.context,
-                       case_sensitive=args.case_sensitive)
+                       case_sensitive=args.case_sensitive,
+                       doc_filter=args.filter)
             .join(F.broadcast(idx.docs.select("docid", "repo", "path")), "docid")
             .orderBy("query_id", "docid", "line_no")
             .collect()
@@ -429,7 +432,8 @@ def _main_local(args) -> None:
         from information_retrieval_spark.operators.local_query import grep_local
 
         df = grep_local(li, args.queries, context=args.context,
-                        case_sensitive=args.case_sensitive)
+                        case_sensitive=args.case_sensitive,
+                        doc_filter=args.filter)
         ids = sorted({int(d) for d in df["docid"].unique()}) if len(df) else []
         resolve: dict[int, tuple] = {}
         if ids:

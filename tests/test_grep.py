@@ -297,3 +297,33 @@ def test_two_edge_intersection_tightens_candidates(spark, index):
     pats = ["qzxlong.*identifier", "parse.*http", "win.*table"]
     got = sorted(tuple(r) for r in grep_regex(spark, index, pats, CFG).collect())
     assert got == _brute(pats, docs)
+
+
+def test_grep_doc_filter_scopes_search(spark, corpus, index, tmp_path):
+    # the ripgrep path-scoping analog: a catalog predicate composes with
+    # anchor pruning on the spark path and with the DuckDB-evaluated
+    # docid set on the local twin
+    from information_retrieval_spark.operators.local_query import grep_local
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+    )
+
+    pats = ["table", "(hash|window)"]  # edge anchor + fallback
+    unfiltered = grep_regex(spark, index, pats, CFG).collect()
+    got = grep_regex(
+        spark, index, pats, CFG, doc_filter="lang = 'md'"
+    ).collect()
+    md_ids = {r.docid for r in index.docs.filter("lang = 'md'").collect()}
+    assert {r.docid for r in got} == {
+        r.docid for r in unfiltered if r.docid in md_ids
+    }
+    assert sorted(map(tuple, got)) == sorted(
+        tuple(r) for r in unfiltered if r.docid in md_ids
+    )
+    assert len(got) < len(unfiltered)
+    root = str(tmp_path / "idx")
+    build_index_resumable(spark, corpus, root, CFG)
+    lo = grep_local(root, pats, doc_filter="lang = 'md'")
+    assert sorted(map(tuple, lo.itertuples(index=False))) == sorted(
+        map(tuple, got)
+    )
