@@ -107,6 +107,15 @@ def main(argv: list[str] | None = None) -> None:
             "--auto/--phrase/--bm25f/--did-you-mean/--snippets/--lines "
             "(--filter composes: it scopes grep to matching catalog rows)"
         )
+    if not args.grep and (args.context or args.case_sensitive):
+        raise SystemExit(
+            "--context/--case-sensitive only apply to --grep"
+        )
+    if args.lines and (args.auto or args.phrase or args.did_you_mean):
+        raise SystemExit(
+            "--lines attaches matching lines to RANKED hits; it cannot be "
+            "combined with --auto/--phrase/--did-you-mean"
+        )
     if args.engine == "local":
         if args.filter and not args.grep:
             raise SystemExit(
