@@ -221,6 +221,7 @@ def grep_regex(
     the window joins the candidate docs' lines re-exploded from the docs
     catalog — content is touched only for docs that actually matched."""
     cfg = cfg or index.cfg
+    spark_ = spark
     out: DataFrame | None = None
     base = index.docs
     if doc_filter:
@@ -235,30 +236,101 @@ def grep_regex(
             return F.col("line").rlike(orig)
         return F.lower(F.col("line")).rlike(low)
 
+    # classify the batch ONCE: exact-anchored, edge-anchored, anchorless.
+    # Batched derivation keeps the expensive reads independent of |batch|:
+    # one `term IN` postings read serves every exact-anchored pattern, one
+    # postings join serves every edge of every edge-anchored pattern, and
+    # the anchorless group shares one corpus line scan.
+    exact_map: list[tuple[str, int]] = []  # (term, qid)
+    exact_counts: dict[int, int] = {}
+    edge_items: list[tuple[int, int, str, str]] = []  # (qid, edge_i, mode, core)
+    edge_counts: dict[int, int] = {}
+    anchored: list[tuple[int, str, str]] = []
     fallback: list[tuple[int, str, str]] = []
     for qid, pattern in enumerate(patterns):
         low = _regex_lower(pattern)
-        cand = grep_candidate_docids(index, low, cfg) if use_anchors else None
-        if cand is None:
+        exact, edges = (
+            pattern_anchors(low, cfg) if use_anchors else ([], [])
+        )
+        if exact:
+            exact_map.extend((t, qid) for t in exact)
+            exact_counts[qid] = len(exact)
+            anchored.append((qid, low, pattern))
+        elif edges:
+            used = edges[:_MAX_EDGES]
+            edge_items.extend(
+                (qid, i, mode, core) for i, (mode, core) in enumerate(used)
+            )
+            edge_counts[qid] = len(used)
+            anchored.append((qid, low, pattern))
+        else:
             fallback.append((qid, low, pattern))
-            continue
+    cand: DataFrame | None = None
+    if exact_map:
+        map_df = spark_.createDataFrame(exact_map, "term string, query_id int")
+        counts = spark_.createDataFrame(
+            list(exact_counts.items()), "query_id int, _need int"
+        )
+        pairs = decoded_term_docids(index, sorted({t for t, _ in exact_map}))
+        cand = (
+            pairs.join(F.broadcast(map_df), "term")
+            .groupBy("query_id", "docid")
+            .agg(F.count_distinct("term").alias("_nt"))
+            .join(F.broadcast(counts), "query_id")
+            .filter(F.col("_nt") == F.col("_need"))
+            .select("query_id", "docid")
+        )
+    if edge_items:
+        mapping: DataFrame | None = None
+        for qid, i, mode, core in edge_items:
+            m = wildcard_candidate_terms(index, mode, core).select(
+                "term", F.lit(f"{qid}:{i}").alias("sent")
+            )
+            mapping = m if mapping is None else mapping.unionByName(m)
+        ecounts = spark_.createDataFrame(
+            list(edge_counts.items()), "query_id int, _need int"
+        )
+        ids = decoded_sentinel_docids(index, mapping)
+        ecand = (
+            ids.select(
+                F.split_part(F.col("sent"), F.lit(":"), F.lit(1))
+                .cast("int")
+                .alias("query_id"),
+                F.split_part(F.col("sent"), F.lit(":"), F.lit(2))
+                .cast("int")
+                .alias("_edge"),
+                "docid",
+            )
+            .groupBy("query_id", "docid")
+            .agg(F.count_distinct("_edge").alias("_ne"))
+            .join(F.broadcast(ecounts), "query_id")
+            .filter(F.col("_ne") == F.col("_need"))
+            .select("query_id", "docid")
+        )
+        cand = ecand if cand is None else cand.unionByName(ecand)
+    if anchored and cand is not None:
+        verify = None
+        for qid, low, orig in anchored:
+            c = (F.col("query_id") == qid) & _verify_col(low, orig)
+            verify = c if verify is None else verify | c
         hits = (
-            docs.join(cand, "docid")
+            cand.join(docs, "docid")
             .select(
+                "query_id",
                 "docid",
                 F.posexplode(F.split(F.col("content"), "\n")).alias(
                     "pos", "line"
                 ),
             )
-            .filter(_verify_col(low, pattern))
+            .filter(verify)
             .select(
-                F.lit(qid).alias("query_id"),
+                "query_id",
                 "docid",
                 (F.col("pos") + 1).cast("int").alias("line_no"),
                 "line",
             )
         )
-        out = hits if out is None else out.unionByName(hits)
+        out = hits
     if fallback:
         # every anchorless pattern shares ONE corpus line scan: the per-
         # pattern verdicts are an exploded array of (query_id, matched)

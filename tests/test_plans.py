@@ -342,3 +342,34 @@ def test_grep_exact_anchor_term_filter_pushed(spark, root):
     assert docs_scans
     rs = docs_scans[0][docs_scans[0].index("ReadSchema"):].split("\n")[0]
     assert "content" in rs and "repo" not in rs and "path" not in rs, rs
+
+
+def test_grep_batch_shares_one_postings_read(spark, root):
+    """THREE exact-anchored patterns cost ONE term-IN postings scan (the
+    batched candidate derivation), and three edge-anchored patterns cost
+    one postings join — scans of the postings dataset in the plan stay
+    constant in |batch|."""
+    from information_retrieval_spark.operators.grep import grep_regex
+
+    idx = open_index(spark, root)
+
+    def _postings_scans(plan: str) -> int:
+        # formatted mode prints each scan twice (tree line + numbered detail
+        # block) — count only detail headers whose block reads the postings
+        # payload columns.
+        n = 0
+        for block in re.split(r"\n\(\d+\) ", "\n" + plan)[1:]:
+            head = block.split("\n", 1)[0]
+            if head.startswith("Scan parquet") and "docs_vb" in block:
+                n += 1
+        return n
+
+    exact_pats = [" ident_1 ident_2 ", " ident_3 ident_4 ", " ident_5 ident_6 "]
+    plan = _plan(grep_regex(spark, idx, exact_pats, CFG))
+    assert _postings_scans(plan) == 1, plan[:1500]
+    # all six terms land in the ONE scan's pushed IN filter
+    assert re.search(r"In\(term, \[ident_1,ident_2,ident_3,"
+                     r"ident_4,ident_5,ident_6\]", plan), plan[:1500]
+    edge_pats = [r" ident_1\w+", r" ident_2\w+", r" ident_3\w+"]
+    plan2 = _plan(grep_regex(spark, idx, edge_pats, CFG))
+    assert _postings_scans(plan2) == 1, plan2[:1500]
