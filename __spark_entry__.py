@@ -480,6 +480,81 @@ def _q_policy_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return policy_scan(docs5, CFG)
 
 
+# mixture sampling rates by stratum (the `source` column: src0..src19 in the
+# driver corpus) — named strata at explicit rates, the long tail at the
+# default; seed pinned so the sample is a pure function of the table
+_MIXTURE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.1, "src3": 0.0}
+_MIXTURE_SEED = 7
+_MIXTURE_DEFAULT = 0.25
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum mixture sampling (seeded md5-threshold
+    Bernoulli): reproducible at any parallelism, shuffle-free."""
+    from information_retrieval_spark.operators.sampling import mixture_sample
+
+    return mixture_sample(
+        _documents(spark, sf_dir),
+        _MIXTURE_RATES,
+        seed=_MIXTURE_SEED,
+        default_rate=_MIXTURE_DEFAULT,
+    )
+
+
+def _q_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global training-order permutation via the bucketed
+    distributed rank (no single-partition window)."""
+    from information_retrieval_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    return deterministic_shuffle(_documents(spark, sf_dir), seed=_MIXTURE_SEED)
+
+
+def _q_redact_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credential redaction over the policy-amplified corpus: every
+    SECRET_PATTERNS hit rewritten to [REDACTED:<kind>], count preserved."""
+    from information_retrieval_spark.operators.textproc import redact_secrets
+
+    docs5 = _documents(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit(" "),
+            F.element_at(
+                F.array(*[F.lit(s) for s in _POLICY_SUFFIXES]),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+        ),
+    )
+    return redact_secrets(docs5)
+
+
+def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination (search_after): page 2 of the BM25 ranking — the
+    engine runs page 1, takes each query's (score, docid) cursor from its
+    k-th row, and re-runs WAND with the strict-after admission filter.
+    Queries with fewer than k results are exhausted (no cursor, no page 2)."""
+    from information_retrieval_spark.operators.query import parse_query_terms
+
+    idx = _index(spark, sf_dir)
+    pairs = parse_query_terms(QUERY_SET, CFG)
+    page1 = wand_topk(spark, idx, pairs, TOP_K, CFG)
+    cur = {
+        int(r["query_id"]): (float(r["score"]), int(r["docid"]))
+        for r in page1.filter(F.col("rank") == TOP_K).collect()
+    }
+    pairs2 = [(q, t) for q, t in pairs if q in cur]
+    if not pairs2:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, docid long, score double"
+        )
+    out = wand_topk(spark, idx, pairs2, TOP_K, CFG, after=cur)
+    return out.select(
+        "query_id", "rank", "docid", F.round("score", 4).alias("score")
+    )
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring + heuristic lang-ID, pure Catalyst."""
     return text_stats(_documents(spark, sf_dir), CFG)
@@ -1234,6 +1309,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50), so entries NEW or previously-uncovered this round come
     # FIRST; the long-stable core follows.
     return {
+        "mixture_sample": _q_mixture_sample,
+        "det_shuffle": _q_det_shuffle,
+        "redact_secrets": _q_redact_secrets,
+        "search_after": _q_search_after,
         "grep_regex": _q_grep_regex,
         "grep_context": _q_grep_context,
         "term_tf_code": _q_term_tf_code,
@@ -1522,7 +1601,33 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     dedup_clusters_sql = duckdb_dedup_clusters_sql(
         f"SELECT id_a, id_b FROM ({ngram_sql}) WHERE jaccard >= 0.08"
     )
+    from information_retrieval_spark.operators.sampling import (
+        duckdb_deterministic_shuffle_sql,
+        duckdb_mixture_sample_sql,
+    )
+    from information_retrieval_spark.operators.textproc import (
+        duckdb_redact_secrets_sql,
+    )
+
+    policy_suffixes = ", ".join(f"'{s}'" for s in _POLICY_SUFFIXES)
+    policy_amended = (
+        f"(SELECT doc_id, text || ' ' || "
+        f"([{policy_suffixes}])[CAST(doc_id % 5 AS INT) + 1] AS text "
+        f"FROM documents)"
+    )
+    # page 2 = ranks k+1..2k of the same ranking, re-numbered 1..k
+    bm25_2k = duckdb_bm25_sql(corpus, QUERY_SET, CFG, k=2 * TOP_K, round_to=4)
+    search_after_sql = f"""
+SELECT query_id, rank - {TOP_K} AS rank, docid, score
+FROM ({bm25_2k}) WHERE rank > {TOP_K}
+"""
     return {
+        "mixture_sample": duckdb_mixture_sample_sql(
+            _MIXTURE_RATES, seed=_MIXTURE_SEED, default_rate=_MIXTURE_DEFAULT
+        ),
+        "det_shuffle": duckdb_deterministic_shuffle_sql(seed=_MIXTURE_SEED),
+        "redact_secrets": duckdb_redact_secrets_sql(table=policy_amended),
+        "search_after": search_after_sql,
         "grep_regex": _grep_sql(),
         "grep_context": _grep_context_sql(),
         "docids": f"""

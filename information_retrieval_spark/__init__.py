@@ -98,6 +98,7 @@ from .operators.similarity import (
     lsh_bucketize,
     lsh_topk,
 )
+from .operators.sampling import deterministic_shuffle, mixture_sample
 from .operators.textproc import (
     code_quality_filter,
     code_quality_stats,
@@ -105,6 +106,7 @@ from .operators.textproc import (
     extract_imports,
     extract_symbols,
     policy_scan,
+    redact_secrets,
     dedup_clusters,
     dedup_select,
     repetition_stats,
@@ -161,7 +163,8 @@ __all__ = [
     "decontaminate", "related_terms",
     "simhash", "simhash_near_dup_pairs", "winnow_fingerprints", "text_stats",
     "token_counts", "lang_id_ngram",
-    "policy_scan", "code_quality_stats", "code_quality_filter",
+    "policy_scan", "redact_secrets", "code_quality_stats", "code_quality_filter",
+    "mixture_sample", "deterministic_shuffle",
     "extract_symbols", "extract_imports", "line_matches", "grep_regex",
     "cosine_topk", "lsh_bucketize", "lsh_topk", "embedding_near_dup_pairs",
     "ivf_train_centroids", "ivf_assign", "ivf_topk", "knn_join",

@@ -1,0 +1,203 @@
+"""Deterministic corpus sampling and training-order shuffling.
+
+The two order/selection primitives every LM training-data pipeline needs
+downstream of curation (quality_filter / dedup / policy_scan) and upstream
+of sequence packing (textproc.sequence_pack):
+
+* ``mixture_sample`` — per-stratum Bernoulli sampling at configured rates
+  ("the mixture"): web 10%, code 100%, forums 30%, ... Selection is a pure
+  function of (seed, doc id): keep iff the first 8 hex chars of
+  ``md5("{seed}:{id}")`` fall below the stratum's rate threshold. That
+  makes the sample REPRODUCIBLE (same seed → same sample on any cluster at
+  any parallelism), STABLE under re-partitioning and incremental appends
+  (membership never depends on which rows happen to share a partition —
+  ``df.sample`` does), and CHEAP: one codegen projection + filter, zero
+  shuffles, zero Python. The md5-prefix-vs-hex-threshold comparison is the
+  standard hash-bucket sampling trick (same family as Hive/BigQuery
+  ``TABLESAMPLE ... ON hash``), chosen here because both engines (Spark and
+  the DuckDB oracle) produce identical lowercase-hex md5, so the oracle
+  re-derives membership bit-for-bit.
+
+* ``deterministic_shuffle`` — a seeded global permutation of the corpus
+  (the training order): position = rank of ``md5("{seed}:{id}")`` under
+  (key ASC, id ASC). Computed WITHOUT a single-partition global window —
+  the same two-pass distributed scan as ``sequence_pack``: the leading hex
+  chars of the key ARE an order-preserving uniform bucketing (lowercase hex
+  sorts lexicographically = numerically), so per-bucket counts (one tiny
+  agg, ≤ 16^prefix rows collected) + driver cumsum + per-bucket window
+  give the exact global rank with bounded partitions. At 10^10 docs use
+  ``prefix_len=4`` (65 536 buckets, ~150k rows per window partition).
+
+Reference parity: the reference engine has no sampling surface (it stops
+at index build scaffolding, /root/reference/index/index.cc:161) — these
+are driver-mandated training-data-pipeline operators; semantics follow the
+public data-pipeline literature (Gopher/RefinedWeb mixture tables,
+GPT-style pre-shuffled concat-and-chunk order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = [
+    "mixture_sample",
+    "deterministic_shuffle",
+    "duckdb_mixture_sample_sql",
+    "duckdb_deterministic_shuffle_sql",
+]
+
+
+def _rate_threshold(rate: float) -> str:
+    """Keep-threshold for a rate as an 8-hex-char string: keep iff
+    ``substr(md5, 1, 8) < threshold``. 'g' sorts after every hex char, so
+    rate >= 1.0 keeps everything; '00000000' keeps nothing."""
+    r = float(rate)
+    if r <= 0.0:
+        return "00000000"
+    if r >= 1.0:
+        return "g"
+    return format(int(round(r * (1 << 32))), "08x")
+
+
+def _hash_key(seed: int, id_col: str) -> F.Column:
+    return F.md5(F.concat(F.lit(f"{int(seed)}:"), F.col(id_col).cast("string")))
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    *,
+    seed: int = 0,
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+) -> DataFrame:
+    """(id, stratum, weight) — the kept rows of a seeded per-stratum
+    Bernoulli sample. ``weight`` is the inverse keep rate (Horvitz-Thompson
+    inflation factor so downstream token accounting can re-weight the
+    mixture). Strata absent from ``rates`` sample at ``default_rate``.
+
+    One shuffle-free codegen projection: the per-stratum threshold is a
+    literal CASE chain (mixtures have tens of strata, not millions — a
+    corpus-sized stratum table would instead broadcast-join), membership is
+    a string compare on the md5 prefix.
+    """
+    rates = {str(s): float(r) for s, r in rates.items()}
+    strat = F.col(strat_col)
+    thr = F.lit(_rate_threshold(default_rate))
+    wt = F.lit(1.0 / default_rate if default_rate > 0 else 0.0)
+    for s in sorted(rates):
+        r = rates[s]
+        thr = F.when(strat == s, F.lit(_rate_threshold(r))).otherwise(thr)
+        wt = F.when(strat == s, F.lit(1.0 / r if r > 0 else 0.0)).otherwise(wt)
+    key8 = F.substring(_hash_key(seed, id_col), 1, 8)
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            strat.alias("stratum"),
+            key8.alias("_hk"),
+            thr.alias("_thr"),
+            wt.cast("double").alias("weight"),
+        )
+        .filter(F.col("_hk") < F.col("_thr"))
+        .select("id", "stratum", "weight")
+    )
+
+
+def duckdb_mixture_sample_sql(
+    rates: dict[str, float],
+    *,
+    seed: int = 0,
+    default_rate: float = 0.0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+) -> str:
+    """Oracle twin: identical md5-prefix membership in one SQL pass."""
+    rates = {str(s): float(r) for s, r in rates.items()}
+    thr = f"'{_rate_threshold(default_rate)}'"
+    wt = repr(1.0 / default_rate if default_rate > 0 else 0.0)
+    for s in sorted(rates):
+        r = rates[s]
+        thr = (
+            f"CASE WHEN {strat_col} = '{s}' "
+            f"THEN '{_rate_threshold(r)}' ELSE {thr} END"
+        )
+        wt = (
+            f"CASE WHEN {strat_col} = '{s}' "
+            f"THEN {1.0 / r if r > 0 else 0.0!r} ELSE {wt} END"
+        )
+    return f"""
+WITH s AS (
+  SELECT CAST({id_col} AS BIGINT) AS id,
+         {strat_col} AS stratum,
+         substr(md5('{int(seed)}:' || CAST({id_col} AS VARCHAR)), 1, 8) AS hk,
+         {thr} AS thr,
+         CAST({wt} AS DOUBLE) AS weight
+  FROM {table}
+)
+SELECT id, stratum, weight FROM s WHERE hk < thr
+"""
+
+
+def deterministic_shuffle(
+    docs: DataFrame,
+    *,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    prefix_len: int = 2,
+) -> DataFrame:
+    """(id, pos) — the seeded global training-order permutation: ``pos`` is
+    the 0-based rank of ``md5("{seed}:{id}")`` under (key ASC, id ASC; the
+    id tie-break makes duplicate ids deterministic too).
+
+    Two-pass distributed prefix rank, no global window: the first
+    ``prefix_len`` hex chars of the key bucket the rows uniformly AND
+    order-preservingly (lexicographic lowercase hex = numeric order), so
+    global rank = cumsum of earlier buckets' counts (≤ 16^prefix_len values
+    through the driver, broadcast back) + the within-bucket window rank.
+    """
+    if not 1 <= int(prefix_len) <= 8:
+        raise ValueError("prefix_len must be in 1..8")
+    key = _hash_key(seed, id_col)
+    d = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        key.alias("_key"),
+        F.substring(key, 1, int(prefix_len)).alias("_bk"),
+    )
+    counts = {
+        r["_bk"]: int(r["c"])
+        for r in d.groupBy("_bk").agg(F.count("*").alias("c")).collect()
+    }
+    base, acc = [], 0
+    for bk in sorted(counts):
+        base.append((bk, acc))
+        acc += counts[bk]
+    if not base:
+        return d.select("id", F.lit(0).cast("long").alias("pos")).limit(0)
+    base_df = d.sparkSession.createDataFrame(base, "_bk string, base long")
+    w = Window.partitionBy("_bk").orderBy("_key", "id")
+    return (
+        d.join(F.broadcast(base_df), "_bk")
+        .withColumn(
+            "pos",
+            (F.col("base") + F.row_number().over(w) - F.lit(1)).cast("long"),
+        )
+        .select("id", "pos")
+    )
+
+
+def duckdb_deterministic_shuffle_sql(
+    *,
+    seed: int = 0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle twin: ONE global window rank (fine at test scale; the
+    engine's bucketed rank must reproduce it exactly)."""
+    key = f"md5('{int(seed)}:' || CAST({id_col} AS VARCHAR))"
+    return f"""
+SELECT CAST({id_col} AS BIGINT) AS id,
+       CAST(row_number() OVER (ORDER BY {key}, {id_col}) - 1 AS BIGINT) AS pos
+FROM {table}
+"""

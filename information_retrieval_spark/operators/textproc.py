@@ -1903,6 +1903,57 @@ FROM k
 """
 
 
+def redact_secrets(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, redacted, n_redacted) — the remediation half of ``policy_scan``:
+    every SECRET_PATTERNS hit is rewritten to ``[REDACTED:<kind>]`` so the
+    document can stay in the corpus instead of being dropped wholesale (the
+    standard pipeline treatment for credential hits in otherwise-keepable
+    code files).
+
+    Replacements apply sequentially in SECRET_PATTERNS order; ``n_redacted``
+    counts each pattern's matches against the ORIGINAL text (a redaction
+    marker can therefore not be double-counted by a later pattern, and the
+    count is well-defined independent of replacement order). One codegen
+    projection — |patterns| regex passes fused into whole-stage codegen, no
+    shuffle, no Python.
+    """
+    t = F.col(text_col)
+    red = t
+    n = F.lit(0)
+    for name, pat in SECRET_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        red = F.regexp_replace(red, pat, f"[REDACTED:{name}]")
+    return docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        red.alias("redacted"),
+        n.cast("long").alias("n_redacted"),
+    )
+
+
+def duckdb_redact_secrets_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """Oracle twin: the same sequential global regexp_replace chain (DuckDB
+    needs the explicit 'g' flag; Spark's regexp_replace is global by
+    default) and the same count-on-original sum."""
+    red = text_col
+    counts = []
+    for name, pat in SECRET_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '[REDACTED:{name}]', 'g')"
+        counts.append(f"len(regexp_extract_all({text_col}, '{pat}'))")
+    return f"""
+SELECT CAST({id_col} AS BIGINT) AS id,
+       {red} AS redacted,
+       CAST({' + '.join(counts)} AS BIGINT) AS n_redacted
+FROM {table}
+"""
+
+
 # --------------------------------------------------------------------------
 # Symbol extraction (ctags-lite for the source-code corpus)
 # --------------------------------------------------------------------------

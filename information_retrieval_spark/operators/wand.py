@@ -132,12 +132,21 @@ class _Cursor:
             self._load_block(self.blk + 1)
 
 
-def _bmw(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
+def _bmw(
+    cursors: list[_Cursor], k: int, after: tuple[float, int] | None = None
+) -> list[tuple[int, float]]:
     """Block-max WAND main loop → [(docid, score)] unordered, ≤ k.
 
     Threshold test uses >= so exact ties with the current k-th score are
     still evaluated — required for the deterministic (score DESC, docid ASC)
     tie-break (SURVEY.md Q4/§7.4#2).
+
+    ``after``: optional search-after cursor as a ``(score, -docid)`` heap
+    key — only candidates strictly AFTER it in rank order (heap key strictly
+    below it) are admitted, the keyset-pagination contract (Elasticsearch
+    ``search_after``). Docs at-or-before the cursor still evaluate (their
+    upper bounds cannot distinguish them) but never occupy the heap, so the
+    returned k are exactly ranks cursor+1..cursor+k.
     """
     # heap of (score, -docid): heap[0] is the current worst of the top k
     heap: list[tuple[float, int]] = []
@@ -178,10 +187,11 @@ def _bmw(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
                     if not c.exhausted and c.doc == pivot_doc:
                         c.next()
                 item = (score, -pivot_doc)
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
+                if after is None or item < after:
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
             else:
                 # block-max says no: jump past the earliest block boundary
                 nxt = min(int(c.lasts[c.blk]) for c in involved) + 1
@@ -196,7 +206,9 @@ def _bmw(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
     return [(-nd, s) for s, nd in heap]
 
 
-def _maxscore(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
+def _maxscore(
+    cursors: list[_Cursor], k: int, after: tuple[float, int] | None = None
+) -> list[tuple[int, float]]:
     """MaxScore top-k (Turtle & Flood 1995, "Query evaluation: strategies
     and optimizations" — public literature) over the same block cursors →
     [(docid, score)] unordered, ≤ k.
@@ -257,10 +269,11 @@ def _maxscore(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
             for _, s in sorted(contribs):  # ascending term — BMW's order
                 score += s
             item = (score, -doc)
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
+            if after is None or item < after:
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
         for c in ess:
             if not c.exhausted and c.doc == doc:
                 c.next()
@@ -282,9 +295,21 @@ def _resolve_allowed(allowed, qid: int):
     return allowed
 
 
+def _resolve_after(after, qid: int) -> tuple[float, int] | None:
+    """Search-after cursors arrive as {query_id: (score, docid)} — resolve
+    the query's own cursor to the strategies' (score, -docid) heap-key form;
+    an absent query_id means first page (no cursor)."""
+    if after is None:
+        return None
+    cur = after.get(int(qid))
+    if cur is None:
+        return None
+    return (float(cur[0]), -int(cur[1]))
+
+
 def bmw_partial(
     pdf: pd.DataFrame, idf: dict[str, float], avgdl: float, k: int, k1: float, b: float,
-    deleted=None, allowed=None, strategy: str = "bmw",
+    deleted=None, allowed=None, strategy: str = "bmw", after=None,
 ) -> pd.DataFrame:
     """One (query_id, bucket) group of joined posting-block rows → ≤k rows."""
     qid = int(pdf["query_id"].iloc[0])
@@ -298,7 +323,7 @@ def bmw_partial(
                         allowed=allowed)
             if not c.exhausted:
                 cursors.append(c)
-    top = _STRATEGIES[strategy](cursors, k)
+    top = _STRATEGIES[strategy](cursors, k, after=_resolve_after(after, qid))
     return pd.DataFrame(
         {"query_id": qid, "docid": [d for d, _ in top], "score": [s for _, s in top]}
     )
@@ -335,6 +360,7 @@ def wand_topk(
     local_block_limit: int = 20_000,
     small_set_cap: int = 2_000_000,
     strategy: str = "bmw",
+    after: dict[int, tuple[float, int]] | None = None,
 ) -> DataFrame:
     """(query_id, rank, docid, score) — full BMW path over the encoded index.
 
@@ -364,12 +390,23 @@ def wand_topk(
     collects. Both are small-set contracts (deletions are bounded by the GC
     trigger; an ACL keep-list should be folded into the docs scan when it is
     corpus-sized) — the cap makes a contract violation fail loudly instead
-    of silently OOMing the driver."""
+    of silently OOMing the driver.
+
+    ``after``: optional keyset-pagination cursors, {query_id: (score,
+    docid)} — each query returns the k results ranked strictly AFTER its
+    cursor under the engine's (score DESC, docid ASC) total order, rank
+    re-numbered 1..k (Elasticsearch ``search_after``; the scale-honest
+    pagination — no offset recomputation, no deep-page window). Queries
+    absent from the map get their first page. Cursors are engine-produced
+    (the last row of the previous page), so the float equality in the
+    tie-leg is exact by construction."""
     cfg = cfg or index.cfg
     if strategy not in _STRATEGIES:
         raise ValueError(f"strategy must be one of {sorted(_STRATEGIES)}")
     if allowed is not None and allowed_by_query is not None:
         raise ValueError("pass either allowed or allowed_by_query, not both")
+    if after is not None:
+        after = {int(q): (float(s), int(d)) for q, (s, d) in after.items()}
     avgdl, k1, b = float(index.avgdl), float(cfg.k1), float(cfg.b)
 
     # query terms: a plain [(query_id, term)] list (parse_query_terms — zero
@@ -391,7 +428,8 @@ def wand_topk(
     try:
         allowed_arr = _collect_small_set(allowed, "allowed", small_set_cap)
     except ValueError:
-        return _semi_join_topk(spark, index, q_pairs, k, cfg, deleted, allowed)
+        return _semi_join_topk(spark, index, q_pairs, k, cfg, deleted, allowed,
+                               after=after)
     # per-query keep-lists: ONE bounded collect for the whole batch → a
     # {query_id: sorted docid array} map shipped to the cursors (the same
     # decode-time masking as the global list). Over the cap, auto-reroute
@@ -406,7 +444,7 @@ def wand_topk(
         if len(rows) > small_set_cap:
             return _semi_join_topk(
                 spark, index, q_pairs, k, cfg, deleted, None,
-                allowed_by_query=allowed_by_query,
+                allowed_by_query=allowed_by_query, after=after,
             )
         by_q: dict[int, list[int]] = {}
         for r in rows:
@@ -435,7 +473,7 @@ def wand_topk(
             }
             return _wand_topk_local(spark, blocks, q_pairs, k, idf, avgdl,
                                     k1, b, del_arr, allowed_arr,
-                                    strategy=strategy)
+                                    strategy=strategy, after=after)
 
     # distributed path: per-term idf from the dictionary (one bounded
     # collect over |query terms| rows)
@@ -458,7 +496,7 @@ def wand_topk(
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return bmw_partial(pdf, idf, avgdl, k, k1, b, deleted=del_arr,
-                           allowed=allowed_arr, strategy=strategy)
+                           allowed=allowed_arr, strategy=strategy, after=after)
 
     partials = joined.groupBy("query_id", "bucket").applyInPandas(run, TOPK_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
@@ -478,6 +516,7 @@ def _semi_join_topk(
     deleted: DataFrame | None,
     allowed: DataFrame | None,
     allowed_by_query: DataFrame | None = None,
+    after: dict[int, tuple[float, int]] | None = None,
 ) -> DataFrame:
     """Over-cap keep-list fallback (judge r2 #9): an ACL allow-list too
     large for the small-set contract folds into the SCAN instead of into a
@@ -544,6 +583,24 @@ def _semi_join_topk(
         return pd.DataFrame({"query_id": qid, "docid": d[starts], "score": score})
 
     partials = rows.groupBy("query_id", "bucket").applyInPandas(score_group, TOPK_SCHEMA)
+    if after:
+        # keyset cursors fold into the scored stream BEFORE ranking: a
+        # broadcast (query_id, cursor) join + the strict-after predicate —
+        # same (score DESC, docid ASC) order as the heap-key filter
+        cur = spark.createDataFrame(
+            [(int(q), float(s), int(d)) for q, (s, d) in after.items()],
+            "query_id int, c_score double, c_docid long",
+        )
+        partials = (
+            partials.join(F.broadcast(cur), "query_id", "left")
+            .filter(
+                F.col("c_score").isNull()
+                | (F.col("score") < F.col("c_score"))
+                | ((F.col("score") == F.col("c_score"))
+                   & (F.col("docid") > F.col("c_docid")))
+            )
+            .select("query_id", "docid", "score")
+        )
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
     return (
         partials.withColumn("rank", F.row_number().over(w_rank))
@@ -555,7 +612,7 @@ def _semi_join_topk(
 def bmw_over_blocks(
     blocks: pd.DataFrame, q_pairs: list[tuple[int, str]], k: int,
     idf: dict[str, float], avgdl: float, k1: float, b: float,
-    del_arr=None, allowed_arr=None, strategy: str = "bmw",
+    del_arr=None, allowed_arr=None, strategy: str = "bmw", after=None,
 ) -> list[tuple[int, int, int, float]]:
     """In-process BMW over pre-fetched block rows → [(query_id, rank, docid,
     score)]. Pure pandas/NumPy — shared by the Spark driver-local path and
@@ -572,6 +629,7 @@ def bmw_over_blocks(
         q_allowed = _resolve_allowed(allowed_arr, qid)
         if q_allowed is not None and len(q_allowed) == 0:
             continue
+        q_after = _resolve_after(after, qid)
         tset = set(by_qid[qid]) & set(idf)
         qblocks = blocks[blocks["term"].isin(tset)]
         if qblocks.empty:
@@ -584,7 +642,7 @@ def bmw_over_blocks(
                             allowed=q_allowed)
                 if not c.exhausted:
                     cursors.append(c)
-            collected.extend(_STRATEGIES[strategy](cursors, k))
+            collected.extend(_STRATEGIES[strategy](cursors, k, after=q_after))
         collected.sort(key=lambda ds: (-ds[1], ds[0]))
         for rank, (docid, score) in enumerate(collected[:k], start=1):
             rows.append((int(qid), rank, int(docid), float(score)))
@@ -593,11 +651,11 @@ def bmw_over_blocks(
 
 def _wand_topk_local(
     spark, blocks: pd.DataFrame, q_pairs: list[tuple[int, str]], k, idf,
-    avgdl, k1, b, del_arr, allowed_arr=None, strategy: str = "bmw"
+    avgdl, k1, b, del_arr, allowed_arr=None, strategy: str = "bmw", after=None
 ):
     """Driver-local BMW (SURVEY.md §3.3) over pre-fetched block rows: the
     WAND loop runs in-process, zero further Spark jobs."""
     rows = bmw_over_blocks(blocks, q_pairs, k, idf, avgdl, k1, b, del_arr,
-                           allowed_arr, strategy=strategy)
+                           allowed_arr, strategy=strategy, after=after)
     schema = "query_id int, rank int, docid long, score double"
     return spark.createDataFrame(rows, schema=schema)

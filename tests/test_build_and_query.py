@@ -1038,3 +1038,54 @@ def test_maxscore_randomized_query_sweep_matches_bmw(spark, corpus, index):
     assert [(r["query_id"], r["docid"], r["score"]) for r in w] == [
         (r["query_id"], r["docid"], r["score"]) for r in m
     ]
+
+
+def _cursor_from(rows, rank):
+    return {
+        int(r["query_id"]): (float(r["score"]), int(r["docid"]))
+        for r in rows
+        if r["rank"] == rank
+    }
+
+
+def test_search_after_pages_tile_the_full_ranking(spark, index):
+    """Keyset pagination: page1(k=5) + page2(after=page1 cursor, k=5) must
+    equal one top-10 call row-for-row — scores bitwise, ranks renumbered."""
+    qterms = parse_queries(spark, QUERIES, CFG)
+    full = wand_topk(spark, index, qterms, 10, CFG, mode="local").collect()
+    page1 = wand_topk(spark, index, qterms, 5, CFG, mode="local").collect()
+    cur = _cursor_from(page1, 5)
+    page2 = wand_topk(
+        spark, index, qterms, 5, CFG, mode="local", after=cur
+    ).collect()
+    got = sorted(
+        [(r["query_id"], r["rank"], r["docid"], r["score"]) for r in page1]
+        + [
+            (r["query_id"], r["rank"] + 5, r["docid"], r["score"])
+            for r in page2
+            if r["query_id"] in cur
+        ]
+    )
+    want = sorted((r["query_id"], r["rank"], r["docid"], r["score"]) for r in full)
+    assert got == want
+    # queries exhausted on page 1 (no rank-5 row) must return nothing more
+    exhausted = {r["query_id"] for r in page1} - set(cur)
+    assert not [r for r in page2 if r["query_id"] in exhausted]
+
+
+def test_search_after_parity_across_strategies_and_modes(spark, index):
+    """The cursor filter lives in the shared admission point: BMW local,
+    MaxScore local, and the distributed applyInPandas path must agree."""
+    qterms = parse_queries(spark, QUERIES, CFG)
+    page1 = wand_topk(spark, index, qterms, 5, CFG, mode="local").collect()
+    cur = _cursor_from(page1, 5)
+
+    def run(**kw):
+        return sorted(
+            (r["query_id"], r["rank"], r["docid"], r["score"])
+            for r in wand_topk(spark, index, qterms, 5, CFG, after=cur, **kw).collect()
+        )
+
+    local = run(mode="local")
+    assert local == run(mode="local", strategy="maxscore")
+    assert local == run(mode="distributed")
