@@ -229,21 +229,28 @@ def federated_wand_topk(
     k: int,
     mode: str = "auto",
     deleted: DataFrame | None = None,
+    after: dict[int, tuple[float, int]] | None = None,
 ) -> DataFrame:
     """(query_id, rank, docid, score) — block-max WAND across several
     persisted index roots with GLOBAL collection statistics; rank-identical
-    to one combined index over the union corpus."""
+    to one combined index over the union corpus. ``after``: keyset
+    pagination cursors, same contract as ``wand_topk``."""
     fed = open_federated_index(spark, roots)
-    return wand_topk(spark, fed, qterms, k, fed.cfg, mode=mode, deleted=deleted)
+    return wand_topk(spark, fed, qterms, k, fed.cfg, mode=mode, deleted=deleted,
+                     after=after)
 
 
 def federated_topk_local(
-    roots: list[str], queries: list[str], k: int = 10
+    roots: list[str], queries: list[str], k: int = 10,
+    after: dict[int, tuple[float, int]] | None = None,
 ) -> pd.DataFrame:
     """(query_id, rank, docid, score) pandas DataFrame — Spark-free
     federation: per-root pushdown-pruned block fetches, one in-process BMW
     over the union with global idf/avgdl. Per-root deletion ledgers are
-    honored."""
+    honored. ``after``: keyset pagination cursors, same contract as
+    ``query_index_local``."""
+    if after is not None:
+        after = {int(q): (float(s), int(d)) for q, (s, d) in after.items()}
     from ..functions import codec
     from ..sources.manifest import read_meta
 
@@ -278,7 +285,7 @@ def federated_topk_local(
     cfg = lis[0].cfg
     rows = bmw_over_blocks(
         blocks, q_pairs, k, idf, avgdl_g, float(cfg.k1), float(cfg.b),
-        del_arr=del_arr,
+        del_arr=del_arr, after=after,
     )
     return pd.DataFrame(rows, columns=["query_id", "rank", "docid", "score"])
 

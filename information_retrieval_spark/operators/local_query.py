@@ -357,13 +357,19 @@ def query_index_local(
     queries: list[str],
     k: int = 10,
     strategy: str = "bmw",
+    after: dict[int, tuple[float, int]] | None = None,
 ) -> pd.DataFrame:
     """(query_id, rank, docid, score) pandas DataFrame — block-max WAND
     (or MaxScore, ``strategy="maxscore"``) over the persisted index,
-    entirely in-process."""
+    entirely in-process. ``after``: optional keyset-pagination cursors
+    {query_id: (score, docid)} — same strict-after admission as
+    ``wand_topk(after=...)``; queries absent from the map get page 1."""
     idx = LocalIndex(index) if isinstance(index, str) else index
+    if after is not None:
+        # JSON round-trips (daemon op=query) deliver string keys/lists
+        after = {int(q): (float(s), int(d)) for q, (s, d) in after.items()}
     q_pairs = parse_query_terms(queries, idx.cfg)
-    return _rank_pairs(idx, q_pairs, k, strategy=strategy)
+    return _rank_pairs(idx, q_pairs, k, strategy=strategy, after=after)
 
 
 def _rank_pairs(
@@ -372,6 +378,7 @@ def _rank_pairs(
     k: int,
     allowed_arr=None,
     strategy: str = "bmw",
+    after=None,
 ) -> pd.DataFrame:
     """Shared BMW/MaxScore ranking over explicit (query_id, term) pairs."""
     terms = sorted({t for _, t in q_pairs})
@@ -383,6 +390,7 @@ def _rank_pairs(
     rows = bmw_over_blocks(
         blocks, q_pairs, k, idf, idx.avgdl, float(idx.cfg.k1), float(idx.cfg.b),
         del_arr=idx.deleted, allowed_arr=allowed_arr, strategy=strategy,
+        after=after,
     )
     return pd.DataFrame(rows, columns=["query_id", "rank", "docid", "score"])
 
@@ -986,13 +994,31 @@ def answer_queries(
     k: int = 10,
     snippet_window: int | None = None,
     strategy: str = "bmw",
+    after: dict[int, tuple[float, int]] | None = None,
 ) -> list[dict]:
     """One answer per query with per-query routing (phrase / proximity /
     ranked BM25, optionally with snippets) — the full interactive surface
     behind a single call, Spark-free. Each dedicated operator is invoked
-    once per TYPE with its sub-batch, preserving their batch efficiency."""
+    once per TYPE with its sub-batch, preserving their batch efficiency.
+
+    ``after``: optional keyset-pagination cursors keyed by POSITION in
+    ``queries`` ({i: (score, docid)} — the last hit of that query's
+    previous page). Only ranked BM25 queries paginate; a cursor on a query
+    that routes to any other type raises (loud, per the CLI surface rule —
+    silently returning page 1 would be wrong output)."""
     idx = LocalIndex(index) if isinstance(index, str) else index
+    if after is not None:
+        after = {int(i): (float(s), int(d)) for i, (s, d) in after.items()}
     routed = [route_query(q) for q in queries]
+    if after:
+        for i in after:
+            if i < 0 or i >= len(queries):
+                raise ValueError(f"after: query index {i} out of range")
+            if routed[i][0] != "bm25":
+                raise ValueError(
+                    f"after: query {i} routes to {routed[i][0]!r}; keyset "
+                    "pagination applies to ranked BM25 queries only"
+                )
     out: list[dict] = [
         {"query": q, "type": t, "hits": []} for q, (t, _) in zip(queries, routed)
     ]
@@ -1061,7 +1087,12 @@ def answer_queries(
     bm = [(i, arg) for i, (t, arg) in enumerate(routed) if t == "bm25"]
     if bm:
         qs = [a for _, a in bm]
-        res = query_index_local(idx, qs, k=k, strategy=strategy)
+        bm_after = (
+            {qid: after[i] for qid, (i, _) in enumerate(bm) if i in after}
+            if after
+            else None
+        )
+        res = query_index_local(idx, qs, k=k, strategy=strategy, after=bm_after)
         snips: dict[tuple[int, int], str] = {}
         if snippet_window:
             sdf = snippet_local(idx, qs, k=k, window=snippet_window)
@@ -1073,7 +1104,13 @@ def answer_queries(
             for q, rk, d, s in res.itertuples(index=False):
                 if q != qid:
                     continue
-                h = {"rank": int(rk), "docid": int(d), "score": round(float(s), 4)}
+                # `sort` carries the FULL-precision cursor for keyset
+                # pagination (ES-style sort values): feeding the rounded
+                # display score back as `after` could silently skip docs
+                # whose true score falls inside the rounding gap
+                h = {"rank": int(rk), "docid": int(d),
+                     "score": round(float(s), 4),
+                     "sort": [float(s), int(d)]}
                 if snippet_window:
                     h["snippet"] = snips.get((qid, int(d)), "")
                 hits.append(h)

@@ -207,12 +207,13 @@ class QueryDaemon:
                 time.sleep(INDEX_WAIT_INTERVAL_MS / 1000.0)
 
     def _answer(
-        self, queries: list[str], k: int, snippet_window, strategy: str = "bmw"
+        self, queries: list[str], k: int, snippet_window, strategy: str = "bmw",
+        after=None,
     ) -> list[dict]:
         return self._with_snapshot(
             lambda idx: answer_queries(
                 idx, queries, k=k, snippet_window=snippet_window,
-                strategy=strategy,
+                strategy=strategy, after=after,
             )
         )
 
@@ -313,12 +314,26 @@ class QueryDaemon:
             strategy = req.get("strategy", "bmw")
             if strategy not in ("bmw", "maxscore"):
                 return {"ok": False, "error": f"unknown strategy: {strategy!r}"}
+            after = req.get("after")
+            if after is not None:
+                # keyset cursors over the wire: {query_index: [score, docid]}
+                if not isinstance(after, dict):
+                    return {"ok": False,
+                            "error": "after must be {query_index: [score, docid]}"}
+                try:
+                    after = {
+                        int(i): (float(c[0]), int(c[1])) for i, c in after.items()
+                    }
+                except (TypeError, ValueError, IndexError):
+                    return {"ok": False,
+                            "error": "after must be {query_index: [score, docid]}"}
             try:
                 results = self._answer(
                     queries,
                     int(req.get("k", 10)),
                     req.get("snippet_window"),
                     strategy=strategy,
+                    after=after,
                 )
             except Exception as e:
                 return {"ok": False, "error": str(e)}

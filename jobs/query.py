@@ -78,6 +78,11 @@ def main(argv: list[str] | None = None) -> None:
                    help="with --grep: verify the pattern case-sensitively "
                         "(ripgrep -s; default matches the index's "
                         "case-insensitive analyzer contract)")
+    p.add_argument("--after", default=None, metavar="SCORE:DOCID",
+                   help="keyset pagination cursor — the previous page's "
+                        "last hit's full-precision `sort` values "
+                        "(SCORE:DOCID); returns the next k ranked strictly "
+                        "after it (single ranked query, both engines)")
     p.add_argument("--strategy", choices=["bmw", "maxscore"], default="bmw",
                    help="dynamic-pruning strategy for ranked retrieval "
                         "(rank-identical; maxscore favors many-term queries)")
@@ -116,6 +121,25 @@ def main(argv: list[str] | None = None) -> None:
             "--lines attaches matching lines to RANKED hits; it cannot be "
             "combined with --auto/--phrase/--did-you-mean"
         )
+    if args.after:
+        if (args.auto or args.phrase or args.grep or args.did_you_mean
+                or args.bm25f or args.filter):
+            raise SystemExit(
+                "--after paginates the plain ranked BM25 path; it cannot be "
+                "combined with --auto/--phrase/--grep/--did-you-mean/"
+                "--bm25f/--filter"
+            )
+        if len(args.queries) != 1:
+            raise SystemExit(
+                "--after is a per-query cursor; pass exactly one query"
+            )
+        try:
+            s, d = args.after.rsplit(":", 1)
+            args.after_cursor = (float(s), int(d))
+        except ValueError:
+            raise SystemExit("--after expects SCORE:DOCID, e.g. 0.9381:42")
+    else:
+        args.after_cursor = None
     if args.engine == "local":
         if args.filter and not args.grep:
             raise SystemExit(
@@ -233,7 +257,9 @@ def main(argv: list[str] | None = None) -> None:
     else:
         qterms = parse_queries(spark, args.queries, idx.cfg)
         topk = wand_topk(spark, idx, qterms, args.k, idx.cfg,
-                         strategy=args.strategy)
+                         strategy=args.strategy,
+                         after={0: args.after_cursor} if args.after_cursor
+                         else None)
     resolved = (
         topk.join(F.broadcast(idx.docs.select("docid", "repo", "path")), "docid")
         .select("query_id", "rank", "docid", "score", "repo", "path")
@@ -285,6 +311,7 @@ def main(argv: list[str] | None = None) -> None:
     by_q: dict[int, list] = {}
     for r in resolved:
         hit = {"rank": r["rank"], "docid": r["docid"], "score": round(r["score"], 4),
+               "sort": [r["score"], r["docid"]],
                "repo": r["repo"], "path": r["path"]}
         if args.snippets:
             hit["snippet"] = snips.get((r["query_id"], r["docid"]), "")
@@ -326,12 +353,13 @@ def _auto_spark(spark, idx, args) -> None:
             "--positional"
         )
 
-    def _ranked(sub: list[tuple[int, object]], df) -> None:
+    def _ranked(sub: list[tuple[int, object]], df, with_sort: bool = False) -> None:
         rows = df.orderBy("query_id", "rank").collect()
         for qid, (i, _) in enumerate(sub):
             out[i]["hits"] = [
                 {"rank": r["rank"], "docid": r["docid"],
-                 "score": round(r["score"], 4)}
+                 "score": round(r["score"], 4),
+                 **({"sort": [r["score"], r["docid"]]} if with_sort else {})}
                 for r in rows if r["query_id"] == qid
             ]
 
@@ -386,7 +414,8 @@ def _auto_spark(spark, idx, args) -> None:
     bm = [(i, a) for i, (t, a) in enumerate(routed) if t == "bm25"]
     if bm:
         qterms = parse_queries(spark, [a for _, a in bm], idx.cfg)
-        _ranked(bm, wand_topk(spark, idx, qterms, args.k, idx.cfg))
+        _ranked(bm, wand_topk(spark, idx, qterms, args.k, idx.cfg),
+                with_sort=True)
     for ans in out:
         print(json.dumps(ans))
 
@@ -484,7 +513,9 @@ def _main_local(args) -> None:
             (int(q), int(d)): s
             for q, d, _, _, s in sdf.itertuples(index=False)
         }
-    out = query_index_local(li, args.queries, k=args.k, strategy=args.strategy)
+    out = query_index_local(li, args.queries, k=args.k, strategy=args.strategy,
+                            after={0: args.after_cursor}
+                            if args.after_cursor else None)
     docs = ds.dataset(
         [
             ds.dataset(os.path.join(r, "docs"), partitioning="hive",
@@ -543,6 +574,7 @@ def _main_local(args) -> None:
             if qid != i:
                 continue
             hit = {"rank": int(rk), "docid": int(d), "score": round(float(s), 4),
+                   "sort": [float(s), int(d)],
                    "repo": resolve.get(int(d), ("?", "?"))[0],
                    "path": resolve.get(int(d), ("?", "?"))[1]}
             if args.snippets:

@@ -1089,3 +1089,38 @@ def test_search_after_parity_across_strategies_and_modes(spark, index):
     local = run(mode="local")
     assert local == run(mode="local", strategy="maxscore")
     assert local == run(mode="distributed")
+
+
+def test_search_after_local_pyarrow_path(spark, corpus, index, tmp_path_factory):
+    """The Spark-free path paginates through the same admission filter:
+    page1+page2 tile the top-10, and a JSON-shaped cursor map (string keys)
+    normalizes."""
+    from information_retrieval_spark.operators.local_query import (
+        query_index_local,
+    )
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+    )
+
+    root = str(tmp_path_factory.mktemp("safterloc") / "idx")
+    build_index_resumable(spark, corpus, root, CFG)
+    queries = ["ident_1 ident_2 ident_7", QUERIES[5]]
+    full = query_index_local(root, queries, k=10)
+    p1 = query_index_local(root, queries, k=5)
+    cur = {
+        str(int(r.query_id)): [float(r.score), int(r.docid)]
+        for r in p1.itertuples(index=False)
+        if r.rank == 5
+    }
+    p2 = query_index_local(root, queries, k=5, after=cur)
+    got = sorted(
+        [(int(r.query_id), int(r.rank), int(r.docid), float(r.score))
+         for r in p1.itertuples(index=False)]
+        + [(int(r.query_id), int(r.rank) + 5, int(r.docid), float(r.score))
+           for r in p2.itertuples(index=False)]
+    )
+    want = sorted(
+        (int(r.query_id), int(r.rank), int(r.docid), float(r.score))
+        for r in full.itertuples(index=False)
+    )
+    assert got == want

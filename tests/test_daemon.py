@@ -367,3 +367,34 @@ def test_federated_grep_identical_to_combined(spark, root, fed_roots):
         tuple(r) for r in grep_regex(spark, fed, pats, fed.cfg).collect()
     )
     assert got_spark == want
+
+
+def test_daemon_search_after_pagination(root):
+    """op=query with `after` cursors: page 2 over the wire equals the
+    in-process twin; malformed cursors and cursors on non-ranked queries
+    fail loudly instead of silently serving page 1."""
+    q = ["ident_1 ident_2"]
+    with QueryDaemon(root) as d:
+        p1 = request("127.0.0.1", d.port, {"queries": q, "k": 5})
+        assert p1["ok"]
+        # cursor = the last hit's FULL-PRECISION sort values (feeding the
+        # rounded display score back could skip docs in the rounding gap)
+        cs, cd = p1["results"][0]["hits"][-1]["sort"]
+        after = {"0": [cs, cd]}
+        got = request("127.0.0.1", d.port,
+                      {"queries": q, "k": 5, "after": after})
+        assert got["ok"]
+        want = answer_queries(root, q, k=5, after={0: (cs, cd)})
+        assert got["results"] == want
+        # page 2 starts strictly after the cursor
+        assert all(
+            (h["sort"][0], -h["sort"][1]) < (cs, -cd)
+            for h in got["results"][0]["hits"]
+        )
+        bad = request("127.0.0.1", d.port,
+                      {"queries": q, "k": 5, "after": {"0": ["x"]}})
+        assert not bad["ok"]
+        nonranked = request("127.0.0.1", d.port,
+                            {"queries": ['"ident_1 ident_2"'], "k": 5,
+                             "after": after})
+        assert not nonranked["ok"] and "keyset" in nonranked["error"]
