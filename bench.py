@@ -293,6 +293,49 @@ def bm25f_prune_micro(spark, corpus, cfg) -> dict:
     }
 
 
+def sampling_micro(spark) -> dict:
+    """Deterministic sampling / training-order shuffle throughput
+    (round 5). Input is a pure ``spark.range`` frame (2M rows, 20 strata)
+    so the numbers measure the OPERATORS, not parquet IO.
+    ``mixture_sample`` is a shuffle-free codegen projection — rows/s
+    should track scan speed and scale embarrassingly; ``det_shuffle``
+    pays exactly one exchange (the bucketed global rank) — the honest
+    floor cost of a seeded global permutation."""
+    from information_retrieval_spark.operators.sampling import (
+        deterministic_shuffle,
+        mixture_sample,
+    )
+
+    n = int(os.environ.get("IR_BENCH_SAMPLING_ROWS", "2000000"))
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias("source"),
+    )
+    rates = {f"src{i}": r for i, r in enumerate((1.0, 0.5, 0.25, 0.1))}
+    out: dict = {"n_rows": n}
+    for name, fn in (
+        ("mixture_sample",
+         lambda: mixture_sample(docs, rates, seed=7, default_rate=0.2).count()),
+        # sum(pos) — NOT count(): count() lets Catalyst prune the rank
+        # window entirely and the "shuffle" never pays its sort
+        ("det_shuffle",
+         lambda: deterministic_shuffle(docs, seed=7, prefix_len=3)
+         .agg(F.sum("pos")).collect()),
+    ):
+        fn()  # warm
+        reps = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            reps.append(time.time() - t0)
+        best = min(reps)
+        out[name] = {
+            "wall_sec": round(best, 3),
+            "rows_per_sec": round(n / best, 1),
+        }
+    return out
+
+
 def grep_prune_micro(spark, cfg) -> dict:
     """Content-grep anchor-pruning evidence (round 5): the driver corpus's
     31-token vocabulary makes every real term high-df, so the pruning story
@@ -756,6 +799,9 @@ def main() -> None:
     grep_micro = None
     if os.environ.get("IR_BENCH_GREP_MICRO", "1") != "0":
         grep_micro = grep_prune_micro(spark, cfg)
+    sampl_micro = None
+    if os.environ.get("IR_BENCH_SAMPLING_MICRO", "1") != "0":
+        sampl_micro = sampling_micro(spark)
 
     # training-data curation funnel (round 4): the end-to-end pipeline
     # (quality → exact dedup → OPH LSH near-dedup → decontamination →
@@ -794,6 +840,8 @@ def main() -> None:
         out["daemon_master_micro"] = daemon_fed
     if grep_micro is not None:
         out["grep_prune_micro"] = grep_micro
+    if sampl_micro is not None:
+        out["sampling_micro"] = sampl_micro
     if curate_report is not None:
         out["curate"] = curate_report
     spark.stop()

@@ -41,10 +41,22 @@ def curate(
     decon_n: int = 8,
     strip_secrets: bool = False,
     quality: str = "text",
+    mixture: dict[str, float] | None = None,
+    mixture_seed: int = 0,
+    mixture_default: float = 1.0,
+    shuffle_seed: int | None = None,
 ) -> dict:
     """Run the full curation funnel over a ``documents``-shaped DataFrame,
     write the packed survivors to ``<output>/curated``, and return the
-    funnel report (counts per drop reason + per-stage timings)."""
+    funnel report (counts per drop reason + per-stage timings).
+
+    ``mixture``: optional per-``source`` sampling rates applied BEFORE the
+    funnel (the mixture decides what enters it) via the deterministic
+    md5-threshold sampler — reproducible across runs and parallelism.
+    ``shuffle_seed``: when set, the packed training order is the seeded
+    global permutation (``deterministic_shuffle``) instead of doc_id
+    order — the output carries (doc_id, order_pos) so the order is
+    auditable."""
     from .operators.textproc import (
         decontaminate,
         dedup_clusters,
@@ -60,6 +72,23 @@ def curate(
 
     stage_secs: dict[str, float] = {}
     n_input = docs.count()
+
+    # 0. mixture sampling (optional): the per-stratum rate table decides
+    # what enters the funnel at all — membership is a pure function of
+    # (seed, doc_id), so reruns and appends see a consistent sample
+    n_mixture = n_input
+    if mixture is not None:
+        from .operators.sampling import mixture_sample
+
+        t0 = time.time()
+        kept_m = mixture_sample(
+            docs, mixture, seed=mixture_seed, default_rate=mixture_default
+        ).select("id")
+        docs = docs.join(
+            kept_m, docs["doc_id"].cast("long") == kept_m["id"], "left_semi"
+        ).persist()
+        n_mixture = docs.count()
+        stage_secs["mixture"] = time.time() - t0
 
     # 1. quality admission: prose rules (Gopher-style) or code rules
     # (StarCoder-style line-length / alnum / autogen / data-blob filters)
@@ -150,12 +179,45 @@ def curate(
         n_decon_dropped = before - docs_n.count()
         stage_secs["decontaminate"] = time.time() - t0
 
+    # 4b. training-order shuffle (optional): re-key the survivors by their
+    # seeded global permutation rank so packing concatenates in SHUFFLED
+    # order; (doc_id, order_pos) both persist in the output for audit
+    t0 = time.time()
+    if shuffle_seed is not None:
+        from .operators.sampling import deterministic_shuffle
+
+        order = deterministic_shuffle(docs_n, seed=shuffle_seed)
+        docs_pack = (
+            docs_n.withColumn("_lid", F.col("doc_id").cast("long"))
+            .join(order, F.col("_lid") == order["id"])
+            .drop("id", "_lid")
+        )
+        stage_secs["shuffle"] = time.time() - t0
+        pack_id_col = "pos"
+    else:
+        docs_pack = docs_n
+        pack_id_col = "doc_id"
+
     # 5. sequence packing over the survivors; funnel stats come from the
     # just-written parquet (one extra cheap scan of the OUTPUT) rather than
     # re-running the packing lineage per aggregate
     t0 = time.time()
-    packed = sequence_pack(docs_n, cfg, budget_tokens=budget_tokens)
+    packed = sequence_pack(
+        docs_pack, cfg, budget_tokens=budget_tokens, id_col=pack_id_col
+    )
     out_dir = os.path.join(output, "curated")
+    if shuffle_seed is not None:
+        # packed 'id' is the permutation rank; resolve doc_id back so the
+        # output is (doc_id, order_pos, spans) — order auditable end-to-end
+        order_back = (
+            order.withColumnRenamed("id", "doc_id")
+            .withColumnRenamed("pos", "id")
+        )
+        packed = packed.join(order_back, "id").select(
+            "doc_id",
+            F.col("id").alias("order_pos"),
+            "n_tokens", "token_start", "seq_id", "seq_offset",
+        )
     packed.write.mode("overwrite").parquet(out_dir)
     stats_row = (
         spark.read.parquet(out_dir)
@@ -168,6 +230,11 @@ def curate(
     total = sum(stage_secs.values())
     return {
         "input_docs": n_input,
+        "after_mixture": n_mixture,
+        "training_order": (
+            f"shuffled(seed={shuffle_seed})" if shuffle_seed is not None
+            else "doc_id"
+        ),
         "after_quality": n_quality,
         "quality_drop_reasons": {
             k: v for k, v in sorted(reasons.items()) if k != "ok"

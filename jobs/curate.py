@@ -15,6 +15,12 @@ job a 100 TB pretraining pipeline actually runs:
   5. sequence packing   — ``sequence_pack`` assigns every surviving doc
      its (seq_id, seq_offset) in fixed ``--budget-tokens`` contexts.
 
+Optional bookends: ``--mixture src0=1.0,src1=0.5`` samples each source at
+its configured rate BEFORE the funnel (deterministic md5-threshold — the
+mixture table of a pretraining run); ``--shuffle-seed N`` packs survivors
+in the seeded global permutation order (the training-order shuffle),
+emitting (doc_id, order_pos) so the order is auditable.
+
 Output: ``<output>/curated`` parquet (id, n_tokens, token_start, seq_id,
 seq_offset) for the surviving docs, plus a one-line JSON funnel report on
 stdout (counts per drop reason — the accounting a pipeline owner reads).
@@ -62,8 +68,27 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--strip-secrets", action="store_true",
                    help="drop credential-bearing docs (policy_scan) and "
                         "report the license histogram")
+    p.add_argument("--mixture", default=None, metavar="S=R,S=R,...",
+                   help="per-source sampling rates applied before the "
+                        "funnel (deterministic md5-threshold Bernoulli), "
+                        "e.g. src0=1.0,src1=0.5")
+    p.add_argument("--mixture-default", type=float, default=1.0,
+                   help="rate for sources absent from --mixture")
+    p.add_argument("--mixture-seed", type=int, default=0)
+    p.add_argument("--shuffle-seed", type=int, default=None,
+                   help="pack the survivors in the seeded global "
+                        "permutation order instead of doc_id order")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
+    mixture = None
+    if args.mixture:
+        try:
+            mixture = {
+                s: float(r)
+                for s, r in (kv.split("=", 1) for kv in args.mixture.split(","))
+            }
+        except ValueError:
+            raise SystemExit("--mixture expects SOURCE=RATE[,SOURCE=RATE...]")
 
     # the CC clustering's localCheckpoints live in the local-mode heap —
     # size it like the other long-lived jobs rather than the 1g default
@@ -89,6 +114,10 @@ def main(argv: list[str] | None = None) -> None:
         decon_n=args.decon_n,
         strip_secrets=args.strip_secrets,
         quality=args.quality,
+        mixture=mixture,
+        mixture_seed=args.mixture_seed,
+        mixture_default=args.mixture_default,
+        shuffle_seed=args.shuffle_seed,
     )
     print(json.dumps(report))
 

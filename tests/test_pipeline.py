@@ -104,3 +104,42 @@ def test_curate_policy_stage_drops_secrets(spark, tmp_path):
     assert rep["after_policy"] == rep["after_quality"] - 1
     assert "policy" in rep["stage_secs"]
     assert sum(rep["license_histogram"].values()) == rep["after_quality"]
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+def test_curate_mixture_and_shuffle_bookends(spark, tmp_path):
+    """--mixture gates the funnel input deterministically; --shuffle-seed
+    re-keys packing by the global permutation with (doc_id, order_pos)
+    preserved, and the packed spans still tile contiguous token space."""
+    from information_retrieval_spark.operators.sampling import mixture_sample
+    from information_retrieval_spark.pipeline import curate
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    rates = {"src0": 1.0, "src1": 0.0}
+    rep = curate(
+        spark, docs, EngineConfig(), output=str(tmp_path), oph=True,
+        mixture=rates, mixture_seed=3, mixture_default=0.5, shuffle_seed=11,
+    )
+    want_n = mixture_sample(docs, rates, seed=3, default_rate=0.5).count()
+    assert rep["after_mixture"] == want_n < rep["input_docs"]
+    assert rep["training_order"] == "shuffled(seed=11)"
+    assert "mixture" in rep["stage_secs"] and "shuffle" in rep["stage_secs"]
+
+    out = spark.read.parquet(rep["output"])
+    assert set(out.columns) == {
+        "doc_id", "order_pos", "n_tokens", "token_start", "seq_id", "seq_offset"
+    }
+    rows = sorted(
+        out.collect(), key=lambda r: r["order_pos"]
+    )
+    # spans concatenate contiguously in order_pos order (the training order)
+    acc = 0
+    for r in rows:
+        assert r["token_start"] == acc
+        acc += r["n_tokens"]
+    # order_pos is the permutation rank over the SURVIVORS: a permutation
+    # of 0..n-1 iff nothing was dropped after the shuffle keyed it — here
+    # the shuffle runs last, so it must be exactly 0..n-1
+    assert sorted(r["order_pos"] for r in rows) == list(range(len(rows)))
