@@ -145,7 +145,8 @@ def deterministic_shuffle(
     *,
     seed: int = 0,
     id_col: str = "doc_id",
-    prefix_len: int = 2,
+    prefix_len: int | None = None,
+    target_bucket_rows: int = 150_000,
 ) -> DataFrame:
     """(id, pos) — the seeded global training-order permutation: ``pos`` is
     the 0-based rank of ``md5("{seed}:{id}")`` under (key ASC, id ASC; the
@@ -156,7 +157,20 @@ def deterministic_shuffle(
     order-preservingly (lexicographic lowercase hex = numeric order), so
     global rank = cumsum of earlier buckets' counts (≤ 16^prefix_len values
     through the driver, broadcast back) + the within-bucket window rank.
+
+    ``prefix_len=None`` (default) sizes the bucketing to the DATA (the
+    ``sequence_pack`` discipline): one cheap count picks the smallest
+    prefix whose expected bucket holds ≤ ``target_bucket_rows`` rows, so
+    no window partition outgrows executor memory — 10^10 docs get
+    prefix 5 (~10k rows/bucket), a 500-doc test gets prefix 1. The result
+    is prefix-INDEPENDENT (pinned by tests), so auto-sizing never changes
+    the permutation, only the partition bound.
     """
+    if prefix_len is None:
+        n = docs.count()
+        prefix_len = 1
+        while prefix_len < 8 and n / (16 ** prefix_len) > target_bucket_rows:
+            prefix_len += 1
     if not 1 <= int(prefix_len) <= 8:
         raise ValueError("prefix_len must be in 1..8")
     key = _hash_key(seed, id_col)
