@@ -530,6 +530,39 @@ def _q_redact_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_secrets(docs5)
 
 
+# PII payloads appended per doc_id so the PII patterns have real work on
+# the driver corpus — mirrored EXACTLY in the oracle SQL
+_PII_SUFFIXES = [
+    "contact alice.smith+test@example.co.uk today",
+    "server at 192.168.0.17 and 10.0.255.254",
+    "call +1 (415) 555-0173 now",
+    "",
+]
+
+
+def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (C4/RefinedWeb-style): emails / IPv4 / phone numbers
+    rewritten to [REDACTED:<kind>] via the same sequential-chain machinery
+    as the credential stage."""
+    from information_retrieval_spark.operators.textproc import (
+        PII_PATTERNS,
+        redact_secrets,
+    )
+
+    docs4 = _documents(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit(" "),
+            F.element_at(
+                F.array(*[F.lit(s) for s in _PII_SUFFIXES]),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+        ),
+    )
+    return redact_secrets(docs4, patterns=PII_PATTERNS)
+
+
 def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyset pagination (search_after): page 2 of the BM25 ranking — the
     engine runs page 1, takes each query's (score, docid) cursor from its
@@ -1309,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50), so entries NEW or previously-uncovered this round come
     # FIRST; the long-stable core follows.
     return {
+        "redact_pii": _q_redact_pii,
         "mixture_sample": _q_mixture_sample,
         "det_shuffle": _q_det_shuffle,
         "redact_secrets": _q_redact_secrets,
@@ -1621,7 +1655,18 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 SELECT query_id, rank - {TOP_K} AS rank, docid, score
 FROM ({bm25_2k}) WHERE rank > {TOP_K}
 """
+    from information_retrieval_spark.operators.textproc import PII_PATTERNS
+
+    pii_suffixes = ", ".join(f"'{s}'" for s in _PII_SUFFIXES)
+    pii_amended = (
+        f"(SELECT doc_id, text || ' ' || "
+        f"([{pii_suffixes}])[CAST(doc_id % 4 AS INT) + 1] AS text "
+        f"FROM documents)"
+    )
     return {
+        "redact_pii": duckdb_redact_secrets_sql(
+            table=pii_amended, patterns=PII_PATTERNS
+        ),
         "mixture_sample": duckdb_mixture_sample_sql(
             _MIXTURE_RATES, seed=_MIXTURE_SEED, default_rate=_MIXTURE_DEFAULT
         ),

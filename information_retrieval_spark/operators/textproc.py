@@ -1903,11 +1903,24 @@ FROM k
 """
 
 
+# PII surface patterns (the C4/RefinedWeb-style redaction stage), in the
+# Java-regex ∩ RE2 common subset like SECRET_PATTERNS: emails, IPv4,
+# international phone numbers. Deliberately precision-leaning — corpus
+# curation redacts what it can match confidently and leaves the rest to
+# the quality filters.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\+[0-9][0-9 ()-]{6,18}[0-9]"),
+]
+
+
 def redact_secrets(
     docs: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    patterns: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """(id, redacted, n_redacted) — the remediation half of ``policy_scan``:
     every SECRET_PATTERNS hit is rewritten to ``[REDACTED:<kind>]`` so the
@@ -1915,35 +1928,49 @@ def redact_secrets(
     standard pipeline treatment for credential hits in otherwise-keepable
     code files).
 
-    Replacements apply sequentially in SECRET_PATTERNS order; ``n_redacted``
+    Replacements apply sequentially in pattern order; ``n_redacted``
     counts each pattern's matches against the ORIGINAL text (a redaction
     marker can therefore not be double-counted by a later pattern, and the
     count is well-defined independent of replacement order). One codegen
     projection — |patterns| regex passes fused into whole-stage codegen, no
     shuffle, no Python.
+
+    ``patterns``: the (kind, regex) table to redact — defaults to
+    SECRET_PATTERNS (credentials); pass ``PII_PATTERNS`` for the
+    C4/RefinedWeb-style PII stage, or concatenate both.
     """
-    t = F.col(text_col)
-    red = t
-    n = F.lit(0)
-    for name, pat in SECRET_PATTERNS:
-        n = n + F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
-        red = F.regexp_replace(red, pat, f"[REDACTED:{name}]")
+    red, n = redact_columns(F.col(text_col), patterns)
     return docs.select(
         F.col(id_col).cast("long").alias("id"),
         red.alias("redacted"),
-        n.cast("long").alias("n_redacted"),
+        n.alias("n_redacted"),
     )
 
 
+def redact_columns(
+    t: Column, patterns: list[tuple[str, str]] | None = None
+) -> tuple[Column, Column]:
+    """(redacted_text_col, n_redacted_col) for a text Column — the
+    projection form of ``redact_secrets`` so a pipeline can rewrite text
+    IN PLACE (``withColumn``) without a corpus-sized self-join."""
+    red = t
+    n = F.lit(0)
+    for name, pat in (SECRET_PATTERNS if patterns is None else patterns):
+        n = n + F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        red = F.regexp_replace(red, pat, f"[REDACTED:{name}]")
+    return red, n.cast("long")
+
+
 def duckdb_redact_secrets_sql(
-    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    patterns: list[tuple[str, str]] | None = None,
 ) -> str:
     """Oracle twin: the same sequential global regexp_replace chain (DuckDB
     needs the explicit 'g' flag; Spark's regexp_replace is global by
     default) and the same count-on-original sum."""
     red = text_col
     counts = []
-    for name, pat in SECRET_PATTERNS:
+    for name, pat in (SECRET_PATTERNS if patterns is None else patterns):
         red = f"regexp_replace({red}, '{pat}', '[REDACTED:{name}]', 'g')"
         counts.append(f"len(regexp_extract_all({text_col}, '{pat}'))")
     return f"""

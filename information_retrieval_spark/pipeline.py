@@ -45,6 +45,7 @@ def curate(
     mixture_seed: int = 0,
     mixture_default: float = 1.0,
     shuffle_seed: int | None = None,
+    redact_pii: bool = False,
 ) -> dict:
     """Run the full curation funnel over a ``documents``-shaped DataFrame,
     write the packed survivors to ``<output>/curated``, and return the
@@ -138,6 +139,26 @@ def curate(
         pol.unpersist()
         docs_pre.unpersist()  # superseded cache — don't hold both
         stage_secs["policy"] = time.time() - t0
+
+    # 1c. PII redaction (optional): emails / IPv4 / phones rewritten to
+    # [REDACTED:<kind>] IN PLACE — a pure projection (redact_columns), no
+    # corpus-sized join; runs before dedup so redacted twins dedup together
+    n_pii_redactions = 0
+    if redact_pii:
+        from .operators.textproc import PII_PATTERNS, redact_columns
+
+        t0 = time.time()
+        red, n_red = redact_columns(F.col("text"), PII_PATTERNS)
+        docs_pre = docs_q
+        docs_q = docs_q.withColumn("_n_red", n_red).withColumn(
+            "text", red
+        ).persist()
+        n_pii_redactions = int(
+            docs_q.agg(F.sum("_n_red")).collect()[0][0] or 0
+        )
+        docs_q = docs_q.drop("_n_red")
+        docs_pre.unpersist()
+        stage_secs["redact_pii"] = time.time() - t0
 
     # 2. exact dedup: keep only each sha256 group's keeper
     t0 = time.time()
@@ -240,6 +261,7 @@ def curate(
             k: v for k, v in sorted(reasons.items()) if k != "ok"
         },
         "after_policy": n_policy,
+        "pii_redactions": n_pii_redactions,
         "license_histogram": {k: v for k, v in sorted(license_hist.items())},
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_near,

@@ -78,6 +78,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--shuffle-seed", type=int, default=None,
                    help="pack the survivors in the seeded global "
                         "permutation order instead of doc_id order")
+    p.add_argument("--redact-pii", action="store_true",
+                   help="rewrite emails/IPv4/phones to [REDACTED:<kind>] "
+                        "in place before dedup (projection, no join)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
     mixture = None
@@ -118,6 +121,7 @@ def main(argv: list[str] | None = None) -> None:
         mixture_seed=args.mixture_seed,
         mixture_default=args.mixture_default,
         shuffle_seed=args.shuffle_seed,
+        redact_pii=args.redact_pii,
     )
     print(json.dumps(report))
 

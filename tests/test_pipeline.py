@@ -143,3 +143,27 @@ def test_curate_mixture_and_shuffle_bookends(spark, tmp_path):
     # of 0..n-1 iff nothing was dropped after the shuffle keyed it — here
     # the shuffle runs last, so it must be exactly 0..n-1
     assert sorted(r["order_pos"] for r in rows) == list(range(len(rows)))
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+def test_curate_pii_redaction_stage(spark, tmp_path):
+    """--redact-pii rewrites PII in place (projection) before dedup and
+    reports the redaction count; planted emails must not survive."""
+    from information_retrieval_spark.pipeline import curate
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat("text", F.lit(" reach me at user@example.org")),
+        ).otherwise(F.col("text")),
+    )
+    rep = curate(
+        spark, docs, EngineConfig(), output=str(tmp_path), oph=True,
+        redact_pii=True,
+    )
+    assert rep["pii_redactions"] > 0
+    assert "redact_pii" in rep["stage_secs"]
