@@ -138,6 +138,7 @@ def bm25f_topk(
     prune: bool = True,
     mode: str = "auto",
     local_block_limit: int = 20_000,
+    after: dict[int, tuple[float, int]] | None = None,
 ) -> DataFrame:
     """(query_id, rank, docid, score) — BM25F top-k over the main index's
     content plane (weight ``content_weight``, b = cfg.b, avgdl =
@@ -152,7 +153,11 @@ def bm25f_topk(
     ``prune=False`` — the dense decode-all evaluator runs. ``mode`` follows
     ``wand_topk``: 'auto' answers driver-local when the candidate blocks
     fit under ``local_block_limit`` (interactive latency; fills
-    ``LAST_PRUNE_STATS``), else the applyInPandas distributed path."""
+    ``LAST_PRUNE_STATS``), else the applyInPandas distributed path.
+
+    ``after``: optional keyset-pagination cursors {query_id: (score,
+    docid)} — same strict-after contract as ``wand_topk(after=...)``,
+    honored by both evaluators."""
     cfg = cfg or index.cfg
     k1 = float(cfg.k1)
     n_docs = float(index.n_docs)
@@ -161,6 +166,8 @@ def bm25f_topk(
         return spark.createDataFrame(
             [], "query_id int, rank int, docid long, score double"
         )
+    if after is not None:
+        after = {int(q): (float(s), int(d)) for q, (s, d) in after.items()}
     admissible = all(
         p.encoded_b is not None and abs(float(p.encoded_b) - float(p.b)) < 1e-12
         for p in planes
@@ -169,10 +176,11 @@ def bm25f_topk(
         return _bm25f_topk_pruned(
             spark, index, planes, q_pairs, k, cfg,
             content_weight=content_weight, mode=mode,
-            local_block_limit=local_block_limit,
+            local_block_limit=local_block_limit, after=after,
         )
     return _bm25f_topk_dense(
-        spark, index, planes, q_pairs, k, cfg, content_weight=content_weight
+        spark, index, planes, q_pairs, k, cfg, content_weight=content_weight,
+        after=after,
     )
 
 
@@ -185,6 +193,7 @@ def _bm25f_topk_dense(
     cfg: EngineConfig,
     *,
     content_weight: float = 1.0,
+    after: dict[int, tuple[float, int]] | None = None,
 ) -> DataFrame:
     """Dense evaluator: one pruned `term IN` read + map-side decode per
     plane (the same pushdown discipline as WAND's fetch, plan-asserted in
@@ -235,6 +244,9 @@ def _bm25f_topk_dense(
         .groupBy("query_id", "docid")
         .agg(F.sum("s").alias("score"))
     )
+    from .wand import apply_after_filter
+
+    scored = apply_after_filter(spark, scored, after)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -401,11 +413,15 @@ class _TermCursorF:
         return self.idf * _sat(tfn, self._k1)
 
 
-def _bmwf(cursors: list[_TermCursorF], k: int) -> list[tuple[int, float]]:
+def _bmwf(
+    cursors: list[_TermCursorF], k: int,
+    after: tuple[float, int] | None = None,
+) -> list[tuple[int, float]]:
     """Block-max WAND main loop over composite BM25F cursors → [(docid,
     score)] unordered, ≤ k. Identical pivot/threshold/tie discipline to
     wand._bmw (>= keeps exact theta ties evaluable for the deterministic
-    score DESC, docid ASC rank)."""
+    score DESC, docid ASC rank). ``after``: keyset-pagination cursor as a
+    (score, -docid) heap key — same strict-after admission as wand._bmw."""
     import heapq
 
     heap: list[tuple[float, int]] = []
@@ -435,10 +451,11 @@ def _bmwf(cursors: list[_TermCursorF], k: int) -> list[tuple[int, float]]:
                     if not c.exhausted and c.doc == pivot_doc:
                         score += c.score_and_next(pivot_doc)
                 item = (score, -pivot_doc)
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
+                if after is None or item < after:
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
             else:
                 nxt = min(c.min_block_last() for c in involved) + 1
                 for c in involved:
@@ -495,15 +512,19 @@ def bmwf_over_blocks(
     params: dict[int, tuple[float, float, float]],
     k1: float,
     stats: dict | None = None,
+    after=None,
 ) -> list[tuple[int, int, int, float]]:
     """In-process pruned BM25F over pre-fetched fld-tagged block rows →
     [(query_id, rank, docid, score)] — the driver-local twin of the
     distributed applyInPandas path (same per-bucket partials, same rank)."""
+    from .wand import _resolve_after
+
     by_qid: dict[int, list[str]] = {}
     for qid, t in q_pairs:
         by_qid.setdefault(int(qid), []).append(t)
     rows: list[tuple[int, int, int, float]] = []
     for qid in sorted(by_qid):
+        q_after = _resolve_after(after, qid)
         tset = set(by_qid[qid]) & set(idf)
         qblocks = blocks[blocks["term"].isin(tset)]
         if qblocks.empty:
@@ -511,7 +532,8 @@ def bmwf_over_blocks(
         collected: list[tuple[int, float]] = []
         for _, bucket_blocks in qblocks.groupby("bucket", sort=True):
             collected.extend(
-                _bmwf(_bmwf_cursors(bucket_blocks, idf, params, k1, stats), k)
+                _bmwf(_bmwf_cursors(bucket_blocks, idf, params, k1, stats), k,
+                      after=q_after)
             )
         collected.sort(key=lambda ds: (-ds[1], ds[0]))
         for rank, (docid, score) in enumerate(collected[:k], start=1):
@@ -530,6 +552,7 @@ def _bm25f_topk_pruned(
     content_weight: float,
     mode: str,
     local_block_limit: int,
+    after: dict[int, tuple[float, int]] | None = None,
 ) -> DataFrame:
     """Block-max pruned BM25F: per-plane pruned ``term IN`` block fetch
     (row-group pushdown intact), exact union-df idf from a docs_vb-only
@@ -568,7 +591,8 @@ def _bm25f_topk_pruned(
                 t: float(_codec.bm25_idf(dfu[t], n_docs)) for t in dfu
             }
             stats = {"blocks_total": int(len(blocks)), "blocks_decoded": 0}
-            rows = bmwf_over_blocks(blocks, q_pairs, k, idf, params, k1, stats)
+            rows = bmwf_over_blocks(blocks, q_pairs, k, idf, params, k1, stats,
+                                    after=after)
             global LAST_PRUNE_STATS
             LAST_PRUNE_STATS = stats
             return spark.createDataFrame(
@@ -595,8 +619,11 @@ def _bm25f_topk_pruned(
     joined = fetch.join(F.broadcast(qdf), "term")
 
     def run(key, pdf):
+        from .wand import _resolve_after
+
         qid = int(pdf["query_id"].iloc[0])
-        top = _bmwf(_bmwf_cursors(pdf, idf, params, k1), k)
+        top = _bmwf(_bmwf_cursors(pdf, idf, params, k1), k,
+                    after=_resolve_after(after, qid))
         return pd.DataFrame(
             {
                 "query_id": qid,

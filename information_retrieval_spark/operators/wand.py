@@ -583,29 +583,40 @@ def _semi_join_topk(
         return pd.DataFrame({"query_id": qid, "docid": d[starts], "score": score})
 
     partials = rows.groupBy("query_id", "bucket").applyInPandas(score_group, TOPK_SCHEMA)
-    if after:
-        # keyset cursors fold into the scored stream BEFORE ranking: a
-        # broadcast (query_id, cursor) join + the strict-after predicate —
-        # same (score DESC, docid ASC) order as the heap-key filter
-        cur = spark.createDataFrame(
-            [(int(q), float(s), int(d)) for q, (s, d) in after.items()],
-            "query_id int, c_score double, c_docid long",
-        )
-        partials = (
-            partials.join(F.broadcast(cur), "query_id", "left")
-            .filter(
-                F.col("c_score").isNull()
-                | (F.col("score") < F.col("c_score"))
-                | ((F.col("score") == F.col("c_score"))
-                   & (F.col("docid") > F.col("c_docid")))
-            )
-            .select("query_id", "docid", "score")
-        )
+    partials = apply_after_filter(spark, partials, after)
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
     return (
         partials.withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "docid", "score")
+    )
+
+
+def apply_after_filter(
+    spark: SparkSession,
+    scored: DataFrame,
+    after: dict[int, tuple[float, int]] | None,
+) -> DataFrame:
+    """Fold keyset cursors into a scored (query_id, docid, score) stream
+    BEFORE ranking: a broadcast (query_id, cursor) join + the strict-after
+    predicate — the same (score DESC, docid ASC) order as the heap-key
+    admission filter. No-op when ``after`` is empty. Shared by the
+    semi-join fallback and the dense BM25F evaluator."""
+    if not after:
+        return scored
+    cur = spark.createDataFrame(
+        [(int(q), float(s), int(d)) for q, (s, d) in after.items()],
+        "query_id int, c_score double, c_docid long",
+    )
+    return (
+        scored.join(F.broadcast(cur), "query_id", "left")
+        .filter(
+            F.col("c_score").isNull()
+            | (F.col("score") < F.col("c_score"))
+            | ((F.col("score") == F.col("c_score"))
+               & (F.col("docid") > F.col("c_docid")))
+        )
+        .select("query_id", "docid", "score")
     )
 
 

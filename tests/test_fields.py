@@ -328,3 +328,36 @@ def test_build_index_mounts_inmemory_field_planes(spark, corpus, index, path_pla
         .collect()
     ]
     assert got == want and got
+
+
+def test_bm25f_search_after_pages_tile(spark, index, path_plane):
+    """Keyset pagination on BM25F: page1(k=5) + page2(after) equals one
+    top-10 call on BOTH evaluators (pruned BMW-F and dense)."""
+    for prune in (True, False):
+        full = bm25f_topk(
+            spark, index, [path_plane], QUERIES, 10, CFG, prune=prune
+        ).collect()
+        p1 = bm25f_topk(
+            spark, index, [path_plane], QUERIES, 5, CFG, prune=prune
+        ).collect()
+        cur = {
+            int(r["query_id"]): (float(r["score"]), int(r["docid"]))
+            for r in p1
+            if r["rank"] == 5
+        }
+        p2 = bm25f_topk(
+            spark, index, [path_plane], QUERIES, 5, CFG, prune=prune,
+            after=cur,
+        ).collect()
+        got = sorted(
+            [(r["query_id"], r["rank"], r["docid"], r["score"]) for r in p1]
+            + [
+                (r["query_id"], r["rank"] + 5, r["docid"], r["score"])
+                for r in p2
+                if r["query_id"] in cur
+            ]
+        )
+        want = sorted(
+            (r["query_id"], r["rank"], r["docid"], r["score"]) for r in full
+        )
+        assert got == want, f"prune={prune}"
