@@ -734,6 +734,13 @@ def main() -> None:
     from information_retrieval_spark.sources.manifest import open_index
 
     idx_disk = open_index(spark, idx_root)
+    # page-1 cursor for the search_after leg (one warm wand_topk collect)
+    _sa_p1 = sorted(
+        wand_topk(
+            spark, idx_disk, parse_query_terms([QUERY_SET[0]], cfg), TOP_K, cfg
+        ).collect(),
+        key=lambda r: r["rank"],
+    )
     for name, fn in (
         ("wildcard_rev_plane",
          lambda: wildcard_topk(spark, idx_disk, ["*ble", "*as*"], TOP_K, cfg)),
@@ -754,6 +761,14 @@ def main() -> None:
              spark, idx_disk,
              ['("table hash" OR (key NEAR/3 value)) AND ta* AND NOT tabel~2'],
              cfg_pos)),
+        # keyset pagination: page 2 of the headline query (cursor = page
+        # 1's k-th (score, docid)) — should cost ~one wand_topk
+        ("search_after_page2",
+         lambda: wand_topk(
+             spark, idx_disk, parse_query_terms([QUERY_SET[0]], cfg),
+             TOP_K, cfg,
+             after={0: (float(_sa_p1[-1]["score"]),
+                        int(_sa_p1[-1]["docid"]))})),
     ):
         fn().count()
         t0 = time.time()

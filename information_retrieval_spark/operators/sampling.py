@@ -162,14 +162,19 @@ def deterministic_shuffle(
     ``sequence_pack`` discipline): one cheap count picks the smallest
     prefix whose expected bucket holds ≤ ``target_bucket_rows`` rows, so
     no window partition outgrows executor memory — 10^10 docs get
-    prefix 5 (~10k rows/bucket), a 500-doc test gets prefix 1. The result
-    is prefix-INDEPENDENT (pinned by tests), so auto-sizing never changes
-    the permutation, only the partition bound.
+    prefix 5 (~10k rows/bucket), a 500-doc test gets prefix 1. Auto-sizing
+    caps at prefix 5 (1M buckets): the per-bucket COUNTS round-trip the
+    driver and broadcast back, so the bucket count must itself stay
+    bounded — at 10^12+ rows that leaves ~1M-row windows, still flat; an
+    explicit ``prefix_len`` up to 8 is allowed for callers who accept the
+    larger planning collect. The result is prefix-INDEPENDENT (pinned by
+    tests), so auto-sizing never changes the permutation, only the
+    partition bound.
     """
     if prefix_len is None:
         n = docs.count()
         prefix_len = 1
-        while prefix_len < 8 and n / (16 ** prefix_len) > target_bucket_rows:
+        while prefix_len < 5 and n / (16 ** prefix_len) > target_bucket_rows:
             prefix_len += 1
     if not 1 <= int(prefix_len) <= 8:
         raise ValueError("prefix_len must be in 1..8")
