@@ -333,6 +333,7 @@ def test_build_index_mounts_inmemory_field_planes(spark, corpus, index, path_pla
 def test_bm25f_search_after_pages_tile(spark, index, path_plane):
     """Keyset pagination on BM25F: page1(k=5) + page2(after) equals one
     top-10 call on BOTH evaluators (pruned BMW-F and dense)."""
+    pruned_pages = {}
     for prune in (True, False):
         full = bm25f_topk(
             spark, index, [path_plane], QUERIES, 10, CFG, prune=prune
@@ -361,3 +362,19 @@ def test_bm25f_search_after_pages_tile(spark, index, path_plane):
             (r["query_id"], r["rank"], r["docid"], r["score"]) for r in full
         )
         assert got == want, f"prune={prune}"
+        if prune:
+            pruned_pages = {"cur": cur, "p2": p2}
+    # the pruned DISTRIBUTED path honors the same cursor (applyInPandas
+    # leg) — compared against the pruned LOCAL page 2 (the dense SQL-sum
+    # evaluator differs from the cursor accumulation by 1 ulp at ties, so
+    # cross-evaluator comparison is a different test's concern)
+    p2d = bm25f_topk(
+        spark, index, [path_plane], QUERIES, 5, CFG, mode="distributed",
+        after=pruned_pages["cur"],
+    ).collect()
+    assert sorted(
+        (r["query_id"], r["rank"], r["docid"], r["score"]) for r in p2d
+    ) == sorted(
+        (r["query_id"], r["rank"], r["docid"], r["score"])
+        for r in pruned_pages["p2"]
+    )
