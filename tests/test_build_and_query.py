@@ -1124,3 +1124,40 @@ def test_search_after_local_pyarrow_path(spark, corpus, index, tmp_path_factory)
         for r in full.itertuples(index=False)
     )
     assert got == want
+
+
+def test_search_after_threads_through_expansion_and_boolean_surfaces(
+    spark, index
+):
+    """after= reaches every ranked surface via **wand_kwargs: prefix
+    expansion and filtered ranked boolean paginate with the same page
+    tiling as plain WAND."""
+    from information_retrieval_spark.operators.boolquery import (
+        boolean_ranked_topk,
+    )
+    from information_retrieval_spark.operators.query import prefix_topk
+
+    for call in (
+        lambda **kw: prefix_topk(spark, index, ["ident_"], 5, CFG, **kw),
+        lambda **kw: boolean_ranked_topk(
+            spark, index, ["ident_1 OR ident_2"], 5, CFG, **kw
+        ),
+    ):
+        p1 = call().collect()
+        cur = _cursor_from(p1, 5)
+        p2 = call(after=cur).collect()
+        got = sorted(
+            [(r["query_id"], r["rank"], r["docid"], r["score"]) for r in p1]
+            + [
+                (r["query_id"], r["rank"] + 5, r["docid"], r["score"])
+                for r in p2
+                if r["query_id"] in cur
+            ]
+        )
+        assert [x[1] for x in got] == list(range(1, len(got) + 1))
+        # strict-after: every page-2 row ranks after the cursor
+        for r in p2:
+            q = r["query_id"]
+            if q in cur:
+                cs, cd = cur[q]
+                assert (r["score"], -r["docid"]) < (cs, -cd)
