@@ -588,6 +588,67 @@ def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing (Lucene CollapsingTopDocsCollector / GitHub code
+    search "best hit per repository"): at most one hit per repo survives,
+    then the global top-k. The per-group cut is a hash aggregate
+    (max(struct(score, -docid))), never a corpus-sized window."""
+    from information_retrieval_spark.operators.grouping import collapse_topk
+
+    idx = _index(spark, sf_dir)
+    out = collapse_topk(
+        spark, idx, QUERY_SET, TOP_K, group_col="repo", per_group=1, cfg=CFG
+    )
+    return out.select(
+        "query_id", "rank", "docid", "group_key",
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-by-field retrieval (Lucene SortField over doc-values): docs
+    matching >=1 analyzed term, top-k under (doc_len DESC, docid ASC) —
+    the catalog column is the total order, relevance still reported."""
+    from information_retrieval_spark.operators.grouping import sort_topk
+
+    idx = _index(spark, sf_dir)
+    out = sort_topk(
+        spark, idx, QUERY_SET, TOP_K, sort_col="doc_len", ascending=False,
+        cfg=CFG,
+    )
+    return out.select(
+        "query_id", "rank", "docid", "sort_value",
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _q_count_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact total-hit counting (Lucene TotalHitCountCollector): per query,
+    docs matching ANY analyzed term and docs matching ALL of them. The
+    OOV-only query reports (0, 0); the skew query ("the a") counts nearly
+    the whole corpus — both edges inside the gate."""
+    from information_retrieval_spark.operators.grouping import count_matches
+
+    idx = _index(spark, sf_dir)
+    return count_matches(spark, idx, QUERY_SET, CFG)
+
+
+def _q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elasticsearch significant_terms over each query's top-k result set:
+    JLH-scored (fg%-bg%)*(fg%/bg%) against the dictionary's corpus df,
+    foreground tokenization restricted to the <=k result docs."""
+    from information_retrieval_spark.operators.grouping import (
+        significant_terms,
+    )
+
+    idx = _index(spark, sf_dir)
+    out = significant_terms(spark, idx, QUERY_SET, TOP_K, 10, CFG)
+    return out.select(
+        "query_id", "rank", "term", "fg_df", "bg_df",
+        F.round("sig", 6).alias("sig"),
+    )
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring + heuristic lang-ID, pure Catalyst."""
     return text_stats(_documents(spark, sf_dir), CFG)
@@ -1342,6 +1403,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50), so entries NEW or previously-uncovered this round come
     # FIRST; the long-stable core follows.
     return {
+        "collapse_topk": _q_collapse_topk,
+        "sort_topk": _q_sort_topk,
+        "count_matches": _q_count_matches,
+        "significant_terms": _q_significant_terms,
         "redact_pii": _q_redact_pii,
         "mixture_sample": _q_mixture_sample,
         "det_shuffle": _q_det_shuffle,
@@ -1663,7 +1728,26 @@ FROM ({bm25_2k}) WHERE rank > {TOP_K}
         f"([{pii_suffixes}])[CAST(doc_id % 4 AS INT) + 1] AS text "
         f"FROM documents)"
     )
+    from information_retrieval_spark.operators.grouping import (
+        duckdb_collapse_sql,
+        duckdb_count_sql,
+        duckdb_significant_sql,
+        duckdb_sort_sql,
+    )
+
     return {
+        "collapse_topk": duckdb_collapse_sql(
+            corpus, QUERY_SET, TOP_K, group_col="repo", per_group=1,
+            cfg=CFG, round_to=4,
+        ),
+        "sort_topk": duckdb_sort_sql(
+            corpus, QUERY_SET, TOP_K, sort_sql="doc_len", ascending=False,
+            cfg=CFG, round_to=4,
+        ),
+        "count_matches": duckdb_count_sql(corpus, QUERY_SET, CFG),
+        "significant_terms": duckdb_significant_sql(
+            corpus, QUERY_SET, TOP_K, 10, CFG, round_to=6
+        ),
         "redact_pii": duckdb_redact_secrets_sql(
             table=pii_amended, patterns=PII_PATTERNS
         ),

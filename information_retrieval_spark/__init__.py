@@ -35,6 +35,12 @@ from .corpus import capture_snapshot_id, corpus_from_documents, load_corpus
 from .operators.build import build_index, spimi_postings
 from .operators.compaction import compact_index, gc_stats, record_deletions
 from .operators.grep import grep_regex
+from .operators.grouping import (
+    collapse_topk,
+    count_matches,
+    significant_terms,
+    sort_topk,
+)
 from .operators.federation import (
     federated_topk_local,
     federated_wand_topk,
@@ -166,6 +172,7 @@ __all__ = [
     "policy_scan", "redact_secrets", "code_quality_stats", "code_quality_filter",
     "mixture_sample", "deterministic_shuffle",
     "extract_symbols", "extract_imports", "line_matches", "grep_regex",
+    "collapse_topk", "sort_topk", "count_matches", "significant_terms",
     "cosine_topk", "lsh_bucketize", "lsh_topk", "embedding_near_dup_pairs",
     "ivf_train_centroids", "ivf_assign", "ivf_topk", "knn_join",
 ]

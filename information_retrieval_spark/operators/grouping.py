@@ -1,0 +1,482 @@
+"""Result grouping, sorting and aggregation over the match stream.
+
+Four Lucene/Elasticsearch-shaped query surfaces the reference's design
+implies but never reached (its query path stops at the TODO in
+/root/reference/index/index.cc:161; these are the standard collectors any
+production engine front-ends add over the same postings):
+
+- ``collapse_topk``   — field collapsing (Lucene ``CollapsingTopDocsCollector``,
+  the GitHub-code-search "best hit per repository" shape): at most
+  ``per_group`` hits per group key survive, then a global top-k.
+- ``sort_topk``       — sort-by-field retrieval (Lucene ``SortField`` /
+  doc-values): matching docs ordered by a CATALOG column instead of by
+  relevance, score still reported.
+- ``count_matches``   — exact total-hit counting (Lucene
+  ``TotalHitCountCollector``): per query, how many docs match ANY analyzed
+  term and how many match ALL of them.
+- ``significant_terms`` — Elasticsearch ``significant_terms`` aggregation:
+  terms over-represented in a query's top-k result set vs the whole corpus,
+  scored by the JLH heuristic (fg%−bg%)·(fg%/bg%).
+
+Scale shape (the 100-TB story): all four are exhaustive-collector
+semantics, so WAND-style upper-bound pruning is inadmissible — every
+surface consumes ``wand.scored_matches``, the fully-distributed
+(query_id, docid, score) stream whose cost is Σ df(t) over the query's
+terms (decoded per bucket, NumPy-scored, never driver-materialized). The
+group/sort reductions then shrink the stream BEFORE any global window:
+
+- collapse reduces per (query, group) first — ``per_group == 1`` is a pure
+  hash aggregate (map-side partials, no window at all), the general case a
+  window partitioned by (query, group) — then cuts per (query, doc-bucket)
+  to k rows, so the final global rank window sees ≤ k · n_buckets rows.
+- sort cuts per (query, doc-bucket) to k rows the same way (buckets are
+  recoverable from the docid's high bits — no extra join), so the global
+  sort is over ≤ k · n_buckets rows, never the full match stream.
+- counting is one hash aggregate (map-side partials); significant-terms
+  tokenizes only the ≤ k docs of each result set (broadcast semi-join
+  against the catalog) and joins the term counts against the dictionary
+  with the small side broadcast.
+
+The group key / sort key lives in the docs CATALOG, so collapse/sort pay
+one shuffle join of the match stream against a two-column projection of
+the catalog (never ``content``). At build time a hot group key could be
+carried into the postings payload to make that join co-located; the
+catalog join is the flexible default (any column, no index rebuild).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+from .query import (
+    duckdb_qterms_sql,
+    duckdb_scored_prefix,
+    duckdb_tok,
+    parse_query_terms,
+)
+from .wand import scored_matches
+
+_EMPTY_COLLAPSE = "query_id int, rank int, docid long, group_key string, score double"
+_EMPTY_SORT = "query_id int, rank int, docid long, sort_value long, score double"
+_EMPTY_SIG = (
+    "query_id int, rank int, term string, fg_df long, bg_df long, sig double"
+)
+
+
+def _bucket_cut(
+    df: DataFrame, k: int, cfg: EngineConfig, order: list
+) -> DataFrame:
+    """Keep at most k rows per (query_id, doc-bucket) under ``order`` —
+    a partial top-k that bounds the global rank window's input to
+    k · n_buckets rows. The bucket is the docid's high bits (deterministic
+    docids, SURVEY.md B1), so no catalog join is needed."""
+    wb = Window.partitionBy(
+        "query_id", F.shiftright("docid", cfg.doc_bucket_bits)
+    ).orderBy(*order)
+    return (
+        df.withColumn("_bpos", F.row_number().over(wb))
+        .filter(F.col("_bpos") <= k)
+        .drop("_bpos")
+    )
+
+
+def collapse_topk(
+    spark: SparkSession,
+    index,
+    queries: list[str],
+    k: int,
+    group_col: str = "repo",
+    per_group: int = 1,
+    cfg: EngineConfig | None = None,
+    deleted: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, rank, docid, group_key, score) — BM25 ranked retrieval
+    where at most ``per_group`` hits share a ``group_col`` value (field
+    collapsing). Exact semantics: the per-group cut runs over the FULL
+    match stream (a group's best doc may sit arbitrarily deep in the
+    global ranking once top groups are collapsed away), then the global
+    (score DESC, docid ASC) rank keeps k.
+
+    ``per_group == 1`` (the common "one result per repo" case) avoids the
+    window entirely: ``max(struct(score, -docid))`` per (query, group) is
+    a hash aggregate with map-side partial combine — the struct ordering
+    reproduces the engine's (score DESC, docid ASC) tie-break exactly."""
+    cfg = cfg or index.cfg
+    q_pairs = parse_query_terms(queries, cfg)
+    if not q_pairs:
+        return spark.createDataFrame([], _EMPTY_COLLAPSE)
+    scored = scored_matches(spark, index, q_pairs, cfg, deleted=deleted)
+    groups = index.docs.select("docid", F.col(group_col).alias("group_key"))
+    j = scored.join(groups, "docid")
+    order = [F.desc("score"), F.asc("docid")]
+    if per_group == 1:
+        best = (
+            j.groupBy("query_id", "group_key")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("score").alias("s"),
+                        (-F.col("docid")).alias("nd"),
+                    )
+                ).alias("b")
+            )
+            .select(
+                "query_id",
+                "group_key",
+                (-F.col("b.nd")).alias("docid"),
+                F.col("b.s").alias("score"),
+            )
+        )
+    else:
+        wg = Window.partitionBy("query_id", "group_key").orderBy(*order)
+        best = (
+            j.withColumn("_gpos", F.row_number().over(wg))
+            .filter(F.col("_gpos") <= per_group)
+            .drop("_gpos")
+        )
+    best = _bucket_cut(best, k, cfg, order)
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        best.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "docid", "group_key", "score")
+    )
+
+
+def duckdb_collapse_sql(
+    corpus_sql: str,
+    queries: list[str],
+    k: int,
+    group_col: str = "repo",
+    per_group: int = 1,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    round_to: int = 4,
+) -> str:
+    """Oracle twin of ``collapse_topk``: the shared scored universe, a
+    per-(query, group) rank window cut to ``per_group``, then the global
+    rank window — restriction before ranking, unrounded tie-breaks."""
+    return f"""
+{duckdb_scored_prefix(corpus_sql, duckdb_qterms_sql(queries, cfg), cfg)},
+grouped AS (
+  SELECT s.query_id, s.docid, s.score, d.{group_col} AS group_key,
+         row_number() OVER (
+           PARTITION BY s.query_id, d.{group_col}
+           ORDER BY s.score DESC, s.docid ASC
+         ) AS gpos
+  FROM scored s JOIN docids d USING (docid)
+),
+ranked AS (
+  SELECT query_id, docid, group_key, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, docid ASC
+         ) AS rank
+  FROM grouped WHERE gpos <= {per_group}
+)
+SELECT query_id, rank, docid, group_key, round(score, {round_to}) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def sort_topk(
+    spark: SparkSession,
+    index,
+    queries: list[str],
+    k: int,
+    sort_col: str = "doc_len",
+    ascending: bool = False,
+    cfg: EngineConfig | None = None,
+    deleted: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, rank, docid, sort_value, score) — docs matching ≥1
+    analyzed query term, the top k under (``sort_col`` ASC|DESC, docid
+    ASC) — sort-by-field retrieval over a catalog column (recency, size,
+    path …) with the BM25 score still reported. The sort key, not the
+    score, is the total order: ties break on docid so the ranking is
+    deterministic regardless of score."""
+    cfg = cfg or index.cfg
+    q_pairs = parse_query_terms(queries, cfg)
+    if not q_pairs:
+        return spark.createDataFrame([], _EMPTY_SORT)
+    scored = scored_matches(spark, index, q_pairs, cfg, deleted=deleted)
+    vals = index.docs.select("docid", F.col(sort_col).alias("sort_value"))
+    j = scored.join(vals, "docid")
+    direction = F.asc("sort_value") if ascending else F.desc("sort_value")
+    order = [direction, F.asc("docid")]
+    j = _bucket_cut(j, k, cfg, order)
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "docid", "sort_value", "score")
+    )
+
+
+def duckdb_sort_sql(
+    corpus_sql: str,
+    queries: list[str],
+    k: int,
+    sort_sql: str = "doc_len",
+    ascending: bool = False,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    round_to: int = 4,
+) -> str:
+    """Oracle twin of ``sort_topk``. ``sort_sql`` is a SQL expression over
+    the ``docs`` CTE columns (``doc_len``) or any ``docids`` catalog
+    column."""
+    direction = "ASC" if ascending else "DESC"
+    return f"""
+{duckdb_scored_prefix(corpus_sql, duckdb_qterms_sql(queries, cfg), cfg)},
+with_key AS (
+  SELECT s.query_id, s.docid, s.score, d.{sort_sql} AS sort_value
+  FROM scored s JOIN docs d USING (docid)
+),
+ranked AS (
+  SELECT query_id, docid, sort_value, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sort_value {direction}, docid ASC
+         ) AS rank
+  FROM with_key
+)
+SELECT query_id, rank, docid, sort_value, round(score, {round_to}) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def count_matches(
+    spark: SparkSession,
+    index,
+    queries: list[str],
+    cfg: EngineConfig | None = None,
+    deleted: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, n_any, n_all) — exact hit counts per query: docs
+    containing ANY analyzed term and docs containing ALL of them
+    (disjunctive and conjunctive total hits). Every query id appears, 0/0
+    when nothing matches (including queries whose every term is
+    out-of-vocabulary).
+
+    One pruned postings decode + two hash aggregates (both with map-side
+    partials); n_all counts docs whose matched-term count reaches the
+    query's full distinct-term count — an OOV term therefore zeroes n_all
+    by construction, matching the SQL semantics."""
+    from .build import decode_posting_rows
+
+    cfg = cfg or index.cfg
+    q_pairs = parse_query_terms(queries, cfg)
+    base = spark.createDataFrame(
+        [(i,) for i in range(len(queries))], "query_id int"
+    )
+    if not q_pairs:
+        return base.select(
+            "query_id",
+            F.lit(0).cast("long").alias("n_any"),
+            F.lit(0).cast("long").alias("n_all"),
+        )
+    terms = sorted({t for _, t in q_pairs})
+    nq = {}
+    for qid, _t in q_pairs:
+        nq[qid] = nq.get(qid, 0) + 1
+    qdf = spark.createDataFrame(q_pairs, "query_id int, term string")
+    nqdf = spark.createDataFrame(
+        [(q, n) for q, n in nq.items()], "query_id int, nq long"
+    )
+    rows = (
+        decode_posting_rows(index.postings.filter(F.col("term").isin(terms)))
+        .select("term", "docid")
+        .join(F.broadcast(qdf), "term")
+    )
+    if deleted is not None:
+        rows = rows.join(deleted.select("docid").distinct(), "docid", "left_anti")
+    per_doc = rows.groupBy("query_id", "docid").agg(
+        F.count(F.lit(1)).alias("nmatch")
+    )
+    counts = (
+        per_doc.join(F.broadcast(nqdf), "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_any"),
+            F.count(F.when(F.col("nmatch") == F.col("nq"), 1)).alias("n_all"),
+        )
+    )
+    return (
+        base.join(counts, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_any", F.lit(0)).alias("n_any"),
+            F.coalesce("n_all", F.lit(0)).alias("n_all"),
+        )
+    )
+
+
+def duckdb_count_sql(
+    corpus_sql: str, queries: list[str], cfg: EngineConfig = DEFAULT_CONFIG
+) -> str:
+    """Oracle twin of ``count_matches`` — doc-level distinct term sets
+    joined against the analyzed query terms; FILTER keeps the counts
+    BIGINT (DuckDB's sum() would widen to HUGEINT)."""
+    from .docids import duckdb_docid_sql
+
+    qids = ", ".join(f"({i})" for i in range(len(queries)))
+    return f"""
+WITH docids AS ({duckdb_docid_sql(corpus_sql, cfg)}),
+doc_terms AS (
+  SELECT DISTINCT docid, unnest({duckdb_tok('content', cfg)}) AS term
+  FROM docids
+),
+q AS ({duckdb_qterms_sql(queries, cfg)}),
+nq AS (SELECT query_id, count(*) AS n FROM q GROUP BY query_id),
+m AS (
+  SELECT q.query_id, dt.docid, count(*) AS nmatch
+  FROM doc_terms dt JOIN q USING (term)
+  GROUP BY q.query_id, dt.docid
+),
+agg AS (
+  SELECT m.query_id,
+         count(*) AS n_any,
+         count(*) FILTER (WHERE m.nmatch = nq.n) AS n_all
+  FROM m JOIN nq USING (query_id)
+  GROUP BY m.query_id
+)
+SELECT b.query_id,
+       coalesce(a.n_any, 0) AS n_any,
+       coalesce(a.n_all, 0) AS n_all
+FROM (VALUES {qids}) AS b(query_id) LEFT JOIN agg a USING (query_id)
+"""
+
+
+def significant_terms(
+    spark: SparkSession,
+    index,
+    queries: list[str],
+    k_docs: int,
+    top_n: int,
+    cfg: EngineConfig | None = None,
+    **wand_kwargs,
+) -> DataFrame:
+    """(query_id, rank, term, fg_df, bg_df, sig) — terms over-represented
+    in the query's top-``k_docs`` BM25 result set vs the whole corpus
+    (Elasticsearch ``significant_terms`` over a search result): per
+    result-set term, fg_df = docs in the result set containing it, bg_df =
+    corpus df (the dictionary's), scored by the JLH heuristic
+
+        sig = (fg% − bg%) · (fg% / bg%),  fg% = fg_df / |result set|,
+                                          bg% = bg_df / n_docs
+
+    top ``top_n`` per query by (sig DESC, term ASC). Queries with an empty
+    result set produce no rows.
+
+    Scale shape: the result set is ≤ k_docs per query, so the foreground
+    pass broadcasts (query_id, docid) against the catalog and tokenizes
+    ONLY those docs; background df comes from the dictionary with the
+    small foreground side broadcast into the join. No corpus-sized work
+    beyond the WAND retrieval itself."""
+    from ..functions.analyzer import tokenize_expr
+    from .wand import wand_topk
+
+    cfg = cfg or index.cfg
+    q_pairs = parse_query_terms(queries, cfg)
+    if not q_pairs:
+        return spark.createDataFrame([], _EMPTY_SIG)
+    topk = wand_topk(spark, index, q_pairs, k_docs, cfg, **wand_kwargs)
+    fg_docs = topk.select("query_id", "docid")
+    fg_sizes = fg_docs.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("fg_n")
+    )
+    doc_terms = (
+        index.docs.join(F.broadcast(fg_docs), "docid")
+        .select(
+            "query_id",
+            F.explode(
+                F.array_distinct(tokenize_expr("content", cfg))
+            ).alias("term"),
+        )
+    )
+    fg_df = doc_terms.groupBy("query_id", "term").agg(
+        F.count(F.lit(1)).alias("fg_df")
+    )
+    bg = index.dictionary.select("term", F.col("df").alias("bg_df"))
+    n_docs = float(index.n_docs)
+    joined = (
+        bg.join(F.broadcast(fg_df), "term")
+        .join(F.broadcast(fg_sizes), "query_id")
+        .withColumn(
+            "sig",
+            (
+                (F.col("fg_df") / F.col("fg_n"))
+                - (F.col("bg_df") / F.lit(n_docs))
+            )
+            * (
+                (F.col("fg_df") / F.col("fg_n"))
+                / (F.col("bg_df") / F.lit(n_docs))
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sig"), F.asc("term"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "query_id",
+            "rank",
+            "term",
+            F.col("fg_df").cast("long").alias("fg_df"),
+            F.col("bg_df").cast("long").alias("bg_df"),
+            "sig",
+        )
+    )
+
+
+def duckdb_significant_sql(
+    corpus_sql: str,
+    queries: list[str],
+    k_docs: int,
+    top_n: int,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    round_to: int = 6,
+) -> str:
+    """Oracle twin of ``significant_terms``: the shared scored prefix's
+    top-``k_docs`` ranking re-derives the foreground set; bg df is
+    re-counted from the full ``tf`` CTE (one doc row per (term, docid) —
+    the dictionary identity); same JLH expression, same operand order, so
+    float64 results agree bit-for-bit before the display rounding."""
+    return f"""
+{duckdb_scored_prefix(corpus_sql, duckdb_qterms_sql(queries, cfg), cfg)},
+fg AS (
+  SELECT query_id, docid FROM (
+    SELECT query_id, docid,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, docid ASC
+           ) AS rank
+    FROM scored
+  ) WHERE rank <= {k_docs}
+),
+fg_sizes AS (SELECT query_id, count(*)::DOUBLE AS fg_n FROM fg GROUP BY query_id),
+fg_terms AS (
+  SELECT DISTINCT fg.query_id, fg.docid, t.term
+  FROM fg JOIN (SELECT docid, unnest({duckdb_tok('content', cfg)}) AS term
+                FROM docids) t USING (docid)
+),
+fg_df AS (
+  SELECT query_id, term, count(*) AS fg_df FROM fg_terms GROUP BY query_id, term
+),
+bg AS (SELECT term, count(*) AS bg_df FROM tf GROUP BY term),
+sig AS (
+  SELECT f.query_id, f.term, f.fg_df, b.bg_df,
+         ((f.fg_df / s.fg_n) - (b.bg_df / st.n_docs))
+           * ((f.fg_df / s.fg_n) / (b.bg_df / st.n_docs)) AS sig
+  FROM fg_df f
+  JOIN bg b USING (term)
+  JOIN fg_sizes s USING (query_id)
+  CROSS JOIN stats st
+),
+ranked AS (
+  SELECT query_id, term, fg_df, bg_df, sig,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sig DESC, term ASC
+         ) AS rank
+  FROM sig
+)
+SELECT query_id, rank, term, fg_df, bg_df, round(sig, {round_to}) AS sig
+FROM ranked WHERE rank <= {top_n}
+"""

@@ -1002,27 +1002,17 @@ def duckdb_wildcard_bm25_sql(
     return _duckdb_bm25_body(corpus_sql, qterms_sql, cfg, k, round_to)
 
 
-def _duckdb_bm25_body(
-    corpus_sql: str,
-    qterms_sql: str,
-    cfg: EngineConfig,
-    k: int | None,
-    round_to: int,
-    restrict_sql: str | None = None,
+def duckdb_scored_prefix(
+    corpus_sql: str, qterms_sql: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> str:
-    """Shared disjunctive-BM25 SQL body. ``restrict_sql`` (query_id, docid)
-    optionally restricts the ranked universe BEFORE the rank window — the
-    oracle shape for filtered retrieval (ranking over UNROUNDED scores so
-    tie-breaks match the engine exactly)."""
-    topk_filter = f"WHERE rank <= {k}" if k is not None else ""
-    rank_col = ", rank" if k is not None else ""
-    restrict = (
-        f"JOIN ({restrict_sql}) rstr USING (query_id, docid)"
-        if restrict_sql
-        else ""
-    )
-    return f"""
-WITH docids AS ({duckdb_docid_sql(corpus_sql, cfg)}),
+    """The shared disjunctive-BM25 WITH-prefix, ending at
+    ``scored(query_id, docid, score)`` — every doc matching ≥1 analyzed
+    query term with its full BM25 score (the SQL twin of
+    ``wand.scored_matches``). Exposes ``docids``/``docs``/``stats``/``tf``
+    CTEs so downstream oracles (grouping/sorting/counting/significant
+    terms) can compose their own final stages over the same scored
+    universe."""
+    return f"""WITH docids AS ({duckdb_docid_sql(corpus_sql, cfg)}),
 docs AS (
   SELECT docid,
          len({duckdb_tok('content', cfg)}) AS doc_len,
@@ -1052,7 +1042,41 @@ scored AS (
   JOIN df_t d USING (query_id, term)
   CROSS JOIN stats s
   GROUP BY m.query_id, m.docid
-),
+)"""
+
+
+def duckdb_qterms_sql(queries: list[str], cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+    """The (query_id, term) CTE body for a plain query list — distinct
+    analyzed terms per query, the SQL twin of ``parse_query_terms``."""
+    qvalues = ", ".join(f"({i}, '{q}')" for i, q in enumerate(queries))
+    return f"""
+  SELECT DISTINCT query_id, qterm AS term FROM (
+    SELECT query_id, unnest({duckdb_tok('text', cfg)}) AS qterm
+    FROM (VALUES {qvalues}) AS queries(query_id, text)
+  )"""
+
+
+def _duckdb_bm25_body(
+    corpus_sql: str,
+    qterms_sql: str,
+    cfg: EngineConfig,
+    k: int | None,
+    round_to: int,
+    restrict_sql: str | None = None,
+) -> str:
+    """Shared disjunctive-BM25 SQL body. ``restrict_sql`` (query_id, docid)
+    optionally restricts the ranked universe BEFORE the rank window — the
+    oracle shape for filtered retrieval (ranking over UNROUNDED scores so
+    tie-breaks match the engine exactly)."""
+    topk_filter = f"WHERE rank <= {k}" if k is not None else ""
+    rank_col = ", rank" if k is not None else ""
+    restrict = (
+        f"JOIN ({restrict_sql}) rstr USING (query_id, docid)"
+        if restrict_sql
+        else ""
+    )
+    return f"""
+{duckdb_scored_prefix(corpus_sql, qterms_sql, cfg)},
 ranked AS (
   SELECT query_id, docid, score,
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid ASC) AS rank

@@ -507,30 +507,28 @@ def wand_topk(
     )
 
 
-def _semi_join_topk(
+def scored_matches(
     spark: SparkSession,
     index: InvertedIndex,
     q_pairs: list[tuple[int, str]],
-    k: int,
     cfg: EngineConfig,
-    deleted: DataFrame | None,
-    allowed: DataFrame | None,
+    deleted: DataFrame | None = None,
+    allowed: DataFrame | None = None,
     allowed_by_query: DataFrame | None = None,
-    after: dict[int, tuple[float, int]] | None = None,
 ) -> DataFrame:
-    """Over-cap keep-list fallback (judge r2 #9): an ACL allow-list too
-    large for the small-set contract folds into the SCAN instead of into a
-    driver collect — decode the term-pruned posting blocks to rows,
-    ``left_semi`` join the allowed set (and ``left_anti`` the deleted set)
-    BEFORE any top-k selection (security.py's pre-rank contract: filtering
-    after the heap under-fills it), then score per (query, doc) and rank.
-    A per-query keep frame (``allowed_by_query``) semi-joins on BOTH keys.
+    """(query_id, docid, score) for EVERY doc matching ≥1 query term —
+    the full BM25-scored disjunctive match stream, before any top-k
+    selection. This is the exhaustive-collector analog (Lucene's
+    ``TotalHitCountCollector`` / grouping collectors run over this stream,
+    not over a pruned heap): WAND-style upper-bound pruning is inadmissible
+    for consumers that need every match (hit counts, field collapsing,
+    sort-by-field), so the stream decodes the term-pruned posting blocks to
+    rows and scores per (query, doc) — cost is Σ df(t) over the query's
+    terms, the same bound as any disjunctive evaluation, and it stays fully
+    distributed (per-bucket NumPy scoring, no driver materialization).
 
-    Rank-identical to the BMW path: the per-doc score accumulates idf·tfnorm
-    in ascending term order (reduceat over (docid, term)-sorted rows — the
-    same left-to-right double additions as the cursor loop), and the final
-    rank uses the same (score DESC, docid ASC) tie-break. Pinned by
-    tests/test_security.py."""
+    Scores are bit-identical to the BMW cursor loop: idf·tfnorm accumulated
+    strictly left-to-right in ascending term order (see the in-body note)."""
     from .build import decode_posting_rows
 
     avgdl, k1, b = float(index.avgdl), float(cfg.k1), float(cfg.b)
@@ -582,7 +580,30 @@ def _semi_join_topk(
             score[doc_ix[m]] += contrib[m]
         return pd.DataFrame({"query_id": qid, "docid": d[starts], "score": score})
 
-    partials = rows.groupBy("query_id", "bucket").applyInPandas(score_group, TOPK_SCHEMA)
+    return rows.groupBy("query_id", "bucket").applyInPandas(score_group, TOPK_SCHEMA)
+
+
+def _semi_join_topk(
+    spark: SparkSession,
+    index: InvertedIndex,
+    q_pairs: list[tuple[int, str]],
+    k: int,
+    cfg: EngineConfig,
+    deleted: DataFrame | None,
+    allowed: DataFrame | None,
+    allowed_by_query: DataFrame | None = None,
+    after: dict[int, tuple[float, int]] | None = None,
+) -> DataFrame:
+    """Over-cap keep-list fallback (judge r2 #9): an ACL allow-list too
+    large for the small-set contract folds into the SCAN instead of into a
+    driver collect — the full ``scored_matches`` stream (``left_semi`` /
+    ``left_anti`` keep-lists applied BEFORE any top-k selection,
+    security.py's pre-rank contract) followed by the same (score DESC,
+    docid ASC) rank window as the BMW path. Rank-identical to BMW — pinned
+    by tests/test_security.py."""
+    partials = scored_matches(
+        spark, index, q_pairs, cfg, deleted, allowed, allowed_by_query
+    )
     partials = apply_after_filter(spark, partials, after)
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
     return (

@@ -1,0 +1,258 @@
+"""Grouping/sorting/counting collectors over the match stream
+(operators/grouping.py): field collapsing, sort-by-field, total-hit
+counting, significant terms. Cross-checked against the corpus-scan
+``naive_bm25`` scored stream (itself oracle-pinned) plus pandas
+re-derivations."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.corpus import synthetic_corpus_pdf
+from information_retrieval_spark.functions.analyzer import tokenize_series
+from information_retrieval_spark.operators.build import build_index
+from information_retrieval_spark.operators.grouping import (
+    collapse_topk,
+    count_matches,
+    significant_terms,
+    sort_topk,
+)
+from information_retrieval_spark.operators.query import (
+    naive_bm25,
+    parse_queries,
+    parse_query_terms,
+)
+from information_retrieval_spark.operators.wand import scored_matches, wand_topk
+
+CFG = EngineConfig(n_doc_buckets=8, block_size=16)
+QUERIES = [
+    "ident_1 ident_2 ident_3",
+    "common_stopword ident_7",
+    "zzz_never_in_vocab",
+]
+K = 7
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = synthetic_corpus_pdf(150, seed=47)[
+        ["repo", "path", "commit", "lang", "content"]
+    ]
+    return spark.createDataFrame(pdf).cache()
+
+
+@pytest.fixture(scope="module")
+def idx(spark, corpus):
+    return build_index(spark, corpus, CFG)
+
+
+@pytest.fixture(scope="module")
+def ref(spark, corpus, idx):
+    """Reference frame: the corpus-scan scored stream joined with the doc
+    catalog (docid, repo, doc_len) — everything the pandas re-derivations
+    need."""
+    scored = naive_bm25(corpus, parse_queries(spark, QUERIES, CFG), CFG)
+    cat = idx.docs.select("docid", "repo", "doc_len")
+    return scored.join(cat, "docid").toPandas()
+
+
+def test_scored_matches_equals_corpus_scan(spark, corpus, idx, ref):
+    """The index-side match stream (decode + NumPy scoring) reproduces the
+    corpus-scan stream doc-for-doc, score-for-score."""
+    got = (
+        scored_matches(spark, idx, parse_query_terms(QUERIES, CFG), CFG)
+        .toPandas()
+        .sort_values(["query_id", "docid"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        ref[["query_id", "docid", "score"]]
+        .sort_values(["query_id", "docid"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["query_id"].to_numpy() == exp["query_id"].to_numpy()).all()
+    assert (got["docid"].to_numpy() == exp["docid"].to_numpy()).all()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), exp["score"].to_numpy(), rtol=0, atol=1e-12
+    )
+
+
+def _expected_collapse(ref: pd.DataFrame, per_group: int, k: int) -> pd.DataFrame:
+    df = ref.sort_values(
+        ["query_id", "score", "docid"], ascending=[True, False, True]
+    ).copy()
+    df["gpos"] = df.groupby(["query_id", "repo"]).cumcount() + 1
+    df = df[df["gpos"] <= per_group]
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k]
+    return df[["query_id", "rank", "docid", "repo", "score"]].reset_index(
+        drop=True
+    )
+
+
+@pytest.mark.parametrize("per_group", [1, 2])
+def test_collapse_topk(spark, idx, ref, per_group):
+    got = (
+        collapse_topk(
+            spark, idx, QUERIES, K, group_col="repo", per_group=per_group,
+            cfg=CFG,
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = _expected_collapse(ref, per_group, K)
+    assert got["query_id"].tolist() == exp["query_id"].tolist()
+    assert got["rank"].tolist() == exp["rank"].tolist()
+    assert got["docid"].tolist() == exp["docid"].tolist()
+    assert got["group_key"].tolist() == exp["repo"].tolist()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), exp["score"].to_numpy(), atol=1e-12
+    )
+    # collapse invariant: no group exceeds per_group within a query
+    per = got.groupby(["query_id", "group_key"]).size()
+    assert per.max() <= per_group
+
+
+def test_collapse_fast_path_is_aggregate_not_window(spark, idx):
+    """per_group == 1 must reduce per group with a hash aggregate
+    (max(struct(score, -docid))) — the corpus-sized stream never feeds a
+    per-group window; the only windows left are the k-bounded cuts."""
+    df = collapse_topk(spark, idx, QUERIES, K, per_group=1, cfg=CFG)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "max(struct(" in plan
+    # general path keeps the per-group window
+    df2 = collapse_topk(spark, idx, QUERIES, K, per_group=2, cfg=CFG)
+    plan2 = df2._jdf.queryExecution().optimizedPlan().toString()
+    assert "max(struct(" not in plan2
+
+
+def test_sort_topk(spark, idx, ref):
+    got = (
+        sort_topk(
+            spark, idx, QUERIES, K, sort_col="doc_len", ascending=False,
+            cfg=CFG,
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    df = ref.sort_values(
+        ["query_id", "doc_len", "docid"], ascending=[True, False, True]
+    ).copy()
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    exp = df[df["rank"] <= K].reset_index(drop=True)
+    assert got["docid"].tolist() == exp["docid"].tolist()
+    assert got["sort_value"].tolist() == exp["doc_len"].tolist()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), exp["score"].to_numpy(), atol=1e-12
+    )
+
+
+def test_sort_topk_ascending(spark, idx, ref):
+    got = sort_topk(
+        spark, idx, QUERIES, K, sort_col="doc_len", ascending=True, cfg=CFG
+    ).toPandas()
+    df = ref.sort_values(
+        ["query_id", "doc_len", "docid"], ascending=[True, True, True]
+    ).copy()
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    exp = df[df["rank"] <= K]
+    assert (
+        got.sort_values(["query_id", "rank"])["docid"].tolist()
+        == exp["docid"].tolist()
+    )
+
+
+def test_count_matches(spark, corpus, idx, ref):
+    got = (
+        count_matches(spark, idx, QUERIES, CFG)
+        .toPandas()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    # n_any: every scored row is a matching doc
+    n_any = {
+        int(q): int(n)
+        for q, n in ref.groupby("query_id")["docid"].nunique().items()
+    }
+    # n_all: docs whose token set covers every analyzed term of the query
+    cpdf = corpus.toPandas()
+    toks = tokenize_series(cpdf["content"], CFG).map(set)
+    q_pairs = parse_query_terms(QUERIES, CFG)
+    terms_by_q: dict[int, set] = {}
+    for qid, t in q_pairs:
+        terms_by_q.setdefault(qid, set()).add(t)
+    n_all = {
+        qid: int(sum(1 for ts in toks if need <= ts))
+        for qid, need in terms_by_q.items()
+    }
+    assert got["query_id"].tolist() == [0, 1, 2]
+    for _, r in got.iterrows():
+        qid = int(r["query_id"])
+        assert int(r["n_any"]) == n_any.get(qid, 0)
+        assert int(r["n_all"]) == n_all.get(qid, 0)
+    # the OOV query is present with zero counts
+    oov = got[got["query_id"] == 2].iloc[0]
+    assert int(oov["n_any"]) == 0 and int(oov["n_all"]) == 0
+
+
+def test_count_matches_all_requires_every_term(spark, idx):
+    """A query mixing an in-vocab and an OOV term matches docs
+    disjunctively but can never match ALL terms."""
+    got = count_matches(
+        spark, idx, ["ident_1 zzz_never_in_vocab"], CFG
+    ).toPandas()
+    assert int(got["n_any"].iloc[0]) > 0
+    assert int(got["n_all"].iloc[0]) == 0
+
+
+def test_significant_terms(spark, corpus, idx):
+    top_n = 8
+    got = significant_terms(spark, idx, QUERIES[:2], K, top_n, CFG).toPandas()
+    # re-derive: fg sets from wand_topk, counts from pandas tokenization
+    topk = wand_topk(
+        spark, idx, parse_query_terms(QUERIES[:2], CFG), K, CFG
+    ).toPandas()
+    cat = idx.docs.select("docid", "content").toPandas()
+    toks = dict(
+        zip(cat["docid"], tokenize_series(cat["content"], CFG).map(set))
+    )
+    dic = idx.dictionary.select("term", "df").toPandas()
+    bg = dict(zip(dic["term"], dic["df"]))
+    n_docs = float(idx.n_docs)
+    for qid, grp in topk.groupby("query_id"):
+        fg_ids = grp["docid"].tolist()
+        fg_n = float(len(fg_ids))
+        counts: dict[str, int] = {}
+        for d in fg_ids:
+            for t in toks[d]:
+                counts[t] = counts.get(t, 0) + 1
+        rows = []
+        for t, fg in counts.items():
+            bgd = float(bg[t])
+            fgr, bgr = fg / fg_n, bgd / n_docs
+            rows.append((t, fg, int(bgd), (fgr - bgr) * (fgr / bgr)))
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        exp = rows[:top_n]
+        g = got[got["query_id"] == qid].sort_values("rank")
+        assert g["term"].tolist() == [r[0] for r in exp]
+        assert g["fg_df"].tolist() == [r[1] for r in exp]
+        assert g["bg_df"].tolist() == [r[2] for r in exp]
+        np.testing.assert_allclose(
+            g["sig"].to_numpy(), np.array([r[3] for r in exp]), atol=1e-9
+        )
+    # the OOV-free queries each produced a full panel
+    assert set(got["query_id"]) == {0, 1}
+
+
+def test_empty_query_surfaces(spark, idx):
+    """Queries that analyze to nothing return empty (collapse/sort) or
+    zero-count (count_matches) results with stable schemas."""
+    assert collapse_topk(spark, idx, ["???"], K, cfg=CFG).count() == 0
+    assert sort_topk(spark, idx, ["???"], K, cfg=CFG).count() == 0
+    got = count_matches(spark, idx, ["???"], CFG).toPandas()
+    assert got["n_any"].tolist() == [0] and got["n_all"].tolist() == [0]
