@@ -483,36 +483,48 @@ def make_arrow_emitter(cfg: EngineConfig = DEFAULT_CONFIG):
     return emit
 
 
-def decode_posting_rows(payload_rows: DataFrame) -> DataFrame:
-    """(term, docid, bucket, tf, dl) rows decoded from any payload-shaped
-    relation carrying (term, bucket, n, docs_vb, tfs_vb, dls_vb) — SPIMI
-    runs and encoded posting blocks both qualify. Used by the oracle/test
-    surface and by the distributed (over-cap) compaction fallback."""
+def decode_posting_rows(
+    payload_rows: DataFrame, need: tuple[str, ...] = ("tf", "dl")
+) -> DataFrame:
+    """(term, docid, bucket[, tf][, dl]) rows decoded from any
+    payload-shaped relation carrying (term, bucket, n, docs_vb, tfs_vb,
+    dls_vb) — SPIMI runs and encoded posting blocks both qualify. Used by
+    the oracle/test surface and by the distributed (over-cap) compaction
+    fallback.
+
+    ``need`` selects which VALUE planes to decode: consumers that only
+    need membership (hit counting, boolean evaluation) pass ``()`` so the
+    tf/dl byte planes are neither decoded NOR read — the projection drops
+    ``tfs_vb``/``dls_vb`` before the scan, and Parquet column pruning
+    skips those column chunks entirely."""
+    need = tuple(c for c in ("tf", "dl") if c in need)  # canonical order
+    vb_cols = ["docs_vb"] + [f"{c}s_vb" for c in need]
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
             n = pdf["n"].to_numpy(np.int64)
-            yield pd.DataFrame(
-                {
-                    "term": np.repeat(pdf["term"].to_numpy(object), n),
-                    "docid": np.concatenate(
-                        [codec.delta_decode(codec.vbyte_decode(x)) for x in pdf["docs_vb"]]
-                    ),
-                    "bucket": np.repeat(pdf["bucket"].to_numpy(np.int32), n),
-                    "tf": np.concatenate(
-                        [codec.vbyte_decode(x).astype(np.int64) for x in pdf["tfs_vb"]]
-                    ),
-                    "dl": np.concatenate(
-                        [codec.vbyte_decode(x).astype(np.int64) for x in pdf["dls_vb"]]
-                    ),
-                }
-            )
+            out = {
+                "term": np.repeat(pdf["term"].to_numpy(object), n),
+                "docid": np.concatenate(
+                    [codec.delta_decode(codec.vbyte_decode(x)) for x in pdf["docs_vb"]]
+                ),
+                "bucket": np.repeat(pdf["bucket"].to_numpy(np.int32), n),
+            }
+            for c in need:
+                out[c] = np.concatenate(
+                    [codec.vbyte_decode(x).astype(np.int64) for x in pdf[f"{c}s_vb"]]
+                )
+            yield pd.DataFrame(out)
 
-    return payload_rows.select(
-        "term", "bucket", "n", "docs_vb", "tfs_vb", "dls_vb"
-    ).mapInPandas(decode, POSTING_ROWS_SCHEMA)
+    schema = StructType(
+        [f for f in POSTING_ROWS_SCHEMA.fields if f.name not in ("tf", "dl")]
+        + [f for f in POSTING_ROWS_SCHEMA.fields if f.name in need]
+    )
+    return payload_rows.select("term", "bucket", "n", *vb_cols).mapInPandas(
+        decode, schema
+    )
 
 
 def pack_posting_rows(rows: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:

@@ -281,8 +281,12 @@ def count_matches(
     nqdf = spark.createDataFrame(
         [(q, n) for q, n in nq.items()], "query_id int, nq long"
     )
+    # membership only: need=() skips decoding AND reading the tf/dl byte
+    # planes (Parquet column pruning drops their chunks at the scan)
     rows = (
-        decode_posting_rows(index.postings.filter(F.col("term").isin(terms)))
+        decode_posting_rows(
+            index.postings.filter(F.col("term").isin(terms)), need=()
+        )
         .select("term", "docid")
         .join(F.broadcast(qdf), "term")
     )

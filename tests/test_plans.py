@@ -373,3 +373,20 @@ def test_grep_batch_shares_one_postings_read(spark, root):
     edge_pats = [r" ident_1\w+", r" ident_2\w+", r" ident_3\w+"]
     plan2 = _plan(grep_regex(spark, idx, edge_pats, CFG))
     assert _postings_scans(plan2) == 1, plan2[:1500]
+
+
+def test_count_matches_scan_skips_value_planes(spark, root):
+    """Hit counting needs membership only: the postings scan must read
+    docs_vb but NEITHER tf/dl byte plane (decode_posting_rows(need=())
+    drops them before the scan so Parquet column pruning applies), and the
+    query terms must still reach the scan as a pushed IN filter."""
+    from information_retrieval_spark.operators.grouping import count_matches
+
+    idx = open_index(spark, root)
+    plan = _plan(count_matches(spark, idx, ["ident_1 ident_2"], CFG))
+    scan = plan[plan.index("Scan parquet"):]
+    read_schema = scan[scan.index("ReadSchema"):].splitlines()[0]
+    assert "docs_vb" in read_schema
+    assert "tfs_vb" not in read_schema and "dls_vb" not in read_schema
+    pushed = scan[: scan.index("ReadSchema")]
+    assert re.search(r"PushedFilters: \[.*In\(term", pushed), pushed[:500]
