@@ -1333,3 +1333,276 @@ def grep_local(
     return pd.DataFrame(rows, columns=cols).astype(
         {"query_id": "int32", "docid": "int64", "line_no": "int32"}
     )
+
+
+def _scored_matches_local(
+    idx: "LocalIndex", q_pairs: list[tuple[int, str]]
+) -> pd.DataFrame:
+    """(query_id, docid, score) — the FULL BM25-scored disjunctive match
+    stream, Spark-free: the local twin of ``wand.scored_matches``. Scores
+    are bit-identical to the BMW cursors (idf·tfnorm accumulated strictly
+    left-to-right in ascending term order, the same j-pass discipline as
+    the distributed ``score_group``)."""
+    import numpy as np
+
+    terms = sorted({t for _, t in q_pairs})
+    blocks = idx.fetch_blocks(terms)
+    if blocks.empty:
+        return pd.DataFrame(columns=["query_id", "docid", "score"]).astype(
+            {"query_id": "int32", "docid": "int64", "score": "float64"}
+        )
+    idf = {
+        t: float(codec.bm25_idf(float(df_t), float(idx.n_docs)))
+        for t, df_t in blocks.groupby("term")["n"].sum().items()
+    }
+    avgdl, k1, b = float(idx.avgdl), float(idx.cfg.k1), float(idx.cfg.b)
+    # decode every block of every query term → flat (term, docid, contrib)
+    t_all, d_all, c_all = [], [], []
+    for term, dvb, tvb, lvb in zip(
+        blocks["term"], blocks["docs_vb"], blocks["tfs_vb"], blocks["dls_vb"]
+    ):
+        d, tf, dl = codec.decode_block(dvb, tvb, lvb)
+        d = np.asarray(d, dtype=np.int64)
+        if idx.deleted is not None and d.size:
+            keep = ~np.isin(d, idx.deleted)
+            d, tf, dl = d[keep], np.asarray(tf)[keep], np.asarray(dl)[keep]
+        if not d.size:
+            continue
+        contrib = idf[term] * codec.bm25_tfnorm(
+            np.asarray(tf, np.int64), np.asarray(dl, np.int64), avgdl, k1, b
+        )
+        t_all.append(np.full(d.size, term, dtype=object))
+        d_all.append(d)
+        c_all.append(contrib)
+    if not d_all:
+        return pd.DataFrame(columns=["query_id", "docid", "score"]).astype(
+            {"query_id": "int32", "docid": "int64", "score": "float64"}
+        )
+    flat = pd.DataFrame(
+        {
+            "term": np.concatenate(t_all),
+            "docid": np.concatenate(d_all),
+            "contrib": np.concatenate(c_all),
+        }
+    )
+    by_q: dict[int, list[str]] = {}
+    for qid, t in sorted(set(q_pairs)):
+        by_q.setdefault(int(qid), []).append(t)
+    outs = []
+    for qid, qt in by_q.items():
+        sub = flat[flat["term"].isin(qt)].sort_values(
+            ["docid", "term"], kind="mergesort"
+        )
+        if not len(sub):
+            continue
+        d = sub["docid"].to_numpy(np.int64)
+        contrib = sub["contrib"].to_numpy(np.float64)
+        cut = np.flatnonzero(d[1:] != d[:-1]) + 1
+        starts = np.concatenate(([0], cut))
+        counts = np.diff(np.append(starts, d.size))
+        doc_ix = np.repeat(np.arange(starts.size, dtype=np.int64), counts)
+        pos_in_doc = np.arange(d.size, dtype=np.int64) - np.repeat(starts, counts)
+        score = np.zeros(starts.size, dtype=np.float64)
+        for j in range(int(counts.max())):
+            m = pos_in_doc == j
+            score[doc_ix[m]] += contrib[m]
+        outs.append(
+            pd.DataFrame({"query_id": qid, "docid": d[starts], "score": score})
+        )
+    if not outs:
+        return pd.DataFrame(columns=["query_id", "docid", "score"]).astype(
+            {"query_id": "int32", "docid": "int64", "score": "float64"}
+        )
+    return pd.concat(outs, ignore_index=True).astype(
+        {"query_id": "int32", "docid": "int64", "score": "float64"}
+    )
+
+
+def _docs_columns_local(
+    idx: "LocalIndex", docids, columns: list[str]
+) -> pd.DataFrame:
+    """(docid, *columns) from the persisted docs catalog across every
+    mounted root, bucket + docid pushdown-pruned when ``docids`` is given
+    (None = full catalog, column-pruned)."""
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    flt = None
+    if docids is not None:
+        arr = np.unique(np.asarray(list(docids), dtype=np.int64))
+        buckets = sorted({int(d) >> idx.cfg.doc_bucket_bits for d in arr})
+        flt = ds.field("bucket").isin(buckets) & ds.field("docid").isin(
+            arr.tolist()
+        )
+    parts = []
+    for root in _index_roots(idx):
+        tab = ds.dataset(
+            os.path.join(root, "docs"), partitioning="hive", format="parquet"
+        ).to_table(filter=flt, columns=["docid"] + columns)
+        parts.append(tab.to_pandas())
+    return pd.concat(parts, ignore_index=True)
+
+
+def count_local(
+    index: "LocalIndex | str", queries: list[str]
+) -> pd.DataFrame:
+    """(query_id, n_any, n_all) — Spark-free twin of
+    ``grouping.count_matches``: exact disjunctive/conjunctive total hits
+    per query from the pushdown-pruned posting fetch (deleted docs
+    masked); every query id appears, 0/0 when nothing matches."""
+    import numpy as np
+    from functools import reduce
+
+    idx = LocalIndex(index) if isinstance(index, str) else index
+    q_pairs = parse_query_terms(queries, idx.cfg)
+    by_term = _term_docids_local(idx, sorted({t for _, t in q_pairs}))
+    by_q: dict[int, list[str]] = {}
+    for qid, t in q_pairs:
+        by_q.setdefault(int(qid), []).append(t)
+    rows = []
+    for qid in range(len(queries)):
+        terms = by_q.get(qid, [])
+        arrs = [by_term.get(t, np.empty(0, dtype=np.int64)) for t in terms]
+        if not arrs:
+            rows.append((qid, 0, 0))
+            continue
+        n_any = int(np.unique(np.concatenate(arrs)).size)
+        inter = reduce(np.intersect1d, arrs)
+        rows.append((qid, n_any, int(inter.size)))
+    return pd.DataFrame(rows, columns=["query_id", "n_any", "n_all"]).astype(
+        {"query_id": "int32", "n_any": "int64", "n_all": "int64"}
+    )
+
+
+def collapse_local(
+    index: "LocalIndex | str",
+    queries: list[str],
+    k: int = 10,
+    group_col: str = "repo",
+    per_group: int = 1,
+) -> pd.DataFrame:
+    """(query_id, rank, docid, group_key, score) — Spark-free twin of
+    ``grouping.collapse_topk``: ≤ ``per_group`` hits per catalog group key
+    over the full local match stream, then the global (score DESC, docid
+    ASC) top-k."""
+    idx = LocalIndex(index) if isinstance(index, str) else index
+    scored = _scored_matches_local(idx, parse_query_terms(queries, idx.cfg))
+    if not len(scored):
+        return pd.DataFrame(
+            columns=["query_id", "rank", "docid", "group_key", "score"]
+        )
+    keys = _docs_columns_local(idx, scored["docid"], [group_col]).rename(
+        columns={group_col: "group_key"}
+    )
+    j = scored.merge(keys, on="docid")
+    j = j.sort_values(
+        ["query_id", "score", "docid"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    j["_gpos"] = j.groupby(["query_id", "group_key"]).cumcount() + 1
+    j = j[j["_gpos"] <= per_group]
+    j["rank"] = j.groupby("query_id").cumcount() + 1
+    j = j[j["rank"] <= k]
+    return j[["query_id", "rank", "docid", "group_key", "score"]].astype(
+        {"query_id": "int32", "rank": "int32", "docid": "int64"}
+    ).reset_index(drop=True)
+
+
+def sort_local(
+    index: "LocalIndex | str",
+    queries: list[str],
+    k: int = 10,
+    sort_col: str = "doc_len",
+    ascending: bool = False,
+) -> pd.DataFrame:
+    """(query_id, rank, docid, sort_value, score) — Spark-free twin of
+    ``grouping.sort_topk``: matching docs under the (sort_col, docid)
+    total order, BM25 score still reported."""
+    idx = LocalIndex(index) if isinstance(index, str) else index
+    scored = _scored_matches_local(idx, parse_query_terms(queries, idx.cfg))
+    if not len(scored):
+        return pd.DataFrame(
+            columns=["query_id", "rank", "docid", "sort_value", "score"]
+        )
+    vals = _docs_columns_local(idx, scored["docid"], [sort_col]).rename(
+        columns={sort_col: "sort_value"}
+    )
+    j = scored.merge(vals, on="docid")
+    j = j.sort_values(
+        ["query_id", "sort_value", "docid"],
+        ascending=[True, ascending, True],
+        kind="mergesort",
+    )
+    j["rank"] = j.groupby("query_id").cumcount() + 1
+    j = j[j["rank"] <= k]
+    return j[["query_id", "rank", "docid", "sort_value", "score"]].astype(
+        {"query_id": "int32", "rank": "int32", "docid": "int64"}
+    ).reset_index(drop=True)
+
+
+def significant_local(
+    index: "LocalIndex | str",
+    queries: list[str],
+    k_docs: int = 10,
+    top_n: int = 10,
+) -> pd.DataFrame:
+    """(query_id, rank, term, fg_df, bg_df, sig) — Spark-free twin of
+    ``grouping.significant_terms``: JLH over each query's local top-k
+    result set vs the persisted dictionary's corpus df. Foreground
+    tokenization touches only the ≤ k result docs (bucket+docid
+    pushdown-pruned content fetch)."""
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    from ..functions.analyzer import tokenize_series
+
+    idx = LocalIndex(index) if isinstance(index, str) else index
+    topk = query_index_local(idx, queries, k=k_docs)
+    if not len(topk):
+        return pd.DataFrame(
+            columns=["query_id", "rank", "term", "fg_df", "bg_df", "sig"]
+        )
+    docs = _docs_columns_local(idx, topk["docid"], ["content"])
+    toks = dict(
+        zip(docs["docid"], tokenize_series(docs["content"], idx.cfg).map(set))
+    )
+    # per-query foreground df
+    fg_rows: list[tuple[int, str, int]] = []
+    for qid, grp in topk.groupby("query_id"):
+        counts: dict[str, int] = {}
+        for d in grp["docid"]:
+            for t in toks[int(d)]:
+                counts[t] = counts.get(t, 0) + 1
+        fg_rows.extend((int(qid), t, c) for t, c in counts.items())
+    fg = pd.DataFrame(fg_rows, columns=["query_id", "term", "fg_df"])
+    fg_n = (
+        topk.groupby("query_id")["docid"].size().rename("fg_n").reset_index()
+    )
+    # background df from the persisted dictionary, pruned to fg terms
+    need = sorted(set(fg["term"]))
+    bg_parts = []
+    for root in _index_roots(idx):
+        tab = ds.dataset(
+            os.path.join(root, "dictionary"), format="parquet"
+        ).to_table(filter=ds.field("term").isin(need), columns=["term", "df"])
+        bg_parts.append(tab.to_pandas())
+    bg = (
+        pd.concat(bg_parts, ignore_index=True)
+        .groupby("term", as_index=False)["df"].sum()
+        .rename(columns={"df": "bg_df"})
+    )
+    n_docs = float(idx.n_docs)
+    j = fg.merge(bg, on="term").merge(fg_n, on="query_id")
+    fgr = j["fg_df"].to_numpy(np.float64) / j["fg_n"].to_numpy(np.float64)
+    bgr = j["bg_df"].to_numpy(np.float64) / n_docs
+    j["sig"] = (fgr - bgr) * (fgr / bgr)
+    j = j.sort_values(
+        ["query_id", "sig", "term"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    j["rank"] = j.groupby("query_id").cumcount() + 1
+    j = j[j["rank"] <= top_n]
+    return j[["query_id", "rank", "term", "fg_df", "bg_df", "sig"]].astype(
+        {"query_id": "int32", "rank": "int32", "fg_df": "int64",
+         "bg_df": "int64", "sig": "float64"}
+    ).reset_index(drop=True)

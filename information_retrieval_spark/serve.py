@@ -28,6 +28,10 @@ Protocol: newline-delimited JSON, one object per line.
     {"op": "query", "queries": ["hash join", "tab*"], "k": 10}
     {"op": "grep", "patterns": ["parse_http\\\\(", "win.*ow"]}
     {"op": "did_you_mean", "queries": ["hash joim tabl"], "max_edit": 2}
+    {"op": "count", "queries": ["hash join"]}
+    {"op": "collapse", "queries": ["hash join"], "k": 10, "group_col": "repo", "per_group": 1}
+    {"op": "sort", "queries": ["hash join"], "k": 10, "sort_col": "doc_len", "ascending": false}
+    {"op": "significant", "queries": ["hash join"], "k": 10, "top_n": 10}
     {"op": "stats"}
     {"op": "shutdown"}
 
@@ -335,6 +339,48 @@ class QueryDaemon:
                     strategy=strategy,
                     after=after,
                 )
+            except Exception as e:
+                return {"ok": False, "error": str(e)}
+            with self._reg_lock:
+                self._queries_served += len(queries)
+            return {"ok": True, "registration_id": reg_id, "results": results}
+        if op in ("count", "collapse", "sort", "significant"):
+            queries = req.get("queries")
+            if queries is None:
+                queries = [req["query"]] if "query" in req else []
+            if not isinstance(queries, list) or not all(
+                isinstance(q, str) for q in queries
+            ):
+                return {"ok": False, "error": "queries must be a list of strings"}
+            try:
+                from .operators import local_query as lq
+
+                k = int(req.get("k", 10))
+                if op == "count":
+                    fn = lambda idx: lq.count_local(idx, queries)  # noqa: E731
+                elif op == "collapse":
+                    fn = lambda idx: lq.collapse_local(  # noqa: E731
+                        idx, queries, k,
+                        group_col=str(req.get("group_col", "repo")),
+                        per_group=int(req.get("per_group", 1)),
+                    )
+                elif op == "sort":
+                    fn = lambda idx: lq.sort_local(  # noqa: E731
+                        idx, queries, k,
+                        sort_col=str(req.get("sort_col", "doc_len")),
+                        ascending=bool(req.get("ascending", False)),
+                    )
+                else:
+                    fn = lambda idx: lq.significant_local(  # noqa: E731
+                        idx, queries, k_docs=k,
+                        top_n=int(req.get("top_n", 10)),
+                    )
+                df = self._with_snapshot(fn)
+                results = [
+                    {c: (v.item() if hasattr(v, "item") else v)
+                     for c, v in zip(df.columns, row)}
+                    for row in df.itertuples(index=False)
+                ]
             except Exception as e:
                 return {"ok": False, "error": str(e)}
             with self._reg_lock:

@@ -90,6 +90,26 @@ def main(argv: list[str] | None = None) -> None:
                    help="BM25F multi-field ranking over a persisted field "
                         "plane, e.g. 'path:3.0:0.5' (requires "
                         "--field-planes at build)")
+    p.add_argument("--count", action="store_true",
+                   help="print exact total-hit counts per query (docs "
+                        "matching ANY analyzed term and docs matching ALL "
+                        "of them) instead of ranked hits (both engines)")
+    p.add_argument("--collapse", default=None, metavar="GROUP_COL",
+                   help="field collapsing: keep at most --per-group hits "
+                        "per value of this docs-catalog column (e.g. repo) "
+                        "before the global top-k (both engines)")
+    p.add_argument("--per-group", type=int, default=1,
+                   help="with --collapse: hits kept per group (default 1)")
+    p.add_argument("--sort-by", default=None, metavar="COL",
+                   help="order matching docs by this docs-catalog column "
+                        "(doc_len, path, ...) instead of relevance; score "
+                        "still reported (both engines)")
+    p.add_argument("--ascending", action="store_true",
+                   help="with --sort-by: smallest values first")
+    p.add_argument("--significant", type=int, default=0, metavar="N",
+                   help="print the N most significant terms of each "
+                        "query's top-k result set (JLH vs corpus df) "
+                        "instead of hits (both engines)")
     p.add_argument("queries", nargs="+")
     args = p.parse_args(argv)
 
@@ -121,6 +141,30 @@ def main(argv: list[str] | None = None) -> None:
             "--lines attaches matching lines to RANKED hits; it cannot be "
             "combined with --auto/--phrase/--did-you-mean"
         )
+    collector_modes = [
+        m for m, on in (
+            ("--count", args.count), ("--collapse", args.collapse),
+            ("--sort-by", args.sort_by), ("--significant", args.significant),
+        ) if on
+    ]
+    if len(collector_modes) > 1:
+        raise SystemExit(
+            f"{' and '.join(collector_modes)} cannot be combined"
+        )
+    if collector_modes and (
+        args.auto or args.phrase or args.grep or args.did_you_mean
+        or args.bm25f or args.filter or args.lines or args.snippets
+        or args.after
+    ):
+        raise SystemExit(
+            f"{collector_modes[0]} replaces the ranked-hit output; it "
+            "cannot be combined with --auto/--phrase/--grep/--did-you-mean/"
+            "--bm25f/--filter/--lines/--snippets/--after"
+        )
+    if args.per_group != 1 and not args.collapse:
+        raise SystemExit("--per-group only applies to --collapse")
+    if args.ascending and not args.sort_by:
+        raise SystemExit("--ascending only applies to --sort-by")
     if args.after:
         if (args.auto or args.phrase or args.grep or args.did_you_mean
                 or args.bm25f or args.filter):
@@ -170,6 +214,10 @@ def main(argv: list[str] | None = None) -> None:
         idx = open_federated_index(spark, roots)
     else:
         idx = open_index(spark, args.index)
+    if args.count or args.collapse or args.sort_by or args.significant:
+        _collectors_spark(spark, idx, args)
+        spark.stop()
+        return
     if args.auto:
         _auto_spark(spark, idx, args)
         spark.stop()
@@ -420,6 +468,141 @@ def _auto_spark(spark, idx, args) -> None:
         print(json.dumps(ans))
 
 
+def _collectors_local(li, args) -> None:
+    """--count / --collapse / --sort-by / --significant on the Spark-free
+    pyarrow engine (local twins); one JSON line per query, same shapes as
+    the Spark path."""
+    from information_retrieval_spark.operators.local_query import (
+        _docs_columns_local,
+        collapse_local,
+        count_local,
+        significant_local,
+        sort_local,
+    )
+
+    if args.count:
+        df = count_local(li, args.queries)
+        by_q = {int(r.query_id): r for r in df.itertuples(index=False)}
+        for i, q in enumerate(args.queries):
+            r = by_q.get(i)
+            print(json.dumps({
+                "query": q,
+                "n_any": int(r.n_any) if r else 0,
+                "n_all": int(r.n_all) if r else 0,
+            }))
+        return
+    if args.significant:
+        df = significant_local(
+            li, args.queries, k_docs=args.k, top_n=args.significant
+        )
+        by_q: dict[int, list] = {}
+        for r in df.itertuples(index=False):
+            by_q.setdefault(int(r.query_id), []).append(
+                {"rank": int(r.rank), "term": r.term,
+                 "fg_df": int(r.fg_df), "bg_df": int(r.bg_df),
+                 "sig": round(float(r.sig), 6)}
+            )
+        for i, q in enumerate(args.queries):
+            print(json.dumps({"query": q, "terms": by_q.get(i, [])}))
+        return
+    if args.collapse:
+        df = collapse_local(
+            li, args.queries, args.k, group_col=args.collapse,
+            per_group=args.per_group,
+        )
+        extra = "group_key"
+    else:
+        df = sort_local(
+            li, args.queries, args.k, sort_col=args.sort_by,
+            ascending=args.ascending,
+        )
+        extra = "sort_value"
+    resolve = {}
+    if len(df):
+        cat = _docs_columns_local(li, df["docid"], ["repo", "path"])
+        resolve = {
+            int(d): (rp, pt)
+            for d, rp, pt in zip(cat["docid"], cat["repo"], cat["path"])
+        }
+    by_q = {}
+    for r in df.itertuples(index=False):
+        repo, path = resolve.get(int(r.docid), ("", ""))
+        v = getattr(r, extra)
+        by_q.setdefault(int(r.query_id), []).append(
+            {"rank": int(r.rank), "docid": int(r.docid),
+             "score": round(float(r.score), 4),
+             "repo": repo, "path": path,
+             extra: v.item() if hasattr(v, "item") else v}
+        )
+    for i, q in enumerate(args.queries):
+        print(json.dumps({"query": q, "hits": by_q.get(i, [])}))
+
+
+def _collectors_spark(spark, idx, args) -> None:
+    """--count / --collapse / --sort-by / --significant on the Spark
+    engine (operators/grouping.py); one JSON line per query."""
+    from information_retrieval_spark.operators.grouping import (
+        collapse_topk,
+        count_matches,
+        significant_terms,
+        sort_topk,
+    )
+
+    if args.count:
+        rows = count_matches(spark, idx, args.queries, idx.cfg).collect()
+        by_q = {r["query_id"]: r for r in rows}
+        for i, q in enumerate(args.queries):
+            r = by_q.get(i)
+            print(json.dumps({
+                "query": q,
+                "n_any": int(r["n_any"]) if r else 0,
+                "n_all": int(r["n_all"]) if r else 0,
+            }))
+        return
+    if args.significant:
+        rows = significant_terms(
+            spark, idx, args.queries, args.k, args.significant, idx.cfg
+        ).orderBy("query_id", "rank").collect()
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(
+                {"rank": r["rank"], "term": r["term"],
+                 "fg_df": int(r["fg_df"]), "bg_df": int(r["bg_df"]),
+                 "sig": round(float(r["sig"]), 6)}
+            )
+        for i, q in enumerate(args.queries):
+            print(json.dumps({"query": q, "terms": by_q.get(i, [])}))
+        return
+    if args.collapse:
+        out = collapse_topk(
+            spark, idx, args.queries, args.k, group_col=args.collapse,
+            per_group=args.per_group, cfg=idx.cfg,
+        )
+        extra = ("group_key",)
+    else:
+        out = sort_topk(
+            spark, idx, args.queries, args.k, sort_col=args.sort_by,
+            ascending=args.ascending, cfg=idx.cfg,
+        )
+        extra = ("sort_value",)
+    resolved = (
+        out.join(F.broadcast(idx.docs.select("docid", "repo", "path")), "docid")
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    by_q = {}
+    for r in resolved:
+        hit = {"rank": r["rank"], "docid": r["docid"],
+               "score": round(r["score"], 4),
+               "repo": r["repo"], "path": r["path"]}
+        for c in extra:
+            v = r[c]
+            hit[c] = v.item() if hasattr(v, "item") else v
+        by_q.setdefault(r["query_id"], []).append(hit)
+    for i, q in enumerate(args.queries):
+        print(json.dumps({"query": q, "hits": by_q.get(i, [])}))
+
+
 def _main_local(args) -> None:
     """Spark-free path: pyarrow block fetch + in-process BMW + pruned docs
     resolve. No JVM, no job scheduling."""
@@ -442,6 +625,9 @@ def _main_local(args) -> None:
         li = FederatedLocalIndex(roots)
     else:
         li = LocalIndex(args.index)
+    if args.count or args.collapse or args.sort_by or args.significant:
+        _collectors_local(li, args)
+        return
     if args.did_you_mean:
         from information_retrieval_spark.operators.local_query import (
             did_you_mean_local,

@@ -99,3 +99,29 @@ def test_grep_cli_local_engine_matches_spark(idx_root):
         x["hits"] = sorted(x["hits"], key=lambda h: (h["docid"], h["line_no"]))
     assert a == b
     assert a[0]["hits"] and not a[1]["hits"]
+
+
+def test_collector_flags_parity_and_validation(idx_root):
+    """--count/--collapse/--sort-by/--significant answer identically on
+    both engines; invalid combinations error loudly."""
+    base = ["--index", idx_root, "--k", "4", "--master", "local[4]"]
+    for flags, n_lines in (
+        (["--count"], 2),
+        (["--collapse", "repo"], 1),
+        (["--sort-by", "doc_len"], 1),
+        (["--significant", "5"], 1),
+    ):
+        qs = ["hash join", "zzz_nope"] if n_lines == 2 else ["hash join"]
+        r_spark = _run_query(base + flags + qs)
+        assert r_spark.returncode == 0, r_spark.stderr[-3000:]
+        r_local = _run_query(base + flags + ["--engine", "local"] + qs)
+        assert r_local.returncode == 0, r_local.stderr[-3000:]
+        a = r_spark.stdout.strip().splitlines()[-len(qs):]
+        b = r_local.stdout.strip().splitlines()[-len(qs):]
+        assert [json.loads(x) for x in a] == [json.loads(x) for x in b], flags
+    bad = _run_query(base + ["--count", "--collapse", "repo", "x"])
+    assert bad.returncode != 0 and "combined" in bad.stderr
+    bad2 = _run_query(base + ["--count", "--auto", "x"])
+    assert bad2.returncode != 0
+    bad3 = _run_query(base + ["--per-group", "2", "x"])
+    assert bad3.returncode != 0 and "--per-group" in bad3.stderr

@@ -398,3 +398,49 @@ def test_daemon_search_after_pagination(root):
                             {"queries": ['"ident_1 ident_2"'], "k": 5,
                              "after": after})
         assert not nonranked["ok"] and "keyset" in nonranked["error"]
+
+
+def test_daemon_collector_ops(root):
+    """op=count/collapse/sort/significant answer identically to the local
+    twins; bad inputs error cleanly."""
+    from information_retrieval_spark.operators.local_query import (
+        collapse_local,
+        count_local,
+        significant_local,
+        sort_local,
+    )
+
+    qs = ["ident_1 ident_2", "zzz_nope"]
+    with QueryDaemon(root) as d:
+        cnt = request("127.0.0.1", d.port, {"op": "count", "queries": qs})
+        want = count_local(root, qs)
+        assert cnt["ok"]
+        assert cnt["results"] == [
+            {c: int(v) for c, v in zip(want.columns, r)}
+            for r in want.itertuples(index=False)
+        ]
+        col = request(
+            "127.0.0.1", d.port,
+            {"op": "collapse", "queries": qs, "k": 5, "per_group": 1},
+        )
+        wcol = collapse_local(root, qs, 5, per_group=1)
+        assert col["ok"]
+        assert [r["docid"] for r in col["results"]] == wcol["docid"].tolist()
+        assert [r["group_key"] for r in col["results"]] == wcol["group_key"].tolist()
+        srt = request(
+            "127.0.0.1", d.port,
+            {"op": "sort", "queries": qs, "k": 5, "sort_col": "doc_len"},
+        )
+        wsrt = sort_local(root, qs, 5)
+        assert srt["ok"]
+        assert [r["docid"] for r in srt["results"]] == wsrt["docid"].tolist()
+        sig = request(
+            "127.0.0.1", d.port,
+            {"op": "significant", "queries": qs[:1], "k": 5, "top_n": 6},
+        )
+        wsig = significant_local(root, qs[:1], 5, 6)
+        assert sig["ok"]
+        assert [r["term"] for r in sig["results"]] == wsig["term"].tolist()
+        assert [r["fg_df"] for r in sig["results"]] == wsig["fg_df"].tolist()
+        bad = request("127.0.0.1", d.port, {"op": "count", "queries": "x"})
+        assert not bad["ok"]

@@ -256,3 +256,88 @@ def test_empty_query_surfaces(spark, idx):
     assert sort_topk(spark, idx, ["???"], K, cfg=CFG).count() == 0
     got = count_matches(spark, idx, ["???"], CFG).toPandas()
     assert got["n_any"].tolist() == [0] and got["n_all"].tolist() == [0]
+
+
+# ---- Spark-free local twins ------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def root(spark, corpus, tmp_path_factory):
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+    )
+
+    out = str(tmp_path_factory.mktemp("grouping") / "idx")
+    build_index_resumable(spark, corpus, out, CFG)
+    return out
+
+
+def test_count_local_parity(spark, idx, root):
+    from information_retrieval_spark.operators.local_query import count_local
+
+    exp = (
+        count_matches(spark, idx, QUERIES, CFG)
+        .toPandas()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    got = count_local(root, QUERIES).sort_values("query_id").reset_index(drop=True)
+    assert got["n_any"].tolist() == exp["n_any"].tolist()
+    assert got["n_all"].tolist() == exp["n_all"].tolist()
+
+
+@pytest.mark.parametrize("per_group", [1, 2])
+def test_collapse_local_parity(spark, idx, root, per_group):
+    from information_retrieval_spark.operators.local_query import (
+        collapse_local,
+    )
+
+    exp = (
+        collapse_topk(spark, idx, QUERIES, K, per_group=per_group, cfg=CFG)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got = collapse_local(root, QUERIES, K, per_group=per_group)
+    assert got["docid"].tolist() == exp["docid"].tolist()
+    assert got["group_key"].tolist() == exp["group_key"].tolist()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), exp["score"].to_numpy(), atol=0
+    )
+
+
+def test_sort_local_parity(spark, idx, root):
+    from information_retrieval_spark.operators.local_query import sort_local
+
+    exp = (
+        sort_topk(spark, idx, QUERIES, K, cfg=CFG)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got = sort_local(root, QUERIES, K)
+    assert got["docid"].tolist() == exp["docid"].tolist()
+    assert got["sort_value"].tolist() == exp["sort_value"].tolist()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), exp["score"].to_numpy(), atol=0
+    )
+
+
+def test_significant_local_parity(spark, idx, root):
+    from information_retrieval_spark.operators.local_query import (
+        significant_local,
+    )
+
+    exp = (
+        significant_terms(spark, idx, QUERIES[:2], K, 8, CFG)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got = significant_local(root, QUERIES[:2], K, 8)
+    assert got["term"].tolist() == exp["term"].tolist()
+    assert got["fg_df"].tolist() == exp["fg_df"].tolist()
+    assert got["bg_df"].tolist() == exp["bg_df"].tolist()
+    np.testing.assert_allclose(
+        got["sig"].to_numpy(), exp["sig"].to_numpy(), atol=1e-12
+    )
