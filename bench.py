@@ -336,6 +336,107 @@ def sampling_micro(spark) -> dict:
     return out
 
 
+def grouping_micro(spark, cfg) -> dict:
+    """Collector scale evidence (round-5 continuation): the exhaustive
+    collectors over an AMPLIFIED corpus (the headline query matches ~92%
+    of docs, so the match stream is corpus-sized — the collectors' honest
+    worst case). Reports:
+
+    - ``collapse_agg`` vs ``collapse_window``: per_group=1 through the
+      hash-aggregate fast path vs the same semantics forced through the
+      per-(query, group) window (``_force_window=True``) — what map-side
+      partial combine saves on a corpus-sized stream. Group cardinality
+      scales with the amplification (20·amp repos), the realistic
+      repo-collapse shape.
+    - ``count_hits``: membership-only decode (tf/dl byte planes neither
+      decoded nor read).
+    """
+    from information_retrieval_spark.operators.grouping import (
+        collapse_topk,
+        count_matches,
+    )
+
+    amp = int(os.environ.get("IR_BENCH_GROUPING_AMP", "40"))
+    corpus = load_corpus(spark, amplify=amp).persist()
+    cfg_amp = EngineConfig(shuffle_partitions=64, n_doc_buckets=64)
+    idx = build_index(spark, corpus, cfg_amp)
+    idx.postings = idx.postings.persist()
+    idx.postings.count()
+    q = [QUERY_SET[0]]
+    out: dict = {"amplification": amp, "n_docs": int(idx.n_docs)}
+    for name, fn in (
+        ("collapse_agg", lambda: collapse_topk(
+            spark, idx, q, TOP_K, per_group=1, cfg=cfg_amp)),
+        ("collapse_window", lambda: collapse_topk(
+            spark, idx, q, TOP_K, per_group=1, cfg=cfg_amp,
+            _force_window=True)),
+        ("count_hits", lambda: count_matches(spark, idx, q, cfg_amp)),
+    ):
+        fn().count()  # warm
+        reps = []
+        for _ in range(2):
+            t0 = time.time()
+            fn().count()
+            reps.append(time.time() - t0)
+        out[name + "_sec"] = round(min(reps), 3)
+    out["agg_vs_window_speedup"] = round(
+        out["collapse_window_sec"] / out["collapse_agg_sec"], 2
+    )
+    release(idx)
+    corpus.unpersist()
+
+    # Reduction-stage isolation: end-to-end the shared scored stream
+    # (applyInPandas decode+score) dominates at any sandbox-feasible corpus,
+    # so the two branches tie above. The branches differ in the REDUCTION:
+    # a per-(query, group) window must shuffle EVERY match row into
+    # |groups| partitions and sort them (low-cardinality keys serialize),
+    # while the hash agg pre-combines map-side to ~|groups| rows per
+    # partition. Measured on a synthetic 20M-row stream with 7 group
+    # values — the low-cardinality collapse shape (collapse by lang).
+    n = int(os.environ.get("IR_BENCH_GROUPING_STREAM_ROWS", "20000000"))
+    j = spark.range(n).select(
+        F.lit(0).alias("query_id"),
+        F.col("id").alias("docid"),
+        (F.rand(7) * 10).alias("score"),
+        F.concat(F.lit("l"), (F.col("id") % 7).cast("string")).alias("group_key"),
+    ).persist()
+    j.count()
+
+    def _agg():
+        return (
+            j.groupBy("query_id", "group_key")
+            .agg(F.max(F.struct(F.col("score").alias("s"),
+                                (-F.col("docid")).alias("nd"))).alias("b"))
+            .select("query_id", "group_key",
+                    (-F.col("b.nd")).alias("docid"), F.col("b.s").alias("score"))
+        )
+
+    def _win():
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id", "group_key").orderBy(
+            F.desc("score"), F.asc("docid")
+        )
+        return (
+            j.withColumn("g", F.row_number().over(w))
+            .filter(F.col("g") <= 1).drop("g")
+        )
+
+    red = {"n_stream_rows": n, "n_groups": 7}
+    for name, fn in (("agg", _agg), ("window", _win)):
+        fn().count()
+        reps = []
+        for _ in range(2):
+            t0 = time.time()
+            fn().count()
+            reps.append(time.time() - t0)
+        red[name + "_sec"] = round(min(reps), 3)
+    red["speedup"] = round(red["window_sec"] / red["agg_sec"], 2)
+    j.unpersist()
+    out["reduction_stage"] = red
+    return out
+
+
 def grep_prune_micro(spark, cfg) -> dict:
     """Content-grep anchor-pruning evidence (round 5): the driver corpus's
     31-token vocabulary makes every real term high-df, so the pruning story
@@ -627,6 +728,10 @@ def main() -> None:
         wand_topk(spark, idx, qt, TOP_K, cfg).count()
         query_secs[f"q{i}"] = round(time.time() - t0, 4)
 
+    def _grouping():
+        from information_retrieval_spark.operators import grouping
+        return grouping
+
     # extended query surface (round 3): one timed call per retrieval mode
     # over the SAME warm in-memory index — evidence that the expansion
     # machineries (dictionary range scan, SymSpell join, posting-set
@@ -699,6 +804,16 @@ def main() -> None:
         ("maxscore_headline", lambda: wand_topk(
             spark, idx, parse_query_terms([QUERY_SET[0]], cfg), TOP_K, cfg,
             strategy="maxscore")),
+        # round-5 continuation: exhaustive collectors over the full match
+        # stream (collapse fast path = hash agg; count = membership-only
+        # decode; significant = fg tokenize of <=k docs)
+        ("collapse_repo", lambda: _grouping().collapse_topk(
+            spark, idx, [QUERY_SET[0]], TOP_K, group_col="repo",
+            per_group=1, cfg=cfg)),
+        ("count_hits", lambda: _grouping().count_matches(
+            spark, idx, [QUERY_SET[0], QUERY_SET[4]], cfg)),
+        ("significant", lambda: _grouping().significant_terms(
+            spark, idx, [QUERY_SET[0]], TOP_K, 10, cfg)),
     ):
         fn().count()  # warm (plan compile + worker spin-up)
         t0 = time.time()
@@ -817,6 +932,9 @@ def main() -> None:
     sampl_micro = None
     if os.environ.get("IR_BENCH_SAMPLING_MICRO", "1") != "0":
         sampl_micro = sampling_micro(spark)
+    group_micro = None
+    if os.environ.get("IR_BENCH_GROUPING_MICRO", "1") != "0":
+        group_micro = grouping_micro(spark, cfg)
 
     # training-data curation funnel (round 4): the end-to-end pipeline
     # (quality → exact dedup → OPH LSH near-dedup → decontamination →
@@ -857,6 +975,8 @@ def main() -> None:
         out["grep_prune_micro"] = grep_micro
     if sampl_micro is not None:
         out["sampling_micro"] = sampl_micro
+    if group_micro is not None:
+        out["grouping_micro"] = group_micro
     if curate_report is not None:
         out["curate"] = curate_report
     spark.stop()

@@ -90,6 +90,7 @@ def collapse_topk(
     per_group: int = 1,
     cfg: EngineConfig | None = None,
     deleted: DataFrame | None = None,
+    _force_window: bool = False,
 ) -> DataFrame:
     """(query_id, rank, docid, group_key, score) — BM25 ranked retrieval
     where at most ``per_group`` hits share a ``group_col`` value (field
@@ -110,7 +111,10 @@ def collapse_topk(
     groups = index.docs.select("docid", F.col(group_col).alias("group_key"))
     j = scored.join(groups, "docid")
     order = [F.desc("score"), F.asc("docid")]
-    if per_group == 1:
+    # _force_window: bench/test-only counterfactual — run per_group=1
+    # through the general window branch to measure what the agg fast path
+    # saves (outputs are identical; pinned by tests).
+    if per_group == 1 and not _force_window:
         best = (
             j.groupBy("query_id", "group_key")
             .agg(

@@ -341,3 +341,21 @@ def test_significant_local_parity(spark, idx, root):
     np.testing.assert_allclose(
         got["sig"].to_numpy(), exp["sig"].to_numpy(), atol=1e-12
     )
+
+
+def test_collapse_force_window_counterfactual_identical(spark, idx):
+    """The bench counterfactual (_force_window=True with per_group=1) is
+    output-identical to the hash-aggregate fast path."""
+    a = (
+        collapse_topk(spark, idx, QUERIES, K, per_group=1, cfg=CFG)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        collapse_topk(
+            spark, idx, QUERIES, K, per_group=1, cfg=CFG, _force_window=True
+        )
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert a["docid"].tolist() == b["docid"].tolist()
+    assert a["group_key"].tolist() == b["group_key"].tolist()
+    np.testing.assert_allclose(a["score"].to_numpy(), b["score"].to_numpy(), atol=0)
