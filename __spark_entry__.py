@@ -633,6 +633,20 @@ def _q_count_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_matches(spark, idx, QUERY_SET, CFG)
 
 
+def _q_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES-style stats aggregation over the FULL match set bucketed by
+    lang: per (query, lang) the match count, best BM25 score and total
+    token count — search analytics over every match, not the top-k page."""
+    from information_retrieval_spark.operators.grouping import facet_stats
+
+    idx = _index(spark, sf_dir)
+    out = facet_stats(spark, idx, QUERY_SET, facet_col="lang", cfg=CFG)
+    return out.select(
+        "query_id", "facet", "n_docs",
+        F.round("max_score", 4).alias("max_score"), "sum_len",
+    )
+
+
 def _q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Elasticsearch significant_terms over each query's top-k result set:
     JLH-scored (fg%-bg%)*(fg%/bg%) against the dictionary's corpus df,
@@ -1407,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_topk": _q_sort_topk,
         "count_matches": _q_count_matches,
         "significant_terms": _q_significant_terms,
+        "facet_stats": _q_facet_stats,
         "redact_pii": _q_redact_pii,
         "mixture_sample": _q_mixture_sample,
         "det_shuffle": _q_det_shuffle,
@@ -1731,6 +1746,7 @@ FROM ({bm25_2k}) WHERE rank > {TOP_K}
     from information_retrieval_spark.operators.grouping import (
         duckdb_collapse_sql,
         duckdb_count_sql,
+        duckdb_facet_stats_sql,
         duckdb_significant_sql,
         duckdb_sort_sql,
     )
@@ -1747,6 +1763,9 @@ FROM ({bm25_2k}) WHERE rank > {TOP_K}
         "count_matches": duckdb_count_sql(corpus, QUERY_SET, CFG),
         "significant_terms": duckdb_significant_sql(
             corpus, QUERY_SET, TOP_K, 10, CFG, round_to=6
+        ),
+        "facet_stats": duckdb_facet_stats_sql(
+            corpus, QUERY_SET, facet_col="lang", cfg=CFG, round_to=4
         ),
         "redact_pii": duckdb_redact_secrets_sql(
             table=pii_amended, patterns=PII_PATTERNS

@@ -38,6 +38,7 @@ from .operators.grep import grep_regex
 from .operators.grouping import (
     collapse_topk,
     count_matches,
+    facet_stats,
     significant_terms,
     sort_topk,
 )
@@ -173,6 +174,7 @@ __all__ = [
     "mixture_sample", "deterministic_shuffle",
     "extract_symbols", "extract_imports", "line_matches", "grep_regex",
     "collapse_topk", "sort_topk", "count_matches", "significant_terms",
+    "facet_stats",
     "cosine_topk", "lsh_bucketize", "lsh_topk", "embedding_near_dup_pairs",
     "ivf_train_centroids", "ivf_assign", "ivf_topk", "knn_join",
 ]

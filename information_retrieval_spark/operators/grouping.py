@@ -353,6 +353,69 @@ FROM (VALUES {qids}) AS b(query_id) LEFT JOIN agg a USING (query_id)
 """
 
 
+def facet_stats(
+    spark: SparkSession,
+    index,
+    queries: list[str],
+    facet_col: str = "lang",
+    cfg: EngineConfig | None = None,
+    deleted: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, facet, n_docs, max_score, sum_len) — Elasticsearch-style
+    stats aggregation over the FULL match set, bucketed by a catalog
+    column: per (query, facet value), how many docs match ≥1 analyzed
+    term, the best BM25 score among them, and their total token count.
+    Unlike ``facet_counts`` (which buckets the top-k result page), this
+    aggregates EVERY match — the "search analytics" shape (hit histograms,
+    per-language relevance ceilings).
+
+    Scale shape: one ``scored_matches`` stream, one shuffle join against
+    the (docid, facet, doc_len) catalog projection, one hash aggregate
+    with map-side partials — output is |queries| · |facet values| rows."""
+    cfg = cfg or index.cfg
+    q_pairs = parse_query_terms(queries, cfg)
+    if not q_pairs:
+        return spark.createDataFrame(
+            [],
+            "query_id int, facet string, n_docs long, max_score double, "
+            "sum_len long",
+        )
+    scored = scored_matches(spark, index, q_pairs, cfg, deleted=deleted)
+    cat = index.docs.select(
+        "docid", F.col(facet_col).alias("facet"), "doc_len"
+    )
+    return (
+        scored.join(cat, "docid")
+        .groupBy("query_id", "facet")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("score").alias("max_score"),
+            F.sum("doc_len").alias("sum_len"),
+        )
+    )
+
+
+def duckdb_facet_stats_sql(
+    corpus_sql: str,
+    queries: list[str],
+    facet_col: str = "lang",
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    round_to: int = 4,
+) -> str:
+    """Oracle twin of ``facet_stats`` over the shared scored prefix."""
+    return f"""
+{duckdb_scored_prefix(corpus_sql, duckdb_qterms_sql(queries, cfg), cfg)}
+SELECT s.query_id, i.{facet_col} AS facet,
+       count(*) AS n_docs,
+       round(max(s.score), {round_to}) AS max_score,
+       CAST(sum(d.doc_len) AS BIGINT) AS sum_len
+FROM scored s
+JOIN docids i USING (docid)
+JOIN docs d USING (docid)
+GROUP BY s.query_id, i.{facet_col}
+"""
+
+
 def significant_terms(
     spark: SparkSession,
     index,

@@ -359,3 +359,31 @@ def test_collapse_force_window_counterfactual_identical(spark, idx):
     assert a["docid"].tolist() == b["docid"].tolist()
     assert a["group_key"].tolist() == b["group_key"].tolist()
     np.testing.assert_allclose(a["score"].to_numpy(), b["score"].to_numpy(), atol=0)
+
+
+def test_facet_stats(spark, idx, ref):
+    from information_retrieval_spark.operators.grouping import facet_stats
+
+    got = (
+        facet_stats(spark, idx, QUERIES, facet_col="lang", cfg=CFG)
+        .toPandas()
+        .sort_values(["query_id", "facet"])
+        .reset_index(drop=True)
+    )
+    cat = idx.docs.select("docid", "lang", "doc_len").toPandas()
+    exp = (
+        ref[["query_id", "docid", "score"]]
+        .merge(cat, on="docid")
+        .groupby(["query_id", "lang"])
+        .agg(n_docs=("docid", "size"), max_score=("score", "max"),
+             sum_len=("doc_len", "sum"))
+        .reset_index()
+        .sort_values(["query_id", "lang"])
+        .reset_index(drop=True)
+    )
+    assert got["facet"].tolist() == exp["lang"].tolist()
+    assert got["n_docs"].tolist() == exp["n_docs"].tolist()
+    assert got["sum_len"].tolist() == exp["sum_len"].tolist()
+    np.testing.assert_allclose(
+        got["max_score"].to_numpy(), exp["max_score"].to_numpy(), atol=1e-12
+    )
