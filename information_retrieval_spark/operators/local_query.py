@@ -1606,3 +1606,29 @@ def significant_local(
         {"query_id": "int32", "rank": "int32", "fg_df": "int64",
          "bg_df": "int64", "sig": "float64"}
     ).reset_index(drop=True)
+
+
+def facet_stats_local(
+    index: "LocalIndex | str",
+    queries: list[str],
+    facet_col: str = "lang",
+) -> pd.DataFrame:
+    """(query_id, facet, n_docs, max_score, sum_len) — Spark-free twin of
+    ``grouping.facet_stats``: per-facet stats over the FULL local match
+    stream (scores bit-identical to the distributed evaluator)."""
+    idx = LocalIndex(index) if isinstance(index, str) else index
+    scored = _scored_matches_local(idx, parse_query_terms(queries, idx.cfg))
+    if not len(scored):
+        return pd.DataFrame(
+            columns=["query_id", "facet", "n_docs", "max_score", "sum_len"]
+        )
+    cat = _docs_columns_local(idx, scored["docid"], [facet_col, "doc_len"])
+    j = scored.merge(cat.rename(columns={facet_col: "facet"}), on="docid")
+    out = (
+        j.groupby(["query_id", "facet"], as_index=False)
+        .agg(n_docs=("docid", "size"), max_score=("score", "max"),
+             sum_len=("doc_len", "sum"))
+    )
+    return out.astype(
+        {"query_id": "int32", "n_docs": "int64", "sum_len": "int64"}
+    )

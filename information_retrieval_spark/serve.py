@@ -32,6 +32,7 @@ Protocol: newline-delimited JSON, one object per line.
     {"op": "collapse", "queries": ["hash join"], "k": 10, "group_col": "repo", "per_group": 1}
     {"op": "sort", "queries": ["hash join"], "k": 10, "sort_col": "doc_len", "ascending": false}
     {"op": "significant", "queries": ["hash join"], "k": 10, "top_n": 10}
+    {"op": "facet_stats", "queries": ["hash join"], "facet_col": "lang"}
     {"op": "stats"}
     {"op": "shutdown"}
 
@@ -344,7 +345,7 @@ class QueryDaemon:
             with self._reg_lock:
                 self._queries_served += len(queries)
             return {"ok": True, "registration_id": reg_id, "results": results}
-        if op in ("count", "collapse", "sort", "significant"):
+        if op in ("count", "collapse", "sort", "significant", "facet_stats"):
             queries = req.get("queries")
             if queries is None:
                 queries = [req["query"]] if "query" in req else []
@@ -369,6 +370,11 @@ class QueryDaemon:
                         idx, queries, k,
                         sort_col=str(req.get("sort_col", "doc_len")),
                         ascending=bool(req.get("ascending", False)),
+                    )
+                elif op == "facet_stats":
+                    fn = lambda idx: lq.facet_stats_local(  # noqa: E731
+                        idx, queries,
+                        facet_col=str(req.get("facet_col", "lang")),
                     )
                 else:
                     fn = lambda idx: lq.significant_local(  # noqa: E731

@@ -110,6 +110,11 @@ def main(argv: list[str] | None = None) -> None:
                    help="print the N most significant terms of each "
                         "query's top-k result set (JLH vs corpus df) "
                         "instead of hits (both engines)")
+    p.add_argument("--facet-stats", default=None, metavar="COL",
+                   help="print per-facet stats of the FULL match set "
+                        "(n_docs / max_score / sum_len per value of this "
+                        "docs-catalog column) instead of hits "
+                        "(both engines)")
     p.add_argument("queries", nargs="+")
     args = p.parse_args(argv)
 
@@ -145,6 +150,7 @@ def main(argv: list[str] | None = None) -> None:
         m for m, on in (
             ("--count", args.count), ("--collapse", args.collapse),
             ("--sort-by", args.sort_by), ("--significant", args.significant),
+            ("--facet-stats", args.facet_stats),
         ) if on
     ]
     if len(collector_modes) > 1:
@@ -214,7 +220,8 @@ def main(argv: list[str] | None = None) -> None:
         idx = open_federated_index(spark, roots)
     else:
         idx = open_index(spark, args.index)
-    if args.count or args.collapse or args.sort_by or args.significant:
+    if (args.count or args.collapse or args.sort_by or args.significant
+            or args.facet_stats):
         _collectors_spark(spark, idx, args)
         spark.stop()
         return
@@ -476,10 +483,24 @@ def _collectors_local(li, args) -> None:
         _docs_columns_local,
         collapse_local,
         count_local,
+        facet_stats_local,
         significant_local,
         sort_local,
     )
 
+    if args.facet_stats:
+        df = facet_stats_local(li, args.queries, facet_col=args.facet_stats)
+        df = df.sort_values(["query_id", "facet"])
+        by_q: dict[int, list] = {}
+        for r in df.itertuples(index=False):
+            by_q.setdefault(int(r.query_id), []).append(
+                {"facet": r.facet, "n_docs": int(r.n_docs),
+                 "max_score": round(float(r.max_score), 4),
+                 "sum_len": int(r.sum_len)}
+            )
+        for i, q in enumerate(args.queries):
+            print(json.dumps({"query": q, "facets": by_q.get(i, [])}))
+        return
     if args.count:
         df = count_local(li, args.queries)
         by_q = {int(r.query_id): r for r in df.itertuples(index=False)}
@@ -544,10 +565,25 @@ def _collectors_spark(spark, idx, args) -> None:
     from information_retrieval_spark.operators.grouping import (
         collapse_topk,
         count_matches,
+        facet_stats,
         significant_terms,
         sort_topk,
     )
 
+    if args.facet_stats:
+        rows = facet_stats(
+            spark, idx, args.queries, facet_col=args.facet_stats, cfg=idx.cfg
+        ).orderBy("query_id", "facet").collect()
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(
+                {"facet": r["facet"], "n_docs": int(r["n_docs"]),
+                 "max_score": round(float(r["max_score"]), 4),
+                 "sum_len": int(r["sum_len"])}
+            )
+        for i, q in enumerate(args.queries):
+            print(json.dumps({"query": q, "facets": by_q.get(i, [])}))
+        return
     if args.count:
         rows = count_matches(spark, idx, args.queries, idx.cfg).collect()
         by_q = {r["query_id"]: r for r in rows}
@@ -625,7 +661,8 @@ def _main_local(args) -> None:
         li = FederatedLocalIndex(roots)
     else:
         li = LocalIndex(args.index)
-    if args.count or args.collapse or args.sort_by or args.significant:
+    if (args.count or args.collapse or args.sort_by or args.significant
+            or args.facet_stats):
         _collectors_local(li, args)
         return
     if args.did_you_mean:

@@ -110,6 +110,7 @@ def test_collector_flags_parity_and_validation(idx_root):
         (["--collapse", "repo"], 1),
         (["--sort-by", "doc_len"], 1),
         (["--significant", "5"], 1),
+        (["--facet-stats", "lang"], 2),
     ):
         qs = ["hash join", "zzz_nope"] if n_lines == 2 else ["hash join"]
         r_spark = _run_query(base + flags + qs)

@@ -442,5 +442,20 @@ def test_daemon_collector_ops(root):
         assert sig["ok"]
         assert [r["term"] for r in sig["results"]] == wsig["term"].tolist()
         assert [r["fg_df"] for r in sig["results"]] == wsig["fg_df"].tolist()
+        fs = request(
+            "127.0.0.1", d.port,
+            {"op": "facet_stats", "queries": qs[:1], "facet_col": "lang"},
+        )
+        from information_retrieval_spark.operators.local_query import (
+            facet_stats_local,
+        )
+
+        wfs = facet_stats_local(root, qs[:1]).sort_values(
+            ["query_id", "facet"]
+        )
+        assert fs["ok"]
+        got_fs = sorted(fs["results"], key=lambda r: (r["query_id"], r["facet"]))
+        assert [r["facet"] for r in got_fs] == wfs["facet"].tolist()
+        assert [r["n_docs"] for r in got_fs] == wfs["n_docs"].tolist()
         bad = request("127.0.0.1", d.port, {"op": "count", "queries": "x"})
         assert not bad["ok"]

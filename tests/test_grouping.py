@@ -387,3 +387,28 @@ def test_facet_stats(spark, idx, ref):
     np.testing.assert_allclose(
         got["max_score"].to_numpy(), exp["max_score"].to_numpy(), atol=1e-12
     )
+
+
+def test_facet_stats_local_parity(spark, idx, root):
+    from information_retrieval_spark.operators.grouping import facet_stats
+    from information_retrieval_spark.operators.local_query import (
+        facet_stats_local,
+    )
+
+    exp = (
+        facet_stats(spark, idx, QUERIES, facet_col="lang", cfg=CFG)
+        .toPandas()
+        .sort_values(["query_id", "facet"])
+        .reset_index(drop=True)
+    )
+    got = (
+        facet_stats_local(root, QUERIES, facet_col="lang")
+        .sort_values(["query_id", "facet"])
+        .reset_index(drop=True)
+    )
+    assert got["facet"].tolist() == exp["facet"].tolist()
+    assert got["n_docs"].tolist() == exp["n_docs"].tolist()
+    assert got["sum_len"].tolist() == exp["sum_len"].tolist()
+    np.testing.assert_allclose(
+        got["max_score"].to_numpy(), exp["max_score"].to_numpy(), atol=0
+    )
