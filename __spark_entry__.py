@@ -39,6 +39,7 @@ from information_retrieval_spark.operators.docids import duckdb_docid_sql  # noq
 from information_retrieval_spark.operators.query import (  # noqa: E402
     conjunctive_match,
     duckdb_bm25_sql,
+    duckdb_boosted_bm25_sql,
     duckdb_conjunctive_sql,
     duckdb_did_you_mean_sql,
     duckdb_filtered_bm25_sql,
@@ -631,6 +632,28 @@ def _q_count_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _index(spark, sf_dir)
     return count_matches(spark, idx, QUERY_SET, CFG)
+
+
+BOOSTED_SET = [
+    "hash^2 join table",       # up-weighted term reorders the ranking
+    "scan^0.5 slow fast^3 table",
+    "the^2 a",                 # boosted skew terms
+    "hash join table",         # no ^ -> bitwise the plain ranking
+]
+
+
+def _q_boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene term^w per-term query boosts: the weight folds into the
+    cursor idf so BMW bounds scale admissibly; oracle re-derives the chunk
+    analysis + max-weight rule in SQL and multiplies idf by w in the
+    scored sum."""
+    from information_retrieval_spark.operators.query import boosted_topk
+
+    idx = _index(spark, sf_dir)
+    out = boosted_topk(spark, idx, BOOSTED_SET, TOP_K, CFG)
+    return out.select(
+        "query_id", "rank", "docid", F.round("score", 4).alias("score")
+    )
 
 
 def _q_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1422,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_matches": _q_count_matches,
         "significant_terms": _q_significant_terms,
         "facet_stats": _q_facet_stats,
+        "boosted_topk": _q_boosted_topk,
         "redact_pii": _q_redact_pii,
         "mixture_sample": _q_mixture_sample,
         "det_shuffle": _q_det_shuffle,
@@ -1766,6 +1790,9 @@ FROM ({bm25_2k}) WHERE rank > {TOP_K}
         ),
         "facet_stats": duckdb_facet_stats_sql(
             corpus, QUERY_SET, facet_col="lang", cfg=CFG, round_to=4
+        ),
+        "boosted_topk": duckdb_boosted_bm25_sql(
+            corpus, BOOSTED_SET, CFG, k=TOP_K, round_to=4
         ),
         "redact_pii": duckdb_redact_secrets_sql(
             table=pii_amended, patterns=PII_PATTERNS

@@ -379,6 +379,7 @@ def _rank_pairs(
     allowed_arr=None,
     strategy: str = "bmw",
     after=None,
+    boosts=None,
 ) -> pd.DataFrame:
     """Shared BMW/MaxScore ranking over explicit (query_id, term) pairs."""
     terms = sorted({t for _, t in q_pairs})
@@ -390,7 +391,7 @@ def _rank_pairs(
     rows = bmw_over_blocks(
         blocks, q_pairs, k, idf, idx.avgdl, float(idx.cfg.k1), float(idx.cfg.b),
         del_arr=idx.deleted, allowed_arr=allowed_arr, strategy=strategy,
-        after=after,
+        after=after, boosts=boosts,
     )
     return pd.DataFrame(rows, columns=["query_id", "rank", "docid", "score"])
 
@@ -499,6 +500,23 @@ def fuzzy_local(
         return pd.DataFrame(columns=["query_id", "rank", "docid", "score"])
     pairs = _expand_fuzzy_terms_local(idx, norm, max_edit, max_expansions)
     return _rank_pairs(idx, pairs, k)
+
+
+def boosted_local(
+    index: "LocalIndex | str",
+    queries: list[str],
+    k: int = 10,
+    strategy: str = "bmw",
+) -> pd.DataFrame:
+    """(query_id, rank, docid, score) — Spark-free twin of
+    ``query.boosted_topk``: Lucene ``term^w`` per-term boosts folded into
+    the cursor idf (admissible BMW/MaxScore bounds). Without ``^`` it is
+    bitwise ``query_index_local``."""
+    from .query import parse_boosted_query_terms
+
+    idx = LocalIndex(index) if isinstance(index, str) else index
+    pairs, boosts = parse_boosted_query_terms(queries, idx.cfg)
+    return _rank_pairs(idx, pairs, k, strategy=strategy, boosts=boosts or None)
 
 
 def _index_roots(idx) -> list[str]:
@@ -942,6 +960,7 @@ def snippet_local(
 
 
 _NEAR_RE = None
+_BOOST_CHUNK_RE = None
 
 
 def route_query(q: str) -> tuple[str, object]:
@@ -985,6 +1004,13 @@ def route_query(q: str) -> tuple[str, object]:
     words = s.replace("(", " ").replace(")", " ").split()
     if any(w in ("AND", "OR", "NOT") for w in words):
         return "boolean", s
+    global _BOOST_CHUNK_RE
+    if _BOOST_CHUNK_RE is None:
+        import re
+
+        _BOOST_CHUNK_RE = re.compile(r".+\^\d+(?:\.\d+)?$")
+    if any(_BOOST_CHUNK_RE.match(w) for w in s.split()):
+        return "boosted", q            # Lucene term^w boost syntax
     return "bm25", q
 
 
@@ -1079,6 +1105,15 @@ def answer_queries(
     if rx:
         res = regex_local(idx, [a for _, a in rx], k=k)
         for (i, _), qid in zip(rx, range(len(rx))):
+            out[i]["hits"] = [
+                {"rank": int(rk), "docid": int(d), "score": round(float(s), 4)}
+                for q, rk, d, s in res.itertuples(index=False)
+                if q == qid
+            ]
+    bo = [(i, arg) for i, (t, arg) in enumerate(routed) if t == "boosted"]
+    if bo:
+        res = boosted_local(idx, [a for _, a in bo], k=k, strategy=strategy)
+        for (i, _), qid in zip(bo, range(len(bo))):
             out[i]["hits"] = [
                 {"rank": int(rk), "docid": int(d), "score": round(float(s), 4)}
                 for q, rk, d, s in res.itertuples(index=False)

@@ -1732,3 +1732,154 @@ l AS (
 SELECT query_id, id, line_no, line
 FROM l JOIN q ON list_has_any({tok}, qterms)
 """
+
+
+# --------------------------------------------------------------------------
+# Per-term query boosts — Lucene's `term^weight` query syntax: the boosted
+# term's contribution is weight * idf * tfnorm. The weight folds into the
+# cursor idf (wand.py), so BMW/MaxScore upper bounds scale admissibly and
+# dynamic pruning is unaffected.
+# --------------------------------------------------------------------------
+
+_BOOST_SUFFIX = None
+
+
+def parse_boosted_query_terms(
+    queries: list[str], cfg: EngineConfig = DEFAULT_CONFIG
+) -> tuple[list[tuple[int, str]], dict[int, dict[str, float]]]:
+    """([(query_id, term)], {query_id: {term: weight}}) — Lucene boost
+    syntax ``chunk^2.5`` parsed per whitespace chunk (the ``^w`` suffix is
+    pure query syntax, stripped BEFORE analysis so the analyzer never sees
+    it); every term the chunk analyzes to carries the chunk's weight, an
+    unboosted chunk weighs 1.0, and a term reachable from several chunks
+    takes the MAX weight (deterministic conflict rule, mirrored in the SQL
+    oracle). The boosts map carries only weights != 1.0.
+
+    Chunked analysis is token-identical to the whole-string parse for the
+    default analyzer (tokens never span whitespace); with bigrams enabled
+    cross-chunk bigrams are not emitted — boost syntax opts into per-chunk
+    semantics."""
+    import re
+
+    import pandas as pd
+
+    from ..functions.analyzer import tokenize_series
+
+    global _BOOST_SUFFIX
+    if _BOOST_SUFFIX is None:
+        _BOOST_SUFFIX = re.compile(r"^(?P<core>.+)\^(?P<w>\d+(?:\.\d+)?)$")
+    pairs: list[tuple[int, str]] = []
+    boosts: dict[int, dict[str, float]] = {}
+    for qid, q in enumerate(queries):
+        chunks: list[tuple[str, float]] = []
+        for chunk in q.split():
+            m = _BOOST_SUFFIX.match(chunk)
+            if m:
+                chunks.append((m.group("core"), float(m.group("w"))))
+            else:
+                chunks.append((chunk, 1.0))
+        toks = tokenize_series(
+            pd.Series([c for c, _ in chunks], dtype=object), cfg
+        )
+        wmap: dict[str, float] = {}
+        for (_c, w), ts in zip(chunks, toks):
+            for t in ts:
+                wmap[t] = max(wmap.get(t, 0.0), float(w))
+        for t in sorted(wmap):
+            pairs.append((qid, t))
+            if wmap[t] != 1.0:
+                boosts.setdefault(qid, {})[t] = wmap[t]
+    return pairs, boosts
+
+
+def boosted_topk(
+    spark: SparkSession,
+    index,
+    queries: list[str],
+    k: int,
+    cfg: EngineConfig | None = None,
+    **wand_kwargs,
+) -> "DataFrame":
+    """(query_id, rank, docid, score) — BM25 top-k honoring Lucene
+    ``term^w`` per-term boosts, ranked by the same block-max WAND (bounds
+    scale with the boost — admissible pruning). Without any ``^`` the
+    result is bitwise the plain ``wand_topk`` ranking."""
+    cfg = cfg or index.cfg
+    pairs, boosts = parse_boosted_query_terms(queries, cfg)
+    from .wand import wand_topk
+
+    return wand_topk(
+        spark, index, pairs, k, cfg, boosts=boosts or None, **wand_kwargs
+    )
+
+
+def duckdb_boosted_bm25_sql(
+    corpus_sql: str,
+    queries: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int | None = None,
+    round_to: int = 4,
+) -> str:
+    """Oracle twin of ``boosted_topk``: the ``^w`` suffix split is pure
+    string syntax done here; chunk ANALYSIS and the per-term max-weight
+    rule are re-derived in SQL, and the weight multiplies the idf factor
+    inside the scored sum exactly as the cursor does."""
+    import re
+
+    rows = []
+    pat = re.compile(r"^(?P<core>.+)\^(?P<w>\d+(?:\.\d+)?)$")
+    for qid, q in enumerate(queries):
+        for chunk in q.split():
+            m = pat.match(chunk)
+            core, w = (m.group("core"), float(m.group("w"))) if m else (chunk, 1.0)
+            rows.append((qid, core.replace("'", "''"), w))
+    cvalues = ", ".join(f"({q}, '{c}', {w!r})" for q, c, w in rows)
+    topk_filter = f"WHERE rank <= {k}" if k is not None else ""
+    rank_col = ", rank" if k is not None else ""
+    return f"""
+WITH docids AS ({duckdb_docid_sql(corpus_sql, cfg)}),
+docs AS (
+  SELECT docid,
+         len({duckdb_tok('content', cfg)}) AS doc_len,
+         content
+  FROM docids
+),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(doc_len) AS avgdl FROM docs),
+tf AS (
+  SELECT term, docid, any_value(doc_len) AS doc_len, count(*) AS tf
+  FROM (
+    SELECT docid, doc_len, unnest({duckdb_tok('content', cfg)}) AS term
+    FROM docs
+  )
+  GROUP BY term, docid
+),
+qterms AS (
+  SELECT query_id, term, max(w) AS w FROM (
+    SELECT query_id, unnest({duckdb_tok('chunk', cfg)}) AS term, w
+    FROM (VALUES {cvalues}) AS chunks(query_id, chunk, w)
+  )
+  GROUP BY query_id, term
+),
+matched AS (SELECT qterms.query_id, qterms.w, tf.* FROM tf JOIN qterms USING (term)),
+df_t AS (SELECT query_id, term, count(*)::DOUBLE AS df FROM matched GROUP BY query_id, term),
+scored AS (
+  SELECT m.query_id, m.docid,
+         sum(
+           (ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * m.w)
+           * (m.tf * {cfg.k1 + 1.0})
+           / (m.tf + {cfg.k1} * ({1.0 - cfg.b} + {cfg.b} * m.doc_len / s.avgdl))
+         ) AS score
+  FROM matched m
+  JOIN df_t d USING (query_id, term)
+  CROSS JOIN stats s
+  GROUP BY m.query_id, m.docid
+),
+ranked AS (
+  SELECT query_id, docid, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid ASC) AS rank
+  FROM scored
+)
+SELECT query_id{rank_col}, docid, round(score, {round_to}) AS score
+FROM ranked
+{topk_filter}
+"""

@@ -309,18 +309,23 @@ def _resolve_after(after, qid: int) -> tuple[float, int] | None:
 
 def bmw_partial(
     pdf: pd.DataFrame, idf: dict[str, float], avgdl: float, k: int, k1: float, b: float,
-    deleted=None, allowed=None, strategy: str = "bmw", after=None,
+    deleted=None, allowed=None, strategy: str = "bmw", after=None, boosts=None,
 ) -> pd.DataFrame:
-    """One (query_id, bucket) group of joined posting-block rows → ≤k rows."""
+    """One (query_id, bucket) group of joined posting-block rows → ≤k rows.
+
+    ``boosts``: optional {query_id: {term: weight}} per-term query boosts
+    (Lucene ``term^w``). A boost folds into the cursor's idf, so the BMW /
+    MaxScore upper bounds scale with it — pruning stays admissible."""
     qid = int(pdf["query_id"].iloc[0])
     allowed = _resolve_allowed(allowed, qid)
     if allowed is not None and len(allowed) == 0:
         return pd.DataFrame({"query_id": qid, "docid": [], "score": []})
+    qboost = (boosts or {}).get(qid, {})
     cursors = []
     for term, rows in pdf.groupby("term", sort=True):
         if term in idf:
-            c = _Cursor(term, idf[term], rows, avgdl, k1, b, deleted=deleted,
-                        allowed=allowed)
+            c = _Cursor(term, idf[term] * float(qboost.get(term, 1.0)), rows,
+                        avgdl, k1, b, deleted=deleted, allowed=allowed)
             if not c.exhausted:
                 cursors.append(c)
     top = _STRATEGIES[strategy](cursors, k, after=_resolve_after(after, qid))
@@ -361,8 +366,16 @@ def wand_topk(
     small_set_cap: int = 2_000_000,
     strategy: str = "bmw",
     after: dict[int, tuple[float, int]] | None = None,
+    boosts: dict[int, dict[str, float]] | None = None,
 ) -> DataFrame:
     """(query_id, rank, docid, score) — full BMW path over the encoded index.
+
+    ``boosts``: optional per-term query boosts {query_id: {term: weight}}
+    (Lucene ``term^w``): each boosted term's contribution is
+    weight · idf · tfnorm. The weight folds into the cursor idf, so
+    BMW/MaxScore block upper bounds scale admissibly and pruning is
+    unaffected; the semi-join fallback applies the same weights to its
+    scored stream.
 
     ``strategy``: 'bmw' (block-max WAND, the default) or 'maxscore'
     (Turtle-Flood essential-list partitioning) — same cursors, same pruned
@@ -407,6 +420,11 @@ def wand_topk(
         raise ValueError("pass either allowed or allowed_by_query, not both")
     if after is not None:
         after = {int(q): (float(s), int(d)) for q, (s, d) in after.items()}
+    if boosts is not None:
+        boosts = {
+            int(q): {str(t): float(w) for t, w in m.items()}
+            for q, m in boosts.items()
+        }
     avgdl, k1, b = float(index.avgdl), float(cfg.k1), float(cfg.b)
 
     # query terms: a plain [(query_id, term)] list (parse_query_terms — zero
@@ -429,7 +447,7 @@ def wand_topk(
         allowed_arr = _collect_small_set(allowed, "allowed", small_set_cap)
     except ValueError:
         return _semi_join_topk(spark, index, q_pairs, k, cfg, deleted, allowed,
-                               after=after)
+                               after=after, boosts=boosts)
     # per-query keep-lists: ONE bounded collect for the whole batch → a
     # {query_id: sorted docid array} map shipped to the cursors (the same
     # decode-time masking as the global list). Over the cap, auto-reroute
@@ -444,7 +462,7 @@ def wand_topk(
         if len(rows) > small_set_cap:
             return _semi_join_topk(
                 spark, index, q_pairs, k, cfg, deleted, None,
-                allowed_by_query=allowed_by_query, after=after,
+                allowed_by_query=allowed_by_query, after=after, boosts=boosts,
             )
         by_q: dict[int, list[int]] = {}
         for r in rows:
@@ -473,7 +491,8 @@ def wand_topk(
             }
             return _wand_topk_local(spark, blocks, q_pairs, k, idf, avgdl,
                                     k1, b, del_arr, allowed_arr,
-                                    strategy=strategy, after=after)
+                                    strategy=strategy, after=after,
+                                    boosts=boosts)
 
     # distributed path: per-term idf from the dictionary (one bounded
     # collect over |query terms| rows)
@@ -496,7 +515,8 @@ def wand_topk(
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return bmw_partial(pdf, idf, avgdl, k, k1, b, deleted=del_arr,
-                           allowed=allowed_arr, strategy=strategy, after=after)
+                           allowed=allowed_arr, strategy=strategy, after=after,
+                           boosts=boosts)
 
     partials = joined.groupBy("query_id", "bucket").applyInPandas(run, TOPK_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
@@ -515,6 +535,7 @@ def scored_matches(
     deleted: DataFrame | None = None,
     allowed: DataFrame | None = None,
     allowed_by_query: DataFrame | None = None,
+    boosts: dict[int, dict[str, float]] | None = None,
 ) -> DataFrame:
     """(query_id, docid, score) for EVERY doc matching ≥1 query term —
     the full BM25-scored disjunctive match stream, before any top-k
@@ -558,11 +579,17 @@ def scored_matches(
 
     def score_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
+        qb = (boosts or {}).get(qid, {})
         pdf = pdf.sort_values(["docid", "term"], kind="mergesort")
         d = pdf["docid"].to_numpy(np.int64)
         t = pdf["tf"].to_numpy(np.int64)
         l = pdf["dl"].to_numpy(np.int64)
-        w = np.fromiter((idf[x] for x in pdf["term"]), dtype=np.float64, count=len(pdf))
+        # boost folds into the per-term weight BEFORE the tfnorm multiply —
+        # the same (idf·w)·tfnorm association as the cursor loop
+        w = np.fromiter(
+            (idf[x] * qb.get(x, 1.0) for x in pdf["term"]),
+            dtype=np.float64, count=len(pdf),
+        )
         contrib = w * codec.bm25_tfnorm(t, l, avgdl, k1, b)
         cut = np.flatnonzero(d[1:] != d[:-1]) + 1
         starts = np.concatenate(([0], cut))
@@ -593,6 +620,7 @@ def _semi_join_topk(
     allowed: DataFrame | None,
     allowed_by_query: DataFrame | None = None,
     after: dict[int, tuple[float, int]] | None = None,
+    boosts: dict[int, dict[str, float]] | None = None,
 ) -> DataFrame:
     """Over-cap keep-list fallback (judge r2 #9): an ACL allow-list too
     large for the small-set contract folds into the SCAN instead of into a
@@ -602,7 +630,8 @@ def _semi_join_topk(
     docid ASC) rank window as the BMW path. Rank-identical to BMW — pinned
     by tests/test_security.py."""
     partials = scored_matches(
-        spark, index, q_pairs, cfg, deleted, allowed, allowed_by_query
+        spark, index, q_pairs, cfg, deleted, allowed, allowed_by_query,
+        boosts=boosts,
     )
     partials = apply_after_filter(spark, partials, after)
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
@@ -645,6 +674,7 @@ def bmw_over_blocks(
     blocks: pd.DataFrame, q_pairs: list[tuple[int, str]], k: int,
     idf: dict[str, float], avgdl: float, k1: float, b: float,
     del_arr=None, allowed_arr=None, strategy: str = "bmw", after=None,
+    boosts=None,
 ) -> list[tuple[int, int, int, float]]:
     """In-process BMW over pre-fetched block rows → [(query_id, rank, docid,
     score)]. Pure pandas/NumPy — shared by the Spark driver-local path and
@@ -666,11 +696,13 @@ def bmw_over_blocks(
         qblocks = blocks[blocks["term"].isin(tset)]
         if qblocks.empty:
             continue
+        qboost = (boosts or {}).get(qid, {})
         collected: list[tuple[int, float]] = []
         for _, bucket_blocks in qblocks.groupby("bucket", sort=True):
             cursors = []
             for term, trows in bucket_blocks.groupby("term", sort=True):
-                c = _Cursor(term, idf[term], trows, avgdl, k1, b, deleted=del_arr,
+                c = _Cursor(term, idf[term] * float(qboost.get(term, 1.0)),
+                            trows, avgdl, k1, b, deleted=del_arr,
                             allowed=q_allowed)
                 if not c.exhausted:
                     cursors.append(c)
@@ -683,11 +715,13 @@ def bmw_over_blocks(
 
 def _wand_topk_local(
     spark, blocks: pd.DataFrame, q_pairs: list[tuple[int, str]], k, idf,
-    avgdl, k1, b, del_arr, allowed_arr=None, strategy: str = "bmw", after=None
+    avgdl, k1, b, del_arr, allowed_arr=None, strategy: str = "bmw", after=None,
+    boosts=None,
 ):
     """Driver-local BMW (SURVEY.md §3.3) over pre-fetched block rows: the
     WAND loop runs in-process, zero further Spark jobs."""
     rows = bmw_over_blocks(blocks, q_pairs, k, idf, avgdl, k1, b, del_arr,
-                           allowed_arr, strategy=strategy, after=after)
+                           allowed_arr, strategy=strategy, after=after,
+                           boosts=boosts)
     schema = "query_id int, rank int, docid long, score double"
     return spark.createDataFrame(rows, schema=schema)

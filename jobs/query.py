@@ -466,6 +466,14 @@ def _auto_spark(spark, idx, args) -> None:
             out[i]["hits"] = [
                 {"docid": r["docid"]} for r in rows if r["query_id"] == qid
             ]
+    bo = [(i, a) for i, (t, a) in enumerate(routed) if t == "boosted"]
+    if bo:
+        from information_retrieval_spark.operators.query import boosted_topk
+
+        _ranked(bo, boosted_topk(
+            spark, idx, [a for _, a in bo], args.k, idx.cfg,
+            strategy=args.strategy,
+        ))
     bm = [(i, a) for i, (t, a) in enumerate(routed) if t == "bm25"]
     if bm:
         qterms = parse_queries(spark, [a for _, a in bm], idx.cfg)

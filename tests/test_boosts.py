@@ -1,0 +1,140 @@
+"""Lucene ``term^w`` per-term query boosts (query.boosted_topk): weight
+folds into the cursor idf, so BMW/MaxScore bounds scale admissibly and all
+evaluator paths (driver-local, distributed, scored-stream fallback, local
+twin, router) agree."""
+
+import numpy as np
+import pytest
+
+from information_retrieval_spark.config import EngineConfig
+from information_retrieval_spark.corpus import synthetic_corpus_pdf
+from information_retrieval_spark.operators.build import build_index
+from information_retrieval_spark.operators.query import (
+    boosted_topk,
+    parse_boosted_query_terms,
+    parse_query_terms,
+)
+from information_retrieval_spark.operators.wand import scored_matches, wand_topk
+
+CFG = EngineConfig(n_doc_buckets=8, block_size=16)
+K = 8
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = synthetic_corpus_pdf(150, seed=53)[
+        ["repo", "path", "commit", "lang", "content"]
+    ]
+    return spark.createDataFrame(pdf).cache()
+
+
+@pytest.fixture(scope="module")
+def idx(spark, corpus):
+    return build_index(spark, corpus, CFG)
+
+
+def test_parse_boosted_syntax():
+    pairs, boosts = parse_boosted_query_terms(
+        ["ident_1^2 ident_2 ident_3^0.5", "plain words", "dup^3 dup"]
+    )
+    assert (0, "ident_1") in pairs and boosts[0]["ident_1"] == 2.0
+    assert boosts[0]["ident_3"] == 0.5
+    assert "ident_2" not in boosts.get(0, {})
+    assert 1 not in boosts
+    # max-weight conflict rule: dup^3 + unboosted dup -> 3.0
+    assert boosts[2]["dup"] == 3.0
+    # without ^, identical to the plain parse (same terms, per query)
+    assert [t for q, t in pairs if q == 1] == [
+        t for _, t in parse_query_terms(["plain words"])
+    ]
+
+
+def test_no_boost_is_bitwise_plain(spark, idx):
+    q = ["ident_1 ident_2 ident_3"]
+    plain = wand_topk(spark, idx, parse_query_terms(q, CFG), K, CFG).toPandas()
+    boosted = boosted_topk(spark, idx, q, K, CFG).toPandas()
+    assert plain["docid"].tolist() == boosted["docid"].tolist()
+    np.testing.assert_array_equal(
+        plain["score"].to_numpy(), boosted["score"].to_numpy()
+    )
+
+
+def test_boost_scales_contribution_exactly(spark, idx):
+    """score(q with ident_1^w) == sum over terms of w_t * contrib_t: verify
+    against the unboosted per-term scored streams combined in pandas."""
+    q = ["ident_1^2.5 ident_2"]
+    got = boosted_topk(spark, idx, q, K, CFG, mode="local").toPandas()
+    # per-term unboosted streams
+    s1 = scored_matches(spark, idx, [(0, "ident_1")], CFG).toPandas()
+    s2 = scored_matches(spark, idx, [(0, "ident_2")], CFG).toPandas()
+    exp = (
+        s1.assign(score=s1["score"] * 2.5)
+        .set_index("docid")["score"]
+        .add(s2.set_index("docid")["score"], fill_value=0.0)
+        .sort_values(ascending=False)
+    )
+    # compare scores for the returned docids (ties broken by docid asc)
+    expected_rank = sorted(
+        exp.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:K]
+    assert got["docid"].tolist() == [d for d, _ in expected_rank]
+    np.testing.assert_allclose(
+        got["score"].to_numpy(),
+        np.array([s for _, s in expected_rank]),
+        atol=1e-9,
+    )
+
+
+def test_boost_distributed_local_and_maxscore_agree(spark, idx):
+    q = ["ident_1^3 ident_2 ident_3^0.25", "ident_5^2"]
+    a = boosted_topk(spark, idx, q, K, CFG, mode="local").toPandas()
+    b = boosted_topk(spark, idx, q, K, CFG, mode="distributed").toPandas()
+    c = boosted_topk(spark, idx, q, K, CFG, strategy="maxscore").toPandas()
+    for other in (b, c):
+        assert a["docid"].tolist() == other["docid"].tolist()
+        np.testing.assert_array_equal(
+            a["score"].to_numpy(), other["score"].to_numpy()
+        )
+
+
+def test_boosted_local_twin_parity(spark, corpus, idx, tmp_path_factory):
+    from information_retrieval_spark.operators.local_query import (
+        answer_queries,
+        boosted_local,
+        route_query,
+    )
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+    )
+
+    root = str(tmp_path_factory.mktemp("boosts") / "idx")
+    build_index_resumable(spark, corpus, root, CFG)
+    q = ["ident_1^3 ident_2", "ident_5^0.5 ident_6"]
+    exp = boosted_topk(spark, idx, q, K, CFG).toPandas()
+    got = boosted_local(root, q, K)
+    assert got["docid"].tolist() == exp["docid"].tolist()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), exp["score"].to_numpy(), atol=0
+    )
+    # router sends ^-queries to the boosted branch on the full surface
+    assert route_query(q[0])[0] == "boosted"
+    ans = answer_queries(root, q, k=K)
+    assert ans[0]["type"] == "boosted"
+    assert [h["docid"] for h in ans[0]["hits"]] == exp[
+        exp["query_id"] == 0
+    ]["docid"].tolist()
+
+
+def test_boost_reorders_ranking(spark, idx):
+    """A large boost on a term must pull its docs above the unboosted
+    ranking's head whenever they differ."""
+    plain = wand_topk(
+        spark, idx, parse_query_terms(["ident_1 ident_2"], CFG), K, CFG
+    ).toPandas()
+    boosted = boosted_topk(spark, idx, ["ident_1 ident_2^50"], K, CFG).toPandas()
+    s2 = scored_matches(spark, idx, [(0, "ident_2")], CFG).toPandas()
+    docs_with_t2 = set(s2["docid"])
+    # every top hit under the 50x boost contains the boosted term (its
+    # contribution dominates any unboosted score in this corpus)
+    assert set(boosted["docid"]) <= docs_with_t2
+    assert plain["docid"].tolist() != boosted["docid"].tolist()

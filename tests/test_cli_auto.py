@@ -22,10 +22,11 @@ QUERIES = [
     "tabel~2",
     "/tab(le|el)s?/",
     "hash AND (join OR merge)",
+    "hash^2 join",
     "hash join",
 ]
 TYPES = ["phrase", "proximity", "prefix", "wildcard", "fuzzy", "regex",
-         "boolean", "bm25"]
+         "boolean", "boosted", "bm25"]
 
 
 @pytest.fixture(scope="module")
