@@ -1866,8 +1866,8 @@ scored AS (
   SELECT m.query_id, m.docid,
          sum(
            (ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * m.w)
-           * (m.tf * {cfg.k1 + 1.0})
-           / (m.tf + {cfg.k1} * ({1.0 - cfg.b} + {cfg.b} * m.doc_len / s.avgdl))
+           * ((m.tf * {cfg.k1 + 1.0})
+              / (m.tf + {cfg.k1} * ({1.0 - cfg.b} + {cfg.b} * m.doc_len / s.avgdl)))
          ) AS score
   FROM matched m
   JOIN df_t d USING (query_id, term)
