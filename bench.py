@@ -807,6 +807,9 @@ def main() -> None:
         # round-5 continuation: exhaustive collectors over the full match
         # stream (collapse fast path = hash agg; count = membership-only
         # decode; significant = fg tokenize of <=k docs)
+        ("boosted", lambda: __import__(
+            "information_retrieval_spark.operators.query", fromlist=["x"]
+        ).boosted_topk(spark, idx, [QUERY_SET[0] + " table^2.5"], TOP_K, cfg)),
         ("collapse_repo", lambda: _grouping().collapse_topk(
             spark, idx, [QUERY_SET[0]], TOP_K, group_col="repo",
             per_group=1, cfg=cfg)),
