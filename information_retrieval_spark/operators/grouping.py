@@ -58,7 +58,6 @@ from .query import (
 from .wand import scored_matches
 
 _EMPTY_COLLAPSE = "query_id int, rank int, docid long, group_key string, score double"
-_EMPTY_SORT = "query_id int, rank int, docid long, sort_value long, score double"
 _EMPTY_SIG = (
     "query_id int, rank int, term string, fg_df long, bg_df long, sig double"
 )
@@ -200,10 +199,18 @@ def sort_topk(
     deterministic regardless of score."""
     cfg = cfg or index.cfg
     q_pairs = parse_query_terms(queries, cfg)
-    if not q_pairs:
-        return spark.createDataFrame([], _EMPTY_SORT)
-    scored = scored_matches(spark, index, q_pairs, cfg, deleted=deleted)
     vals = index.docs.select("docid", F.col(sort_col).alias("sort_value"))
+    if not q_pairs:
+        # empty-parse schema must carry the REAL sort_value type (a string
+        # column would otherwise come back long and break cross-batch
+        # unions on the empty-query edge)
+        sv_type = vals.schema["sort_value"].dataType.simpleString()
+        return spark.createDataFrame(
+            [],
+            f"query_id int, rank int, docid long, sort_value {sv_type}, "
+            "score double",
+        )
+    scored = scored_matches(spark, index, q_pairs, cfg, deleted=deleted)
     j = scored.join(vals, "docid")
     direction = F.asc("sort_value") if ascending else F.desc("sort_value")
     order = [direction, F.asc("docid")]
@@ -225,15 +232,18 @@ def duckdb_sort_sql(
     cfg: EngineConfig = DEFAULT_CONFIG,
     round_to: int = 4,
 ) -> str:
-    """Oracle twin of ``sort_topk``. ``sort_sql`` is a SQL expression over
-    the ``docs`` CTE columns (``doc_len``) or any ``docids`` catalog
-    column."""
+    """Oracle twin of ``sort_topk``. ``sort_sql`` is an unqualified SQL
+    expression over the ``docs`` CTE (``doc_len``) or any ``docids``
+    catalog column (``repo``/``path``/``lang``/...) — both are joined in,
+    so everything the engine's ``index.docs`` exposes resolves (only the
+    ambiguous ``content`` would need qualifying, and nobody sorts by
+    it)."""
     direction = "ASC" if ascending else "DESC"
     return f"""
 {duckdb_scored_prefix(corpus_sql, duckdb_qterms_sql(queries, cfg), cfg)},
 with_key AS (
-  SELECT s.query_id, s.docid, s.score, d.{sort_sql} AS sort_value
-  FROM scored s JOIN docs d USING (docid)
+  SELECT s.query_id, s.docid, s.score, {sort_sql} AS sort_value
+  FROM scored s JOIN docs d USING (docid) JOIN docids i USING (docid)
 ),
 ranked AS (
   SELECT query_id, docid, sort_value, score,

@@ -507,16 +507,21 @@ def boosted_local(
     queries: list[str],
     k: int = 10,
     strategy: str = "bmw",
+    after: dict[int, tuple[float, int]] | None = None,
 ) -> pd.DataFrame:
     """(query_id, rank, docid, score) — Spark-free twin of
     ``query.boosted_topk``: Lucene ``term^w`` per-term boosts folded into
     the cursor idf (admissible BMW/MaxScore bounds). Without ``^`` it is
-    bitwise ``query_index_local``."""
+    bitwise ``query_index_local``. ``after`` paginates exactly like the
+    plain ranked path (boosted rankings are rankings)."""
     from .query import parse_boosted_query_terms
 
     idx = LocalIndex(index) if isinstance(index, str) else index
+    if after is not None:
+        after = {int(q): (float(s), int(d)) for q, (s, d) in after.items()}
     pairs, boosts = parse_boosted_query_terms(queries, idx.cfg)
-    return _rank_pairs(idx, pairs, k, strategy=strategy, boosts=boosts or None)
+    return _rank_pairs(idx, pairs, k, strategy=strategy, boosts=boosts or None,
+                       after=after)
 
 
 def _index_roots(idx) -> list[str]:
@@ -960,7 +965,6 @@ def snippet_local(
 
 
 _NEAR_RE = None
-_BOOST_CHUNK_RE = None
 
 
 def route_query(q: str) -> tuple[str, object]:
@@ -975,7 +979,15 @@ def route_query(q: str) -> tuple[str, object]:
       'hasj~' / 'tabel~2'  -> ("fuzzy", (term, max_edit))   [Lucene syntax]
       '/tab(le|el)s?/'     -> ("regex", pattern)            [Lucene syntax]
       'a AND (b OR c)'     -> ("boolean", q)   [uppercase keyword present]
+      'hash^2 join'        -> ("boosted", q)   [Lucene boost syntax]
       anything else        -> ("bm25", q)
+
+    Like Lucene's query parser, ``*``, ``~``, ``/../`` and ``^number`` are
+    RESERVED syntax on this router: a chunk ending in ``^2`` is a boost,
+    not a literal caret-and-digits search (the analyzer treats ``^`` as a
+    delimiter either way — only the post-caret number token is affected).
+    Callers needing the literal tokens should query the plain ranked path
+    (no ``--auto``), exactly as with the other reserved operators.
     """
     global _NEAR_RE
     if _NEAR_RE is None:
@@ -1004,12 +1016,9 @@ def route_query(q: str) -> tuple[str, object]:
     words = s.replace("(", " ").replace(")", " ").split()
     if any(w in ("AND", "OR", "NOT") for w in words):
         return "boolean", s
-    global _BOOST_CHUNK_RE
-    if _BOOST_CHUNK_RE is None:
-        import re
+    from .query import boost_chunk_re
 
-        _BOOST_CHUNK_RE = re.compile(r".+\^\d+(?:\.\d+)?$")
-    if any(_BOOST_CHUNK_RE.match(w) for w in s.split()):
+    if any(boost_chunk_re().match(w) for w in s.split()):
         return "boosted", q            # Lucene term^w boost syntax
     return "bm25", q
 
@@ -1040,10 +1049,11 @@ def answer_queries(
         for i in after:
             if i < 0 or i >= len(queries):
                 raise ValueError(f"after: query index {i} out of range")
-            if routed[i][0] != "bm25":
+            if routed[i][0] not in ("bm25", "boosted"):
                 raise ValueError(
                     f"after: query {i} routes to {routed[i][0]!r}; keyset "
-                    "pagination applies to ranked BM25 queries only"
+                    "pagination applies to ranked BM25 queries (plain or "
+                    "boosted) only"
                 )
     out: list[dict] = [
         {"query": q, "type": t, "hits": []} for q, (t, _) in zip(queries, routed)
@@ -1112,7 +1122,13 @@ def answer_queries(
             ]
     bo = [(i, arg) for i, (t, arg) in enumerate(routed) if t == "boosted"]
     if bo:
-        res = boosted_local(idx, [a for _, a in bo], k=k, strategy=strategy)
+        bo_after = (
+            {qid: after[i] for qid, (i, _) in enumerate(bo) if i in after}
+            if after
+            else None
+        )
+        res = boosted_local(idx, [a for _, a in bo], k=k, strategy=strategy,
+                            after=bo_after)
         for (i, _), qid in zip(bo, range(len(bo))):
             out[i]["hits"] = [
                 {"rank": int(rk), "docid": int(d), "score": round(float(s), 4)}
@@ -1432,17 +1448,11 @@ def _scored_matches_local(
             continue
         d = sub["docid"].to_numpy(np.int64)
         contrib = sub["contrib"].to_numpy(np.float64)
-        cut = np.flatnonzero(d[1:] != d[:-1]) + 1
-        starts = np.concatenate(([0], cut))
-        counts = np.diff(np.append(starts, d.size))
-        doc_ix = np.repeat(np.arange(starts.size, dtype=np.int64), counts)
-        pos_in_doc = np.arange(d.size, dtype=np.int64) - np.repeat(starts, counts)
-        score = np.zeros(starts.size, dtype=np.float64)
-        for j in range(int(counts.max())):
-            m = pos_in_doc == j
-            score[doc_ix[m]] += contrib[m]
+        from .wand import accumulate_ascending
+
+        docids, score = accumulate_ascending(d, contrib)
         outs.append(
-            pd.DataFrame({"query_id": qid, "docid": d[starts], "score": score})
+            pd.DataFrame({"query_id": qid, "docid": docids, "score": score})
         )
     if not outs:
         return pd.DataFrame(columns=["query_id", "docid", "score"]).astype(
@@ -1458,17 +1468,25 @@ def _docs_columns_local(
 ) -> pd.DataFrame:
     """(docid, *columns) from the persisted docs catalog across every
     mounted root, bucket + docid pushdown-pruned when ``docids`` is given
-    (None = full catalog, column-pruned)."""
+    (None = full catalog, column-pruned).
+
+    Pruning is only worth its evaluation cost while the id set is small
+    (topk-sized fetches): past ``_ISIN_CAP`` ids — e.g. the full match set
+    of a stopword-ish query, which covers most of the corpus — a giant
+    ``isin`` expression costs more than the column-pruned full read, so we
+    keep only the bucket filter and let the caller's merge drop the
+    rest."""
     import numpy as np
     import pyarrow.dataset as ds
 
+    _ISIN_CAP = 50_000
     flt = None
     if docids is not None:
         arr = np.unique(np.asarray(list(docids), dtype=np.int64))
         buckets = sorted({int(d) >> idx.cfg.doc_bucket_bits for d in arr})
-        flt = ds.field("bucket").isin(buckets) & ds.field("docid").isin(
-            arr.tolist()
-        )
+        flt = ds.field("bucket").isin(buckets)
+        if arr.size <= _ISIN_CAP:
+            flt = flt & ds.field("docid").isin(arr.tolist())
     parts = []
     for root in _index_roots(idx):
         tab = ds.dataset(

@@ -1002,16 +1002,10 @@ def duckdb_wildcard_bm25_sql(
     return _duckdb_bm25_body(corpus_sql, qterms_sql, cfg, k, round_to)
 
 
-def duckdb_scored_prefix(
-    corpus_sql: str, qterms_sql: str, cfg: EngineConfig = DEFAULT_CONFIG
-) -> str:
-    """The shared disjunctive-BM25 WITH-prefix, ending at
-    ``scored(query_id, docid, score)`` — every doc matching ≥1 analyzed
-    query term with its full BM25 score (the SQL twin of
-    ``wand.scored_matches``). Exposes ``docids``/``docs``/``stats``/``tf``
-    CTEs so downstream oracles (grouping/sorting/counting/significant
-    terms) can compose their own final stages over the same scored
-    universe."""
+def duckdb_tf_prefix(corpus_sql: str, cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+    """The corpus-side WITH-prefix shared by every BM25-family oracle:
+    ``docids`` / ``docs`` / ``stats`` / ``tf`` CTEs. One copy — the boosted
+    and unboosted scored prefixes both compose over it."""
     return f"""WITH docids AS ({duckdb_docid_sql(corpus_sql, cfg)}),
 docs AS (
   SELECT docid,
@@ -1027,7 +1021,20 @@ tf AS (
     FROM docs
   )
   GROUP BY term, docid
-),
+)"""
+
+
+def duckdb_scored_prefix(
+    corpus_sql: str, qterms_sql: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> str:
+    """The shared disjunctive-BM25 WITH-prefix, ending at
+    ``scored(query_id, docid, score)`` — every doc matching ≥1 analyzed
+    query term with its full BM25 score (the SQL twin of
+    ``wand.scored_matches``). Exposes ``docids``/``docs``/``stats``/``tf``
+    CTEs so downstream oracles (grouping/sorting/counting/significant
+    terms) can compose their own final stages over the same scored
+    universe."""
+    return f"""{duckdb_tf_prefix(corpus_sql, cfg)},
 qterms AS ({qterms_sql}),
 matched AS (SELECT qterms.query_id, tf.* FROM tf JOIN qterms USING (term)),
 df_t AS (SELECT query_id, term, count(*)::DOUBLE AS df FROM matched GROUP BY query_id, term),
@@ -1048,7 +1055,10 @@ scored AS (
 def duckdb_qterms_sql(queries: list[str], cfg: EngineConfig = DEFAULT_CONFIG) -> str:
     """The (query_id, term) CTE body for a plain query list — distinct
     analyzed terms per query, the SQL twin of ``parse_query_terms``."""
-    qvalues = ", ".join(f"({i}, '{q}')" for i, q in enumerate(queries))
+    qvalues = ", ".join(
+        "({}, '{}')".format(i, q.replace("'", "''"))
+        for i, q in enumerate(queries)
+    )
     return f"""
   SELECT DISTINCT query_id, qterm AS term FROM (
     SELECT query_id, unnest({duckdb_tok('text', cfg)}) AS qterm
@@ -1744,6 +1754,19 @@ FROM l JOIN q ON list_has_any({tok}, qterms)
 _BOOST_SUFFIX = None
 
 
+def boost_chunk_re():
+    """Compiled Lucene ``chunk^w`` suffix pattern — the SINGLE definition;
+    the parser, the auto router (``local_query.route_query``) and the SQL
+    oracle builder all share it so the syntax can never drift between
+    routing and parsing."""
+    global _BOOST_SUFFIX
+    if _BOOST_SUFFIX is None:
+        import re
+
+        _BOOST_SUFFIX = re.compile(r"^(?P<core>.+)\^(?P<w>\d+(?:\.\d+)?)$")
+    return _BOOST_SUFFIX
+
+
 def parse_boosted_query_terms(
     queries: list[str], cfg: EngineConfig = DEFAULT_CONFIG
 ) -> tuple[list[tuple[int, str]], dict[int, dict[str, float]]]:
@@ -1759,21 +1782,16 @@ def parse_boosted_query_terms(
     default analyzer (tokens never span whitespace); with bigrams enabled
     cross-chunk bigrams are not emitted — boost syntax opts into per-chunk
     semantics."""
-    import re
-
     import pandas as pd
 
     from ..functions.analyzer import tokenize_series
 
-    global _BOOST_SUFFIX
-    if _BOOST_SUFFIX is None:
-        _BOOST_SUFFIX = re.compile(r"^(?P<core>.+)\^(?P<w>\d+(?:\.\d+)?)$")
     pairs: list[tuple[int, str]] = []
     boosts: dict[int, dict[str, float]] = {}
     for qid, q in enumerate(queries):
         chunks: list[tuple[str, float]] = []
         for chunk in q.split():
-            m = _BOOST_SUFFIX.match(chunk)
+            m = boost_chunk_re().match(chunk)
             if m:
                 chunks.append((m.group("core"), float(m.group("w"))))
             else:
@@ -1824,35 +1842,17 @@ def duckdb_boosted_bm25_sql(
     string syntax done here; chunk ANALYSIS and the per-term max-weight
     rule are re-derived in SQL, and the weight multiplies the idf factor
     inside the scored sum exactly as the cursor does."""
-    import re
-
     rows = []
-    pat = re.compile(r"^(?P<core>.+)\^(?P<w>\d+(?:\.\d+)?)$")
     for qid, q in enumerate(queries):
         for chunk in q.split():
-            m = pat.match(chunk)
+            m = boost_chunk_re().match(chunk)
             core, w = (m.group("core"), float(m.group("w"))) if m else (chunk, 1.0)
             rows.append((qid, core.replace("'", "''"), w))
     cvalues = ", ".join(f"({q}, '{c}', {w!r})" for q, c, w in rows)
     topk_filter = f"WHERE rank <= {k}" if k is not None else ""
     rank_col = ", rank" if k is not None else ""
     return f"""
-WITH docids AS ({duckdb_docid_sql(corpus_sql, cfg)}),
-docs AS (
-  SELECT docid,
-         len({duckdb_tok('content', cfg)}) AS doc_len,
-         content
-  FROM docids
-),
-stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(doc_len) AS avgdl FROM docs),
-tf AS (
-  SELECT term, docid, any_value(doc_len) AS doc_len, count(*) AS tf
-  FROM (
-    SELECT docid, doc_len, unnest({duckdb_tok('content', cfg)}) AS term
-    FROM docs
-  )
-  GROUP BY term, docid
-),
+{duckdb_tf_prefix(corpus_sql, cfg)},
 qterms AS (
   SELECT query_id, term, max(w) AS w FROM (
     SELECT query_id, unnest({duckdb_tok('chunk', cfg)}) AS term, w

@@ -527,6 +527,29 @@ def wand_topk(
     )
 
 
+def accumulate_ascending(
+    d: np.ndarray, contrib: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc score accumulation over (docid, term)-sorted rows, strictly
+    left-to-right in ascending term order — THE single definition of the
+    bit-exactness-critical reduction shared by the Spark scored stream and
+    the Spark-free local twin. ``np.add.reduceat`` is NOT sequential
+    within a segment (its pairing differs by one ulp from the cursor
+    loop's ((0+s0)+s1)+s2), so add the j-th term column of every doc in
+    one vectorized pass, j ascending — ≤ |query terms| passes,
+    bit-identical to the BMW cursor accumulation."""
+    cut = np.flatnonzero(d[1:] != d[:-1]) + 1
+    starts = np.concatenate(([0], cut))
+    counts = np.diff(np.append(starts, d.size))
+    doc_ix = np.repeat(np.arange(starts.size, dtype=np.int64), counts)
+    pos_in_doc = np.arange(d.size, dtype=np.int64) - np.repeat(starts, counts)
+    score = np.zeros(starts.size, dtype=np.float64)
+    for j in range(int(counts.max())):
+        m = pos_in_doc == j
+        score[doc_ix[m]] += contrib[m]
+    return d[starts], score
+
+
 def scored_matches(
     spark: SparkSession,
     index: InvertedIndex,
@@ -591,21 +614,8 @@ def scored_matches(
             dtype=np.float64, count=len(pdf),
         )
         contrib = w * codec.bm25_tfnorm(t, l, avgdl, k1, b)
-        cut = np.flatnonzero(d[1:] != d[:-1]) + 1
-        starts = np.concatenate(([0], cut))
-        counts = np.diff(np.append(starts, d.size))
-        # strict left-to-right per-doc accumulation in ascending-term order:
-        # np.add.reduceat is NOT sequential within a segment (its pairing
-        # differs by one ulp from the cursor loop's ((0+s0)+s1)+s2), so add
-        # the j-th term column of every doc in one vectorized pass, j
-        # ascending — ≤ |query terms| passes, bit-identical to BMW
-        doc_ix = np.repeat(np.arange(starts.size, dtype=np.int64), counts)
-        pos_in_doc = np.arange(d.size, dtype=np.int64) - np.repeat(starts, counts)
-        score = np.zeros(starts.size, dtype=np.float64)
-        for j in range(int(counts.max())):
-            m = pos_in_doc == j
-            score[doc_ix[m]] += contrib[m]
-        return pd.DataFrame({"query_id": qid, "docid": d[starts], "score": score})
+        docids, score = accumulate_ascending(d, contrib)
+        return pd.DataFrame({"query_id": qid, "docid": docids, "score": score})
 
     return rows.groupBy("query_id", "bucket").applyInPandas(score_group, TOPK_SCHEMA)
 

@@ -138,3 +138,34 @@ def test_boost_reorders_ranking(spark, idx):
     # contribution dominates any unboosted score in this corpus)
     assert set(boosted["docid"]) <= docs_with_t2
     assert plain["docid"].tolist() != boosted["docid"].tolist()
+
+
+def test_boosted_local_pagination_tiles(spark, corpus, idx, tmp_path_factory):
+    """after= on the boosted local twin returns exactly ranks k+1..2k of
+    the full boosted ranking (pages tile)."""
+    from information_retrieval_spark.operators.local_query import (
+        answer_queries,
+        boosted_local,
+    )
+    from information_retrieval_spark.sources.manifest import (
+        build_index_resumable,
+    )
+
+    root = str(tmp_path_factory.mktemp("boosts_pg") / "idx")
+    build_index_resumable(spark, corpus, root, CFG)
+    q = ["ident_1^3 ident_2"]
+    full = boosted_local(root, q, 2 * K)
+    page1 = boosted_local(root, q, K)
+    last = page1.iloc[-1]
+    page2 = boosted_local(
+        root, q, K, after={0: (float(last["score"]), int(last["docid"]))}
+    )
+    assert (
+        page1["docid"].tolist() + page2["docid"].tolist()
+        == full["docid"].tolist()
+    )
+    # the router surface accepts cursors on boosted queries too
+    ans = answer_queries(
+        root, q, k=K, after={0: (float(last["score"]), int(last["docid"]))}
+    )
+    assert [h["docid"] for h in ans[0]["hits"]] == page2["docid"].tolist()

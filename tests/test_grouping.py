@@ -412,3 +412,54 @@ def test_facet_stats_local_parity(spark, idx, root):
     np.testing.assert_allclose(
         got["max_score"].to_numpy(), exp["max_score"].to_numpy(), atol=0
     )
+
+
+def test_sort_empty_parse_keeps_catalog_type(spark, idx):
+    df = sort_topk(spark, idx, ["???"], K, sort_col="path", cfg=CFG)
+    assert df.count() == 0
+    assert df.schema["sort_value"].dataType.simpleString() == "string"
+
+
+def test_sort_oracle_supports_catalog_columns(spark, corpus, idx):
+    """duckdb_sort_sql over a docids catalog column (path) must reproduce
+    the engine's sort_topk(sort_col='path') — the oracle joins BOTH the
+    docs (doc_len) and docids (catalog) CTEs."""
+    import duckdb
+
+    from information_retrieval_spark.operators.grouping import (
+        duckdb_sort_sql,
+    )
+
+    got = (
+        sort_topk(spark, idx, QUERIES[:1], K, sort_col="path",
+                  ascending=True, cfg=CFG)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("corpus_tbl", corpus.toPandas())
+    sql = duckdb_sort_sql(
+        "SELECT * FROM corpus_tbl", QUERIES[:1], K, sort_sql="path",
+        ascending=True, cfg=CFG,
+    )
+    exp = con.execute(sql).df().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got["docid"].tolist() == exp["docid"].tolist()
+    assert got["sort_value"].tolist() == exp["sort_value"].tolist()
+
+
+def test_count_oracle_escapes_quotes(spark, corpus, idx):
+    """A query containing an apostrophe must not break the oracle SQL."""
+    import duckdb
+
+    from information_retrieval_spark.operators.grouping import (
+        duckdb_count_sql,
+    )
+
+    q = ["don't panic ident_1"]
+    got = count_matches(spark, idx, q, CFG).toPandas()
+    con = duckdb.connect()
+    con.register("corpus_tbl", corpus.toPandas())
+    exp = con.execute(
+        duckdb_count_sql("SELECT * FROM corpus_tbl", q, CFG)
+    ).df()
+    assert got["n_any"].tolist() == exp["n_any"].tolist()
+    assert got["n_all"].tolist() == exp["n_all"].tolist()
